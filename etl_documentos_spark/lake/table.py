@@ -1,0 +1,292 @@
+"""LakeTable — an Iceberg-style table format over parquet, built from scratch.
+
+Layout on disk::
+
+    <root>/
+      version-hint.text            # current metadata version (atomic pointer)
+      metadata/v{N:06d}.json       # schema, partition spec, snapshots, manifest
+      data/snap-{id}/b={K}/*.parquet
+
+Design points (all mirroring public Iceberg semantics):
+
+- **Atomic commits**: each mutation writes a new immutable metadata file and
+  then atomically swaps ``version-hint.text`` (os.replace). Readers resolve
+  the hint, then read that metadata — never a torn state. Single-writer.
+- **Bucket partitioning**: rows are assigned ``bucket = pmod(xxhash64(conv_id),
+  num_buckets)``; the manifest maps bucket -> data files, so a MERGE that
+  touches 3 buckets reads and rewrites only those buckets' files (partition
+  pruning + copy-on-write, the scale-critical property at 10^10 events).
+- **Additive schema evolution without rewrite**: ``add_columns`` only writes
+  new metadata; old data files stay. Scans read with the *current* schema by
+  name, so columns missing from old files come back null (parquet
+  read-by-name), exactly like Iceberg's add-column.
+- **Snapshots / time travel**: every snapshot keeps its own file manifest;
+  ``scan(snapshot_id=...)`` reads any retained snapshot.
+
+Reference parity: this plays the role of the reference's mutable OLTP tables
+(``/root/reference/app/models/database.py:62-87`` documentos updated in place
+by ``app/database/repositories.py:51-68``), re-expressed as an append/replace
+immutable-file lake table so updates become set-oriented partition rewrites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HINT = "version-hint.text"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    ts_ms: int
+    operation: str
+    summary: dict
+    files: dict[str, list[str]]  # bucket (as str) -> relative file paths
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "ts_ms": self.ts_ms,
+            "operation": self.operation,
+            "summary": self.summary,
+            "files": self.files,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"], d["parent_id"], d["ts_ms"], d["operation"],
+            d["summary"], d["files"],
+        )
+
+
+class LakeTable:
+    """A bucket-partitioned, snapshot-versioned parquet table."""
+
+    def __init__(self, root: str, meta: dict):
+        self.root = root
+        self._meta = meta
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        num_buckets: int = 16,
+        bucket_col: str = "conv_id",
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(root, _HINT)):
+            raise FileExistsError(f"table already exists at {root}")
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        snap = Snapshot(1, None, int(time.time() * 1000), "create", {}, {})
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "schema": schema.jsonValue(),
+            "schema_version": 1,
+            "partition_spec": {
+                "kind": "bucket",
+                "num_buckets": num_buckets,
+                "source_col": bucket_col,
+            },
+            "properties": properties or {},
+            "snapshots": [snap.to_json()],
+            "current_snapshot_id": 1,
+            "metadata_version": 1,
+        }
+        tbl = cls(root, meta)
+        tbl._write_metadata()
+        return tbl
+
+    @classmethod
+    def load(cls, root: str) -> "LakeTable":
+        with open(os.path.join(root, _HINT)) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(root, "metadata", f"v{v:06d}.json")) as f:
+            return cls(root, json.load(f))
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, _HINT))
+
+    # ----------------------------------------------------------- properties
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._meta["schema"])
+
+    @property
+    def num_buckets(self) -> int:
+        return self._meta["partition_spec"]["num_buckets"]
+
+    @property
+    def bucket_col(self) -> str:
+        return self._meta["partition_spec"]["source_col"]
+
+    @property
+    def current_snapshot(self) -> Snapshot:
+        sid = self._meta["current_snapshot_id"]
+        for s in self._meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return Snapshot.from_json(s)
+        raise KeyError(sid)
+
+    @property
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self._meta["snapshots"]]
+
+    def bucket_expr(self, col: str | Column | None = None) -> Column:
+        """The partition transform: pmod(xxhash64(conv_id), N). Deterministic
+        across sessions and cluster sizes (xxhash64 is seed-stable)."""
+        c = F.col(self.bucket_col) if col is None else (F.col(col) if isinstance(col, str) else col)
+        return F.pmod(F.xxhash64(c), F.lit(self.num_buckets)).cast("int")
+
+    # ----------------------------------------------------------------- scan
+    def scan(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read the table (optionally pruned to a bucket subset / a snapshot).
+
+        Reads with the current table schema by name: files written before an
+        ``add_columns`` lack the new columns and surface them as null — the
+        Iceberg add-column read semantics, no rewrite needed.
+        """
+        snap = (
+            self.current_snapshot
+            if snapshot_id is None
+            else next(s for s in self.snapshots if s.snapshot_id == snapshot_id)
+        )
+        files: list[str] = []
+        for b, fs in snap.files.items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.root, p) for p in fs)
+        if not files:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*files)
+
+    # -------------------------------------------------------------- commits
+    def _write_metadata(self) -> None:
+        v = self._meta["metadata_version"]
+        path = os.path.join(self.root, "metadata", f"v{v:06d}.json")
+        with open(path, "w") as f:
+            json.dump(self._meta, f)
+        tmp = os.path.join(self.root, _HINT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.root, _HINT))  # atomic pointer swap
+
+    def _next_snapshot(self, operation: str, summary: dict, files: dict) -> None:
+        cur = self.current_snapshot
+        snap = Snapshot(
+            cur.snapshot_id + 1, cur.snapshot_id, int(time.time() * 1000),
+            operation, summary, files,
+        )
+        self._meta["snapshots"].append(snap.to_json())
+        self._meta["current_snapshot_id"] = snap.snapshot_id
+        self._meta["metadata_version"] += 1
+        self._write_metadata()
+
+    def _write_data(self, df: DataFrame, salt_exprs: list[Column] | None = None) -> dict[str, list[str]]:
+        """Write df into a new snapshot dir, one subdir per bucket.
+
+        The write is hash-distributed on (bucket, *salt) so a hot bucket is
+        spread across tasks (multiple files per bucket) instead of funneling
+        into one straggler task — the explicit skew defense for hot
+        conversations.
+        """
+        sid = self.current_snapshot.snapshot_id + 1
+        rel = f"data/snap-{sid}"
+        out = os.path.join(self.root, rel)
+        if salt_exprs is None:
+            non_bucket = [c for c in df.columns if c != self.bucket_col]
+            salt_src = F.col(non_bucket[0]) if non_bucket else F.lit(0)
+            salt_exprs = [F.pmod(F.xxhash64(salt_src), F.lit(8))]
+        salted = salt_exprs
+        (
+            df.withColumn("_bucket", self.bucket_expr())
+            .repartition(F.col("_bucket"), *salted)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out)
+        )
+        files: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(out)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out, entry)
+            files[b] = sorted(
+                f"{rel}/{entry}/{fn}"
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            )
+        return files
+
+    def append(self, df: DataFrame) -> None:
+        """Append rows (new files only; existing files untouched)."""
+        new_files = self._write_data(df)
+        merged = {b: list(fs) for b, fs in self.current_snapshot.files.items()}
+        for b, fs in new_files.items():
+            merged.setdefault(b, []).extend(fs)
+        self._next_snapshot("append", {"buckets_written": len(new_files)}, merged)
+
+    def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+        """Copy-on-write replace of the named buckets with df's rows.
+
+        df must contain only rows belonging to ``buckets`` (caller guarantees
+        it — merge_into does). Untouched buckets keep their existing files;
+        this is what keeps a MERGE that hits 1% of conversations from
+        rewriting 100 TB.
+        """
+        new_files = self._write_data(df)
+        merged = {
+            b: list(fs)
+            for b, fs in self.current_snapshot.files.items()
+            if int(b) not in buckets
+        }
+        for b, fs in new_files.items():
+            merged[b] = fs
+        self._next_snapshot(
+            "overwrite", {"buckets_replaced": sorted(buckets)}, merged
+        )
+
+    # ----------------------------------------------------- schema evolution
+    def add_columns(self, fields: list[T.StructField]) -> None:
+        """Additive schema evolution: metadata-only, zero data files touched.
+
+        Mirrors Iceberg ``ALTER TABLE ... ADD COLUMNS`` (and the reference's
+        Alembic autogenerate-upgrade flow,
+        ``/root/reference/app/database/migrations.py:49-107``).
+        """
+        cur = self.schema
+        existing = {f.name for f in cur.fields}
+        added = [f for f in fields if f.name not in existing]
+        if not added:
+            return
+        for f in added:
+            if not f.nullable:
+                raise ValueError(f"added column {f.name} must be nullable")
+        new_schema = T.StructType(list(cur.fields) + added)
+        self._meta["schema"] = new_schema.jsonValue()
+        self._meta["schema_version"] += 1
+        self._next_snapshot(
+            "add-columns",
+            {"added": [f.name for f in added]},
+            self.current_snapshot.files,
+        )

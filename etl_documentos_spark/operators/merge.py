@@ -1,0 +1,139 @@
+"""Key-partitioned MERGE of a deduped change batch into a LakeTable.
+
+This is the engine's core write primitive — the set-oriented restatement of
+the reference's row lifecycle: INSERT with a provisional status
+(``/root/reference/app/services/document_processor.py:126-143``), UPDATE the
+same key with final values (``document_processor.py:205-218``,
+``app/database/repositories.py:51-68``), DELETE by key
+(``repositories.py:70-83``). On Iceberg this is ``MERGE INTO target USING
+updates ON key WHEN MATCHED ... WHEN NOT MATCHED INSERT``; here it is the
+equivalent copy-on-write plan:
+
+1. prune: compute the set of buckets the batch touches; scan only those
+   buckets' files (partition pruning — a batch touching 1% of conversations
+   reads 1% of the table);
+2. combine: union the pruned target slice with the update rows and reduce
+   per key with the same LWW version order ``(ts, lsn)`` used by dedup —
+   this makes the merge **version-checked**: a late event (older ts) arriving
+   in a later epoch cannot regress a newer row, and re-applying an epoch is a
+   no-op (idempotent under at-least-once delivery);
+3. tombstones: deletes persist as ``_deleted=true`` rows so that a
+   late-arriving older update cannot resurrect a deleted key; readers filter
+   them out (``read_current``); a compaction can expire them past the
+   lateness watermark;
+4. copy-on-write: rewrite only the touched buckets' files and commit one
+   atomic snapshot.
+
+Shuffle budget at scale: one hash aggregation over (touched-target-slice +
+batch). Both sides partition by the same key; AQE coalesces the small side.
+The write re-shuffles on (bucket, salt) to spread hot conversations across
+tasks. There is no global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_documentos_spark.lake.table import LakeTable
+from etl_documentos_spark.operators.lww import lww_dedup
+from etl_documentos_spark.schemas import KEY_COLS
+
+#: engine-managed columns stored in the physical table, invisible to readers
+SYSTEM_COLS = [
+    T.StructField("_deleted", T.BooleanType(), True),
+    T.StructField("_lsn", T.LongType(), True),
+]
+SYSTEM_COL_NAMES = [f.name for f in SYSTEM_COLS]
+
+
+def physical_schema(logical: T.StructType) -> T.StructType:
+    return T.StructType(list(logical.fields) + list(SYSTEM_COLS))
+
+
+@dataclass
+class MergeStats:
+    events_in: int
+    keys_upserted: int
+    keys_deleted: int
+    buckets_touched: int
+    conv_ids_touched: int
+
+
+def changes_to_physical(changes: DataFrame, table_schema: T.StructType) -> DataFrame:
+    """Project a change batch (op/.../lsn) onto the physical table shape."""
+    cols = []
+    change_cols = set(changes.columns)
+    for f in table_schema.fields:
+        if f.name == "_deleted":
+            cols.append((F.col("op") == "delete").alias("_deleted"))
+        elif f.name == "_lsn":
+            cols.append(F.col("lsn").alias("_lsn"))
+        elif f.name in change_cols:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return changes.select(*cols)
+
+
+def merge_into(
+    spark: SparkSession,
+    table: LakeTable,
+    changes: DataFrame,
+    dedup: bool = True,
+    compute_stats: bool = False,
+) -> MergeStats | None:
+    """Apply one change batch to the table. See module docstring for the plan.
+
+    ``changes`` carries the CHANGE_EVENTS shape (op, key, payload, ts, lsn,
+    ...). Column set may be wider than the table — caller runs schema
+    evolution first (`operators.evolve.evolve_if_needed`).
+    """
+    deduped = lww_dedup(changes) if dedup else changes
+    updates = changes_to_physical(deduped, table.schema)
+
+    # ---- partition pruning: which buckets does this batch touch?
+    touched = [
+        r[0]
+        for r in updates.select(table.bucket_expr().alias("b")).distinct().collect()
+    ]
+    if not touched:
+        return MergeStats(0, 0, 0, 0, 0) if compute_stats else None
+
+    target_slice = table.scan(spark, buckets=touched)
+
+    # ---- version-checked combine: LWW over (existing ∪ incoming)
+    merged = lww_dedup(
+        target_slice.unionByName(updates),
+        key_cols=KEY_COLS,
+        order_cols=("ts", "_lsn"),
+    )
+
+    stats = None
+    if compute_stats:
+        agg = deduped.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("up"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("del"),
+            F.approx_count_distinct("conv_id").alias("convs"),
+        ).first()
+        stats = MergeStats(
+            events_in=agg["n"],
+            keys_upserted=agg["up"],
+            keys_deleted=agg["del"],
+            buckets_touched=len(touched),
+            conv_ids_touched=agg["convs"],
+        )
+
+    table.overwrite_buckets(merged, touched)
+    return stats
+
+
+def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Reader view: live rows only, system columns dropped."""
+    df = table.scan(spark)
+    live = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    return live.drop(*SYSTEM_COL_NAMES)

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the CDC replay workload.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ~ cores (not 200), AQE on (runtime coalesce + skew-join),
+Arrow on for the few pandas UDFs, UTC session timezone so results are
+comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_documentos_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the sandbox).
+    On a real cluster the same config block applies unchanged — AQE and the
+    shuffle-partition setting are the knobs that matter at 100 TB too, except
+    ``shuffle.partitions`` which should scale with executor count (AQE
+    coalesces the excess at runtime, so we set a generous ceiling).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # parse local[N] to size the shuffle; on a cluster pass explicitly
+        try:
+            n = master.split("[", 1)[1].rstrip("]")
+            shuffle_partitions = cpus if n == "*" else int(n)
+        except (IndexError, ValueError):
+            shuffle_partitions = 2 * cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

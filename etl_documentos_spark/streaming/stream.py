@@ -1,0 +1,105 @@
+"""Replay drivers: batch epoch replay and the Structured Streaming tail.
+
+Batch replay (``replay_epochs``) walks ``{path}/epoch={k}`` directories in
+log order and applies each through the exactly-once `CdcPipeline` — this is
+the deterministic path used by tests and the bench.
+
+The streaming driver (``start_stream`` / ``run_stream_until_drained``) is the
+production shape: a Structured Streaming file source tails the change
+directory (stand-in for a Kafka/binlog source — same micro-batch contract),
+checkpointed offsets make batch composition deterministic across restarts,
+and ``foreachBatch`` routes every micro-batch through the same
+commit-log-guarded apply. Restart after a crash replays the last
+un-checkpointed batch; the commit-log + version-checked merge make that
+replay a no-op. Reference analogue of the source: one HTTP upload per
+document (``/root/reference/app/api/routes.py:133-179``) — here the uploads
+are already a WAL tail.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_documentos_spark.schemas import CHANGE_EVENTS
+from etl_documentos_spark.streaming.apply import CdcPipeline, EpochResult
+
+
+def list_epochs(path: str) -> list[int]:
+    out = []
+    for entry in os.listdir(path):
+        m = re.fullmatch(r"epoch=(\d+)", entry)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def replay_epochs(
+    pipeline: CdcPipeline,
+    events_path: str,
+    epochs: list[int] | None = None,
+    schema: T.StructType | None = None,
+) -> list[EpochResult]:
+    """Apply each epoch directory in order through the exactly-once path."""
+    spark = pipeline.spark
+    results = []
+    for ep in epochs if epochs is not None else list_epochs(events_path):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        changes = reader.parquet(os.path.join(events_path, f"epoch={ep}"))
+        results.append(pipeline.apply_epoch(changes, ep))
+    return results
+
+
+def start_stream(
+    pipeline: CdcPipeline,
+    events_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Tail the change directory with a checkpointed file source.
+
+    Epoch id inside foreachBatch is the Structured Streaming ``batch_id`` —
+    monotonically increasing and stable across restarts for the same input
+    slice, which is exactly what the commit log needs.
+    """
+    spark = pipeline.spark
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(schema or CHANGE_EVENTS)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(events_path)
+
+    def handle(batch_df, batch_id: int) -> None:
+        pipeline.apply_epoch(batch_df, int(batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def run_stream_until_drained(
+    pipeline: CdcPipeline,
+    events_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    q = start_stream(
+        pipeline, events_path, checkpoint_dir, schema, max_files_per_trigger
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

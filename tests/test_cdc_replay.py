@@ -1,0 +1,249 @@
+"""End-to-end CDC replay correctness: engine final state == oracle reducer.
+
+The invariant (BASELINE.json input_hint): per-turn ``text`` equality under
+stable ``ORDER BY conv_id, turn_idx`` after full replay — plus full-row
+equality, which is strictly stronger.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_documentos_spark import datagen, oracle
+from etl_documentos_spark.lake.table import LakeTable
+from etl_documentos_spark.operators.merge import physical_schema, read_current
+from etl_documentos_spark.schemas import TRANSCRIPTS, TRANSCRIPTS_V2
+from etl_documentos_spark.streaming.apply import CdcPipeline
+from etl_documentos_spark.streaming.stream import list_epochs, replay_epochs
+
+N_EVENTS = 5_000
+
+
+@pytest.fixture(scope="module")
+def stream_df(spark):
+    return datagen.change_stream(
+        spark,
+        n_events=N_EVENTS,
+        n_convs=100,
+        turns_per_conv=20,
+        events_per_epoch=1000,
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def events_path(stream_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("events") / "stream")
+    datagen.write_epochs(stream_df, p)
+    return p
+
+
+def fresh_pipeline(spark, tmp_path) -> CdcPipeline:
+    table_root = str(tmp_path / "transcripts")
+    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=8)
+    return CdcPipeline(spark, table_root, str(tmp_path / "work"))
+
+
+def final_state_rows(spark, pipeline):
+    df = read_current(spark, pipeline.table).orderBy("conv_id", "turn_idx")
+    return [r.asDict() for r in df.collect()]
+
+
+def oracle_rows(stream_df):
+    events = [r.asDict() for r in stream_df.collect()]
+    return oracle.reduce_events(events)
+
+
+def test_replay_matches_oracle(spark, stream_df, events_path, tmp_path):
+    pipeline = fresh_pipeline(spark, tmp_path)
+    results = replay_epochs(pipeline, events_path)
+    assert all(not r.skipped for r in results)
+    got = final_state_rows(spark, pipeline)
+    want = oracle_rows(stream_df)
+    assert len(got) == len(want)
+    # per-turn text equality (the headline invariant)
+    for g, w in zip(got, want):
+        assert (g["conv_id"], g["turn_idx"]) == (w["conv_id"], w["turn_idx"])
+        assert g["text"] == w["text"], (g, w)
+    # full-row equality
+    for g, w in zip(got, want):
+        assert g == {k: w[k] for k in g}
+
+
+def test_duplicate_and_late_events_present_in_fixture(stream_df):
+    """The generator must actually produce the hard cases (FIXTURES.md §2)."""
+    from pyspark.sql import functions as F
+
+    # exact duplicates (same lsn twice)
+    dups = stream_df.groupBy("lsn").count().filter("count > 1").count()
+    assert dups > 0
+    # equal-ts pairs differing only in lsn
+    ties = (
+        stream_df.groupBy("conv_id", "turn_idx", "ts")
+        .agg(F.countDistinct("lsn").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert ties > 0
+    # late events: ts decreases while lsn increases somewhere
+    from pyspark.sql import Window
+
+    w = Window.orderBy("lsn")
+    late = (
+        stream_df.dropDuplicates(["lsn"])
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("ts") < F.col("prev_ts"))
+        .count()
+    )
+    assert late > 0
+    # hot key ~30%
+    total = stream_df.count()
+    hot = stream_df.filter("conv_id = 'conv_hot'").count()
+    assert 0.2 * total < hot < 0.4 * total
+    # deletes exist
+    assert stream_df.filter("op = 'delete'").count() > 0
+
+
+def test_idempotent_reapply_of_committed_epoch(spark, stream_df, events_path, tmp_path):
+    """Re-applying an already-committed epoch leaves the table bit-identical
+    (commit-log skip) — and even with the commit log bypassed, the
+    version-checked merge is a no-op."""
+    pipeline = fresh_pipeline(spark, tmp_path)
+    replay_epochs(pipeline, events_path)
+    before = final_state_rows(spark, pipeline)
+    snap_before = pipeline.table.current_snapshot.snapshot_id
+
+    # 1) guarded replay: skipped, no new snapshot
+    res = replay_epochs(pipeline, events_path, epochs=[0])
+    assert res[0].skipped
+    assert pipeline.table.current_snapshot.snapshot_id == snap_before
+
+    # 2) bypass the guard: force a merge of epoch 0 again -> state unchanged
+    import os
+
+    from etl_documentos_spark.operators.merge import merge_into
+
+    changes = spark.read.parquet(os.path.join(events_path, "epoch=0"))
+    merge_into(spark, pipeline.table, changes)
+    after = final_state_rows(spark, pipeline)
+    assert after == before
+
+
+def test_restart_resume_from_commit_log(spark, stream_df, events_path, tmp_path):
+    """Simulated crash-restart: apply a prefix, 'restart' with a new pipeline
+    object over the same dirs, replay everything — prefix epochs skip, final
+    state still equals the oracle."""
+    epochs = list_epochs(events_path)
+    pipeline = fresh_pipeline(spark, tmp_path)
+    replay_epochs(pipeline, events_path, epochs=epochs[:2])
+
+    resumed = CdcPipeline(spark, pipeline.table_root, pipeline.workdir)
+    results = replay_epochs(resumed, events_path, epochs=epochs)
+    assert [r.skipped for r in results[:2]] == [True, True]
+    assert all(not r.skipped for r in results[2:])
+
+    got = final_state_rows(spark, resumed)
+    want = oracle_rows(stream_df)
+    assert [(-1, g["conv_id"], g["turn_idx"], g["text"]) for g in got] == [
+        (-1, w["conv_id"], w["turn_idx"], w["text"]) for w in want
+    ]
+
+
+def test_delete_then_late_update_does_not_resurrect(spark, tmp_path):
+    """Tombstone semantics: delete at ts=100 wins over a late update at ts=50
+    arriving in a LATER epoch; a genuine re-insert at ts=200 resurrects."""
+    import datetime
+
+    from etl_documentos_spark.operators.merge import merge_into
+    from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+    def ev(op, conv, turn, ts_s, lsn, text=None):
+        return (
+            op, conv, turn,
+            "user" if op != "delete" else None,
+            text,
+            None,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ts_s),
+            lsn, 0,
+        )
+
+    table_root = str(tmp_path / "t")
+    table = LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=4)
+
+    e1 = spark.createDataFrame([ev("insert", "c1", 0, 10, 1, "v1")], CHANGE_EVENTS)
+    merge_into(spark, table, e1)
+    e2 = spark.createDataFrame([ev("delete", "c1", 0, 100, 2)], CHANGE_EVENTS)
+    merge_into(spark, LakeTable.load(table_root), e2)
+    # late update, older ts, later epoch
+    e3 = spark.createDataFrame([ev("update", "c1", 0, 50, 3, "late")], CHANGE_EVENTS)
+    merge_into(spark, LakeTable.load(table_root), e3)
+    assert read_current(spark, LakeTable.load(table_root)).count() == 0
+
+    # re-insert with newer ts resurrects
+    e4 = spark.createDataFrame([ev("insert", "c1", 0, 200, 4, "back")], CHANGE_EVENTS)
+    merge_into(spark, LakeTable.load(table_root), e4)
+    rows = read_current(spark, LakeTable.load(table_root)).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "back"
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """Additive columns appear after the evolution tranche; pre-evolution rows
+    read back null; no data files are rewritten by the evolution itself."""
+    stream = datagen.change_stream(
+        spark,
+        n_events=3_000,
+        n_convs=50,
+        turns_per_conv=10,
+        events_per_epoch=1000,
+        evolve_from_lsn=2000,
+    )
+    events_path = str(tmp_path / "events")
+    datagen.write_epochs(stream, events_path)
+
+    pipeline = fresh_pipeline(spark, tmp_path)
+    # epochs 0-1 arrive as v1 events (narrow schema — the evolved columns are
+    # all-null below lsn 2000, so a narrow read loses nothing); epoch 2
+    # arrives with the wider v2 schema -> triggers ALTER TABLE ADD COLUMNS
+    from etl_documentos_spark.schemas import CHANGE_EVENTS, CHANGE_EVENTS_V2
+
+    res_v1 = replay_epochs(pipeline, events_path, epochs=[0, 1], schema=CHANGE_EVENTS)
+    assert not any(r.added_columns for r in res_v1)
+    files_before = dict(pipeline.table.current_snapshot.files)
+
+    res_v2 = replay_epochs(pipeline, events_path, epochs=[2], schema=CHANGE_EVENTS_V2)
+    results = res_v1 + res_v2
+    assert res_v2[0].added_columns == ["tool_call_id", "tool_latency_ms"]
+
+    # the add-columns snapshot itself rewrote nothing: every pre-evolution
+    # data file is still referenced or was replaced only by the epoch-2 merge
+    add_col_snap = next(
+        s for s in pipeline.table.snapshots if s.operation == "add-columns"
+    )
+    assert add_col_snap.files == files_before
+
+    table = pipeline.table
+    names = [f.name for f in table.schema.fields]
+    assert "tool_call_id" in names and "tool_latency_ms" in names
+
+    cur = read_current(spark, table)
+    assert cur.filter("tool_call_id IS NOT NULL").count() > 0
+    # oracle equality still holds with the wider schema
+    want = oracle.reduce_events([r.asDict() for r in stream.collect()])
+    got = [r.asDict() for r in cur.orderBy("conv_id", "turn_idx").collect()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["text"] == w["text"]
+        assert g.get("tool_call_id") == w.get("tool_call_id")
+
+
+def test_lineage_and_metrics_emitted(spark, stream_df, events_path, tmp_path):
+    from etl_documentos_spark.streaming.lineage import read_lineage, read_metrics
+
+    pipeline = fresh_pipeline(spark, tmp_path)
+    replay_epochs(pipeline, events_path)
+    lin = read_lineage(spark, pipeline.lineage_path)
+    met = read_metrics(spark, pipeline.metrics_path)
+    n_events = stream_df.count()
+    assert lin.groupBy().sum("events_read").first()[0] == n_events
+    n_epochs = len(list_epochs(events_path))
+    assert met.select("epoch_id").distinct().count() == n_epochs
+    assert met.filter("events_per_sec <= 0").count() == 0
