@@ -1,0 +1,250 @@
+"""Benchmark entrypoint (driver contract + scaling evidence).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus a CDC replay
+throughput measurement on a deterministic synthetic change stream, and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "cdc_events_per_sec": ..., "cdc_events": ...}
+
+Scaling mode (``--scaling``): runs the identical CDC replay at two
+parallelism levels (local[8] and local[32] by default) on the same
+pre-generated input — the sandbox evidence for the north rule's N -> 4N
+executor scaling criterion — and writes ``BENCH/BASELINE.md``.
+
+Worker mode (``--cdc-worker``): one replay at one parallelism level in a
+fresh JVM (getOrCreate caches sessions per process, so each level needs its
+own process). Prints one JSON line with its throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline queries timed in the default bench (subset of the full registry:
+#: the CDC semantics query + the heaviest scan/join/window/dedup shapes)
+HEADLINE = [
+    "cdc_lww_replay",
+    "tpch_q1",
+    "tpch_q6",
+    "events_by_nation",
+    "top3_recent_per_user",
+    "sessionize",
+    "word_freq",
+    "doc_fingerprints",
+    "near_dup_jaccard",
+    "minhash_lsh",
+    "knn_cosine",
+]
+
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "3000000"))
+BENCH_CONVS = 20_000
+BENCH_TURNS = 30
+BENCH_EPOCH = int(os.environ.get("SPARK_GRAFT_CDC_EPOCH", "2000000"))
+EVENTS_CACHE = f"/tmp/spark_graft_bench_events_{BENCH_EVENTS}"
+
+
+def _ensure_events(spark) -> str:
+    """Generate (once) the deterministic bench change stream."""
+    from etl_documentos_spark import datagen
+
+    marker = os.path.join(EVENTS_CACHE, "_SUCCESS_MARKER")
+    if not os.path.exists(marker):
+        shutil.rmtree(EVENTS_CACHE, ignore_errors=True)
+        df = datagen.change_stream(
+            spark,
+            n_events=BENCH_EVENTS,
+            n_convs=BENCH_CONVS,
+            turns_per_conv=BENCH_TURNS,
+            events_per_epoch=BENCH_EPOCH,
+        )
+        datagen.write_epochs(df, EVENTS_CACHE)
+        open(marker, "w").close()
+    return EVENTS_CACHE
+
+
+def _replay(spark, events_path: str, workdir: str) -> dict:
+    """One full batch replay into a fresh lake table; returns throughput."""
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import physical_schema
+    from etl_documentos_spark.schemas import TRANSCRIPTS
+    from etl_documentos_spark.streaming.apply import CdcPipeline
+    from etl_documentos_spark.streaming.stream import replay_epochs
+
+    table_root = os.path.join(workdir, "transcripts")
+    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=32)
+    pipeline = CdcPipeline(spark, table_root, os.path.join(workdir, "work"))
+    t0 = time.monotonic()
+    results = replay_epochs(pipeline, events_path)
+    dt = time.monotonic() - t0
+    n = sum(r.events for r in results)
+    return {"events": n, "seconds": dt, "events_per_sec": n / dt}
+
+
+def run_cdc_worker(master: str, out_path: str | None) -> dict:
+    import tempfile
+
+    from etl_documentos_spark.session import get_spark
+
+    n = master.split("[", 1)[1].rstrip("]")
+    spark = get_spark(f"bench-{master}", master=master, shuffle_partitions=int(n))
+    events = _ensure_events(spark)
+    workdir = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        res = _replay(spark, events, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    res["master"] = master
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+    print(json.dumps(res))
+    return res
+
+
+def run_default(sf_dir: str, cpus: int) -> None:
+    import tempfile
+
+    from etl_documentos_spark.plans.queries import QUERIES
+    from etl_documentos_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # CDC replay throughput at the same parallelism
+    events = _ensure_events(spark)
+    workdir = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        cdc = _replay(spark, events, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()) + cdc["seconds"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {**timings, "cdc_replay": round(cdc["seconds"], 3)},
+                "sf": sf_dir,
+                "cdc_events": cdc["events"],
+                "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+def run_scaling(levels: list[int], repeats: int = 3) -> None:
+    """Identical replay at each local[N]; efficiency from best-of-``repeats``.
+
+    The sandbox host is time-shared (loadavg spikes, CPU steal), so single
+    runs vary up to 2×. Runs alternate across levels and the best run per
+    level is compared — best-of filters co-tenant noise, not our own
+    variance, since every run replays identical bytes. Writes
+    ``BENCH/BASELINE.md`` with all runs + throughputs + scaling efficiency.
+    """
+    # pre-generate input once so every level replays identical bytes
+    from etl_documentos_spark.session import get_spark
+
+    spark = get_spark("bench-gen", master=f"local[{DEFAULT_CPUS}]")
+    _ensure_events(spark)
+    spark.stop()
+
+    runs: dict[int, list[dict]] = {n: [] for n in levels}
+    for _ in range(repeats):
+        for n in levels:
+            out = f"/tmp/cdc_scale_{n}.json"
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cdc-worker",
+                 "--master", f"local[{n}]", "--out", out],
+                check=True,
+            )
+            with open(out) as f:
+                runs[n].append(json.load(f))
+
+    best = {n: max(rs, key=lambda r: r["events_per_sec"]) for n, rs in runs.items()}
+    lo, hi = best[levels[0]], best[levels[-1]]
+    ratio = hi["events_per_sec"] / lo["events_per_sec"]
+    ideal = levels[-1] / levels[0]
+    eff = ratio / ideal
+    lines = [
+        "# BENCH — CDC replay throughput & scaling evidence",
+        "",
+        f"Input: deterministic change stream, {lo['events']:,} events "
+        f"({BENCH_CONVS:,} convs, hot-key ~30%, dups/late/deletes), "
+        f"epochs of {BENCH_EPOCH:,}, identical bytes for every run "
+        f"(merge-on-read apply, exactly-once commit log, observed-metrics "
+        f"stats — one pass per epoch).",
+        "",
+        f"Per level: {repeats} interleaved runs, best shown (the sandbox "
+        "host is time-shared; co-tenant load varies run times up to 2x — "
+        "all runs listed below).",
+        "",
+        "| parallelism | best events/sec | best seconds | all runs (sec) |",
+        "|---|---|---|---|",
+    ]
+    for n in levels:
+        alls = ", ".join(f"{r['seconds']:.1f}" for r in runs[n])
+        lines.append(
+            f"| local[{n}] | {best[n]['events_per_sec']:,.0f} | "
+            f"{best[n]['seconds']:.1f} | {alls} |"
+        )
+    lines += [
+        "",
+        f"Speedup local[{levels[0]}] -> local[{levels[-1]}]: "
+        f"**{ratio:.2f}x** (ideal {ideal:.0f}x)",
+        f"Scaling efficiency (north-rule N -> 4N criterion): **{eff:.2f}**",
+        "",
+        "Caveats of the sandbox proxy: both 'cluster sizes' share one JVM,"
+        " one driver, one disk and one page cache; per-epoch driver-side"
+        " costs (plan analysis, snapshot commit, commit-log fsync) are serial"
+        " and identical at both levels, so they cap local speedup in a way a"
+        " real 4N-executor cluster (per-executor JVMs, distributed shuffle)"
+        " does not. The per-stage task-time scaling is the transferable"
+        " signal.",
+        "",
+        "Run: `python bench.py --scaling`",
+    ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "throughputs": {f"local[{n}]": round(best[n]["events_per_sec"], 1)
+                                      for n in levels}}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cdc-worker", action="store_true")
+    ap.add_argument("--master", default=f"local[{DEFAULT_CPUS}]")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+    if args.cdc_worker:
+        run_cdc_worker(args.master, args.out)
+    elif args.scaling:
+        run_scaling([int(x) for x in args.levels.split(",")])
+    else:
+        run_default(DEFAULT_SF_DIR, DEFAULT_CPUS)

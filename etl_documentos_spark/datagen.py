@@ -146,11 +146,23 @@ def change_stream(
     )
 
 
-def write_epochs(df: DataFrame, path: str) -> int:
+def write_epochs(df: DataFrame, path: str, files_per_epoch: int = 32) -> int:
     """Write the change stream as one parquet subdir per epoch.
 
     Batch replay reads ``{path}/epoch={k}`` in order; the streaming driver
-    points a file source at the same layout. Returns the number of epochs.
+    points a file source at the same layout. ``files_per_epoch`` fixes the
+    file fan-out per epoch (a binlog tail arrives as many shard files; it is
+    also the read parallelism ceiling for the replay). Returns the number of
+    epochs.
     """
-    df.write.mode("overwrite").partitionBy("epoch").parquet(path)
-    return df.select("epoch").distinct().count()
+    n_epochs = (
+        df.agg(F.max("epoch")).first()[0] + 1 if df.schema["epoch"] else 0
+    )
+    salt = F.pmod(F.xxhash64("lsn"), F.lit(files_per_epoch))
+    (
+        df.repartition(int(n_epochs) * files_per_epoch, F.col("epoch"), salt)
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+    return int(n_epochs)

@@ -202,25 +202,27 @@ class LakeTable:
         self._meta["metadata_version"] += 1
         self._write_metadata()
 
-    def _write_data(self, df: DataFrame, salt_exprs: list[Column] | None = None) -> dict[str, list[str]]:
+    def _write_data(self, df: DataFrame) -> dict[str, list[str]]:
         """Write df into a new snapshot dir, one subdir per bucket.
 
-        The write is hash-distributed on (bucket, *salt) so a hot bucket is
-        spread across tasks (multiple files per bucket) instead of funneling
-        into one straggler task — the explicit skew defense for hot
-        conversations.
+        The write is hash-distributed on (bucket, salt) with an explicit
+        partition count of ``num_buckets * write.salts``: a hot bucket is
+        spread across up to ``write.salts`` tasks (skew defense for hot
+        conversations) while the file count per snapshot stays bounded at
+        buckets x salts — no AQE-coalesced single-writer, no small-file
+        explosion. At cluster scale raise ``write.salts`` with executor
+        count; files-per-bucket is exactly the intra-bucket read parallelism.
         """
         sid = self.current_snapshot.snapshot_id + 1
         rel = f"data/snap-{sid}"
         out = os.path.join(self.root, rel)
-        if salt_exprs is None:
-            non_bucket = [c for c in df.columns if c != self.bucket_col]
-            salt_src = F.col(non_bucket[0]) if non_bucket else F.lit(0)
-            salt_exprs = [F.pmod(F.xxhash64(salt_src), F.lit(8))]
-        salted = salt_exprs
+        salt_k = int(self._meta["properties"].get("write.salts", "2"))
+        non_bucket = [c for c in df.columns if c != self.bucket_col]
+        salt_src = F.col(non_bucket[0]) if non_bucket else F.lit(0)
+        salt = F.pmod(F.xxhash64(salt_src), F.lit(salt_k))
         (
             df.withColumn("_bucket", self.bucket_expr())
-            .repartition(F.col("_bucket"), *salted)
+            .repartition(self.num_buckets * salt_k, F.col("_bucket"), salt)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out)

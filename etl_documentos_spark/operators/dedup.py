@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale document/transcript corpora.
+
+Beyond the reference's content-hash dedup (SHA-256 of bytes,
+``/root/reference/app/utils/file_utils.py:23-26``) this implements the
+standard training-data-pipeline family:
+
+- exact dedup (hash-groupBy)
+- token-set Jaccard near-dup (pairwise via inverted index join)
+- MinHash + LSH (shingle -> minhash signature -> band -> bucket join)
+- SimHash (bitwise majority vote over token hashes)
+
+Design for 10^8+ docs: every pairwise step goes through an inverted-index or
+LSH-bucket equi-join (candidate generation), never a cross join. Hashes use
+md5 (hex string) so the DuckDB oracle can reproduce values bit-for-bit;
+swapping md5 -> xxhash64 is a one-line change where oracle parity is not
+needed and speed matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_documentos_spark.functions.text import fingerprint, shingles, words
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of identical (normalized) content; keeps the min-id canonical
+    row per group. Pure hash-groupBy: map-side combine, one shuffle."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+def _doc_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(words(text_col)).alias("_ws")
+    )
+
+
+def near_dup_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pairs of documents with token-set Jaccard >= threshold.
+
+    Inverted-index candidate join: explode distinct tokens, self-join on the
+    token, count shared tokens per pair, then jaccard = inter/(|a|+|b|-inter).
+    Shuffles on the token key — skewed common tokens are the hazard at scale;
+    callers should pre-drop ultra-frequent tokens (document-frequency cap) the
+    way near-dup pipelines do. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    docs = _doc_words(df, text_col, id_col).withColumn("_n", F.size("_ws"))
+    tokens = docs.select("_id", "_n", F.explode("_ws").alias("w"))
+    a = tokens.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("na"), "w"
+    )
+    b = tokens.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("nb"), "w"
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig[num_hashes]) — minhash over word k-shingles.
+
+    Hash family: h_j(s) = md5(s || '#' || j); the min is taken over the hex
+    strings (total order, portable to any SQL engine). One narrow pass, no
+    shuffle: signatures are computed per-row from the shingle array.
+    """
+    sh = shingles(text_col, shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(s, F.lit(f"#{j}")))
+                )
+            ).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding of minhash signatures.
+
+    rows_per_band = num_hashes / bands; docs agreeing on ALL rows of any band
+    collide. Pipeline: signature (narrow) -> explode bands -> groupBy-free
+    self-equi-join on (band_idx, band_key) -> distinct pairs. The join key is
+    a hash bucket, so hot buckets are bounded by collision rate, not by data
+    skew. Returns (id_a, id_b) candidates (verify with `near_dup_jaccard`
+    semantics downstream if exact jaccard is needed).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[i * r + j] for j in range(r)]
+                            )
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    a = banded.select(F.col("_id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash) — bitwise-majority fingerprint over token hashes.
+
+    Token hash = first 8 hex chars of md5 -> 32-bit int (portable via
+    conv/base-16). For each of ``bits`` low bits, vote +1/-1 per token;
+    simhash bit i = 1 iff the vote is positive. Near-dups share the value
+    (or differ in few bits — pair by exact value here; banded variants
+    split the bits like LSH).
+    """
+    ws = words(text_col)
+    tok_hash = F.transform(
+        F.array_distinct(ws),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(
+            tok_hash,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        sim = sim + F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return df.select(F.col(id_col).alias("_id"), sim.alias("simhash"))

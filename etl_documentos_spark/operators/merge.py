@@ -85,21 +85,34 @@ def merge_into(
     changes: DataFrame,
     dedup: bool = True,
     compute_stats: bool = False,
+    assume_all_buckets: bool = False,
 ) -> MergeStats | None:
     """Apply one change batch to the table. See module docstring for the plan.
 
     ``changes`` carries the CHANGE_EVENTS shape (op, key, payload, ts, lsn,
     ...). Column set may be wider than the table — caller runs schema
     evolution first (`operators.evolve.evolve_if_needed`).
+
+    The batch is NOT pre-deduped: batch-internal LWW and the version check
+    against existing rows are the same reduction, so one hash aggregation
+    over (target-slice ∪ batch) does both — no separate dedup shuffle.
     """
-    deduped = lww_dedup(changes) if dedup else changes
-    updates = changes_to_physical(deduped, table.schema)
+    updates = changes_to_physical(changes, table.schema)
 
     # ---- partition pruning: which buckets does this batch touch?
-    touched = [
-        r[0]
-        for r in updates.select(table.bucket_expr().alias("b")).distinct().collect()
-    ]
+    # (cheap distinct over the — typically cached — batch; result is at most
+    # num_buckets ints). When the caller knows the batch spans all buckets
+    # (large uniform epochs), skip the job — overestimating "touched" is
+    # always safe, it only widens the read.
+    if assume_all_buckets:
+        touched = list(range(table.num_buckets))
+    else:
+        touched = [
+            r[0]
+            for r in updates.select(table.bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        ]
     if not touched:
         return MergeStats(0, 0, 0, 0, 0) if compute_stats else None
 
@@ -114,6 +127,7 @@ def merge_into(
 
     stats = None
     if compute_stats:
+        deduped = lww_dedup(changes) if dedup else changes
         agg = deduped.agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("up"),
@@ -132,8 +146,54 @@ def merge_into(
     return stats
 
 
+def merge_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    changes: DataFrame,
+) -> None:
+    """Merge-on-read apply: append the batch as delta files, defer the LWW
+    reduction to read time (`read_current`) / compaction (`compact`).
+
+    This is the high-throughput CDC ingest path (the Hudi/Paimon MOR shape):
+    per epoch the write cost is O(batch) — one projection + one bucketed
+    append — instead of copy-on-write's O(touched table slice). At 10^10
+    events the COW variant rewrites every hot bucket every epoch; MOR keeps
+    ingest linear and bounds read amplification with `compact`.
+    """
+    table.append(changes_to_physical(changes, table.schema))
+
+
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    buckets: list[int] | None = None,
+    expire_tombstones_before=None,
+) -> None:
+    """Rewrite buckets with the LWW reduction applied (read-optimize).
+
+    Equivalent to the COW merge with an empty batch: one hash aggregation
+    per key over the bucket's base+delta files, then a bucketed rewrite.
+    ``expire_tombstones_before``: optionally drop delete tombstones older
+    than the lateness watermark (they exist only to fence late updates).
+    """
+    target = list(range(table.num_buckets)) if buckets is None else buckets
+    merged = lww_dedup(
+        table.scan(spark, buckets=target),
+        key_cols=KEY_COLS,
+        order_cols=("ts", "_lsn"),
+    )
+    if expire_tombstones_before is not None:
+        merged = merged.filter(
+            (~F.coalesce(F.col("_deleted"), F.lit(False)))
+            | (F.col("ts") >= F.lit(expire_tombstones_before))
+        )
+    table.overwrite_buckets(merged, target)
+
+
 def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:
-    """Reader view: live rows only, system columns dropped."""
-    df = table.scan(spark)
+    """Reader view: LWW winner per key, live rows only, system columns
+    dropped. Correct over any mix of compacted base files and MOR deltas
+    (on a fully-compacted table the reduction is a no-op)."""
+    df = lww_dedup(table.scan(spark), key_cols=KEY_COLS, order_cols=("ts", "_lsn"))
     live = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     return live.drop(*SYSTEM_COL_NAMES)

@@ -1,0 +1,756 @@
+"""Operator showcase queries + their ANSI-SQL oracles (driver contract).
+
+Every entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame`` over
+the shared testdata tables; ``ORACLES`` holds the equivalent DuckDB SQL. The
+driver runs both at sf0.01 and compares row-count + schema + value-hash, so:
+
+- every computed column is aliased identically on both sides;
+- double aggregations go through exact decimal sums, then one final
+  round(cast(double), 4) — bit-identical across engines regardless of
+  summation order;
+- regexes stick to the dialect intersection (char classes + quantifiers);
+  DuckDB regexp_replace gets the 'g' flag to match Spark's global default;
+- hashes are md5/sha256 hex (portable), not engine-native hash functions;
+- every ordering has a deterministic tie-break.
+
+The CDC queries derive a transcript change stream from the ``events`` table
+with pure arithmetic (no engine-specific hashing) so the LWW/merge semantics
+of the engine are oracle-checkable end-to-end in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_documentos_spark import analytics
+from etl_documentos_spark.functions import text as tx
+from etl_documentos_spark.operators import dedup, lww, similarity
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC core family — change stream derived from `events` by pure arithmetic
+# ---------------------------------------------------------------------------
+def _derive_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> transcript change stream (portable derivation).
+
+    conv_id/turn_idx/op/lsn all come from modular arithmetic on event_id so
+    the DuckDB oracle reproduces them exactly; text embeds the lsn so LWW
+    winners are visible in the payload.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("delete"))
+        .when(F.col("event_id") % 10 < 4, F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("conv_"), (F.col("user_id") % 50).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("event_id") % 20).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit(" v"), F.col("event_id").cast("string")
+        ).alias("text"),
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+        (F.col("user_id") % 8).cast("int").alias("source_partition"),
+    )
+
+
+_DERIVE_SQL = """
+    SELECT CASE WHEN event_id % 10 = 0 THEN 'delete'
+                WHEN event_id % 10 < 4 THEN 'insert'
+                ELSE 'update' END AS op,
+           'conv_' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+           event_id % 20 AS turn_idx,
+           event_type AS role,
+           event_type || ' v' || CAST(event_id AS VARCHAR) AS text,
+           ts,
+           event_id AS lsn,
+           CAST(user_id % 8 AS INT) AS source_partition
+    FROM events
+"""
+
+
+def q_cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-replay final state: LWW winner per key, deletes filtered.
+
+    The engine's core semantics (dedup + merge visibility) as one query —
+    the agg/max_by implementation (map-side partial aggregation; no sort)."""
+    ch = _derive_changes(spark, sf_dir)
+    win = lww.lww_dedup(ch)
+    return win.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "ts", "lsn"
+    )
+
+
+def q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via the window/row_number formulation (parity check)."""
+    ch = _derive_changes(spark, sf_dir)
+    win = lww.lww_dedup_window(ch)
+    return win.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "ts", "lsn"
+    )
+
+
+_LWW_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT conv_id, turn_idx, role, text, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-partition high-water offsets (the commit-log record)."""
+    ch = _derive_changes(spark, sf_dir)
+    return ch.groupBy("source_partition").agg(
+        F.max("lsn").alias("max_lsn"), F.count("*").alias("n_events")
+    )
+
+
+def q_cdc_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage counters (events read / upserts / deletes / convs)."""
+    ch = _derive_changes(spark, sf_dir).withColumn(
+        "epoch", F.floor(F.col("lsn") / 1000).cast("long")
+    )
+    return ch.groupBy("epoch").agg(
+        F.count("*").alias("events_read"),
+        F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("rows_upserted"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("rows_deleted"),
+        F.countDistinct("conv_id").alias("conv_ids_touched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics family (SURVEY §2.4-§2.6, §3.2-§3.3)
+# ---------------------------------------------------------------------------
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship multi-agg scan (TPC-H Q1 shape = reference A5 multi-agg)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02 00:00:00"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double"), 4
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))
+            ).cast("double"),
+            4,
+        ).alias("sum_charge"),
+        F.round(
+            (F.sum(dec("l_quantity")) / F.count("*")).cast("double"), 4
+        ).alias("avg_qty"),
+        F.round(
+            (F.sum(dec("l_extendedprice")) / F.count("*")).cast("double"), 4
+        ).alias("avg_price"),
+        F.round(
+            (F.sum(dec("l_discount")) / F.count("*")).cast("double"), 4
+        ).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return g
+
+
+_TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_disc_price,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE), 4) AS sum_charge,
+      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) / count(*) AS DOUBLE), 4) AS avg_qty,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / count(*) AS DOUBLE), 4) AS avg_price,
+      round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) / count(*) AS DOUBLE), 4) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-pushdown showcase (TPC-H Q6 shape = P3/P4 range predicates)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1996-01-01 00:00:00")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_TPCH_Q6_SQL = """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_dashboard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts in one pass (A1, analytics_service.py:38-53)."""
+    return analytics.conditional_counts(
+        load(spark, sf_dir, "orders"), "o_orderstatus", "F", "P"
+    )
+
+
+def q_usage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped usage report (A5/§3.3) with exact decimal sums."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    r = analytics.group_report(e, "event_type", "value")
+    return r.select(
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("avg_value").cast("double").alias("avg_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+_USAGE_SQL = """
+    SELECT event_type, count(*) AS n,
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value,
+      CAST(round(avg(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_value,
+      CAST(round(min(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS min_value,
+      CAST(round(max(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+"""
+
+
+def q_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_k(load(spark, sf_dir, "events"), "event_type", 10)
+
+
+def q_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    r = analytics.daily_series(e, "ts", "value")
+    return r.select("day", "n", F.col("total_value").cast("double").alias("total_value"))
+
+
+def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+        .withColumn("client", F.col("user_id") % 10)
+    )
+    r = analytics.monthly_rollup(e, "client", "ts", "value")
+    return r.select(
+        "client", "month", "n", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.value_stats(load(spark, sf_dir, "events"), "event_type", "value")
+
+
+def q_top3_recent_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return analytics.top_n_per_key(e, "user_id", "ts", "event_id", 3).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+def q_weighted_vote_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: adaptive-classification weighted vote, exact decimal weights."""
+    e = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("entity"),
+        F.col("event_type").alias("candidate"),
+        F.col("value").cast("decimal(18,6)").alias("w_in"),
+    )
+    r = analytics.weighted_argmax(e, "entity", "candidate", "w_in")
+    return r.select(
+        "entity",
+        "winner",
+        F.col("winner_weight").cast("double").alias("winner_weight"),
+        F.col("confidence").cast("double").alias("confidence"),
+    )
+
+
+_ARGMAX_SQL = """
+    WITH per_cand AS (
+      SELECT user_id % 50 AS entity, event_type AS candidate,
+             sum(CAST(value AS DECIMAL(18,6))) AS w
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT entity, sum(w) AS tw FROM per_cand GROUP BY 1),
+    ranked AS (
+      SELECT entity, candidate, w,
+             row_number() OVER (PARTITION BY entity
+                                ORDER BY w DESC, candidate DESC) AS rn
+      FROM per_cand)
+    SELECT r.entity, r.candidate AS winner,
+           CAST(round(r.w, 4) AS DOUBLE) AS winner_weight,
+           CAST(round(r.w / t.tw, 4) AS DOUBLE) AS confidence
+    FROM ranked r JOIN tot t ON r.entity = t.entity WHERE rn = 1
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (W-lag + cumsum) then per-user rollup."""
+    e = load(spark, sf_dir, "events")
+    s = analytics.sessionize(e, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    per_sess AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+           max(n_events) AS max_session_events
+    FROM per_sess GROUP BY user_id
+"""
+
+
+def q_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return analytics.rate_limit_violations(e, "user_id", "ts", 1)
+
+
+def q_paginate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return analytics.paginate(e, "ts", "event_id", 100, 50).select(
+        "event_id", "ts", "user_id"
+    )
+
+
+_PAGINATE_SQL = """
+    WITH ranked AS (
+      SELECT event_id, ts, user_id,
+             row_number() OVER (ORDER BY ts DESC, event_id) AS rn
+      FROM events)
+    SELECT event_id, ts, user_id FROM ranked WHERE rn > 100 AND rn <= 150
+"""
+
+
+# ---------------------------------------------------------------------------
+# join family (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+def q_events_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shape fact ⋈ dim ⋈ dim with broadcast dims + grouped sums."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = e.join(
+        F.broadcast(c), e.user_id == c.c_custkey
+    ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).cast("double").alias("total_value"),
+    )
+
+
+_NATION_SQL = """
+    SELECT n_name, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_customers_with_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 semi-join: customers having orders, counted per region."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    have = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    j = have.join(F.broadcast(n), have.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return j.groupBy("r_name").agg(F.count("*").alias("n_customers"))
+
+
+_REGION_SQL = """
+    SELECT r_name, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY r_name
+"""
+
+
+def q_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 priority-resolution merge: regex extractor wins over fallback
+    (document_extractors.py:267-284 as coalesce)."""
+    d = load(spark, sf_dir, "documents")
+    primary = F.nullif(F.regexp_extract(F.col("text"), "([0-9]+)", 1), F.lit(""))
+    fallback = F.nullif(
+        F.regexp_extract(F.col("text"), "([a-z]{6,})", 1), F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce(primary, fallback, F.lit("none")).alias("extracted"),
+    )
+
+
+_PRIORITY_SQL = """
+    SELECT doc_id,
+           coalesce(nullif(regexp_extract(text, '([0-9]+)', 1), ''),
+                    nullif(regexp_extract(text, '([a-z]{6,})', 1), ''),
+                    'none') AS extracted
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis family (documents)
+# ---------------------------------------------------------------------------
+_WORDS_SQL = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), w -> len(w) > 0)"
+)
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.word_frequencies(
+        load(spark, sf_dir, "documents"), "text", min_len=4, k=50
+    )
+
+
+_WORD_FREQ_SQL = f"""
+    WITH toks AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+    SELECT word, count(*) AS n FROM toks
+    WHERE len(word) >= 4
+    GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.word_count("text").alias("n_words"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_computed"),
+    )
+
+
+_TOKEN_SQL = f"""
+    SELECT doc_id,
+           len({_WORDS_SQL}) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+             + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_tokens,
+           length(text) AS n_chars_computed
+    FROM documents
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint of normalized text."""
+    return dedup.dedup_exact(load(spark, sf_dir, "documents"))
+
+
+_FP_SQL = """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           min(doc_id) AS canonical_id, count(*) AS n_dupes
+    FROM documents GROUP BY 1
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id("text").alias("pred_lang"))
+
+
+def _lang_id_sql() -> str:
+    unions = []
+    for lang, markers in sorted(tx.LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        unions.append(
+            f"SELECT doc_id, '{lang}' AS lang, len(list_filter({_WORDS_SQL},"
+            f" w -> list_contains([{lst}], w))) AS hits FROM documents"
+        )
+    u = " UNION ALL ".join(unions)
+    return f"""
+        WITH scores AS ({u}),
+        ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY hits DESC, lang ASC) AS rn
+          FROM scores)
+        SELECT doc_id, lang AS pred_lang FROM ranked WHERE rn = 1
+    """
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS_EN)
+_QUALITY_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+               AS n_alnum,
+             {_WORDS_SQL} AS ws
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_chars, n_alnum,
+             CAST(len(ws) AS DOUBLE) AS n_words,
+             CAST(len(list_filter(ws, w -> list_contains([{_STOP_LIST}], w)))
+                  AS DOUBLE) AS n_stop
+      FROM base)
+    SELECT doc_id,
+           round(0.4 * least(n_chars / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN n_chars > 0 THEN n_alnum / n_chars ELSE 0.0 END)
+                 + 0.3 * least((CASE WHEN n_words > 0 THEN n_stop / n_words
+                                ELSE 0.0 END) * 4.0, 1.0), 4) AS quality
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity family
+# ---------------------------------------------------------------------------
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_jaccard(
+        load(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
+_NEAR_DUP_SQL = f"""
+    WITH d AS (SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws FROM documents),
+    t AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS w FROM d),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS inter
+      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+    FROM p WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.9
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=3
+    )
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4, k: int = 3) -> str:
+    r = num_hashes // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_rows = ", ".join(
+        "STRUCT_PACK(band := {i}, key := md5({expr}))".format(
+            i=i,
+            expr=" || '|' || ".join(f"mh{i * r + j}" for j in range(r)),
+        )
+        for i in range(bands)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= {k}
+                      THEN list_transform(generate_series(1, len(ws) - {k - 1}),
+                           i -> array_to_string(list_slice(ws, i, i + {k - 1}), ' '))
+                      ELSE [] END AS sh
+          FROM w),
+        sig AS (SELECT doc_id, {mh_cols} FROM sh),
+        banded AS (
+          SELECT doc_id, unnest([{band_rows}]) AS bk FROM sig),
+        flat AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM banded)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM flat a JOIN flat b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    """
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 around the vec_id=0 embedding."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return similarity.cosine_topk(
+        emb.filter("vec_id <> 0"), qvec, k=10
+    )
+
+
+_KNN_SQL = """
+    WITH dims AS (
+      SELECT unnest(generate_series(1,
+        (SELECT len(embedding) FROM embeddings WHERE vec_id = 0))) AS i),
+    q AS (
+      SELECT i, CAST(embedding[i] AS DOUBLE) AS qv
+      FROM (SELECT embedding FROM embeddings WHERE vec_id = 0), dims),
+    flat AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0) e, dims),
+    dots AS (
+      SELECT vec_id, sum(v * qv) AS d, sqrt(sum(v * v)) AS nv
+      FROM flat JOIN q USING (i) GROUP BY vec_id),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+    SELECT vec_id, round(d / (nv * nq), 4) AS cosine_sim
+    FROM dots, qn
+    ORDER BY d / (nv * nq) DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Query] = {
+    "cdc_lww_replay": q_cdc_lww_replay,
+    "cdc_lww_window": q_cdc_lww_window,
+    "cdc_offsets": q_cdc_offsets,
+    "cdc_epoch_stats": q_cdc_epoch_stats,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q6": q_tpch_q6,
+    "dashboard_counts": q_dashboard_counts,
+    "usage_report": q_usage_report,
+    "top_event_types": q_top_event_types,
+    "daily_activity": q_daily_activity,
+    "monthly_rollup": q_monthly_rollup,
+    "value_stats": q_value_stats,
+    "top3_recent_per_user": q_top3_recent_per_user,
+    "weighted_vote_argmax": q_weighted_vote_argmax,
+    "sessionize": q_sessionize,
+    "rate_limit_violations": q_rate_limit_violations,
+    "paginate_events": q_paginate_events,
+    "events_by_nation": q_events_by_nation,
+    "customers_with_orders_by_region": q_customers_with_orders_by_region,
+    "priority_merge": q_priority_merge,
+    "word_freq": q_word_freq,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "knn_cosine": q_knn_cosine,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_replay": _LWW_SQL,
+    "cdc_lww_window": _LWW_SQL,
+    "cdc_offsets": f"""
+        WITH ch AS ({_DERIVE_SQL})
+        SELECT source_partition, max(lsn) AS max_lsn, count(*) AS n_events
+        FROM ch GROUP BY source_partition
+    """,
+    "cdc_epoch_stats": f"""
+        WITH ch AS ({_DERIVE_SQL})
+        SELECT CAST(floor(lsn / 1000.0) AS BIGINT) AS epoch,
+               count(*) AS events_read,
+               sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS rows_upserted,
+               sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS rows_deleted,
+               count(DISTINCT conv_id) AS conv_ids_touched
+        FROM ch GROUP BY 1
+    """,
+    "tpch_q1": _TPCH_Q1_SQL,
+    "tpch_q6": _TPCH_Q6_SQL,
+    "dashboard_counts": """
+        SELECT count(*) AS total,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_success,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_error
+        FROM orders
+    """,
+    "usage_report": _USAGE_SQL,
+    "top_event_types": """
+        SELECT event_type, count(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10
+    """,
+    "daily_activity": """
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+    "monthly_rollup": """
+        SELECT user_id % 10 AS client, strftime(ts, '%Y-%m') AS month,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "value_stats": """
+        SELECT event_type,
+               round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+               round(avg(value), 4) AS avg_v,
+               round(median(value), 4) AS median_v
+        FROM events GROUP BY event_type
+    """,
+    "top3_recent_per_user": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id, ts, event_type FROM ranked WHERE rn <= 3
+    """,
+    "weighted_vote_argmax": _ARGMAX_SQL,
+    "sessionize": _SESSIONIZE_SQL,
+    "rate_limit_violations": """
+        SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+        FROM events GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+    "paginate_events": _PAGINATE_SQL,
+    "events_by_nation": _NATION_SQL,
+    "customers_with_orders_by_region": _REGION_SQL,
+    "priority_merge": _PRIORITY_SQL,
+    "word_freq": _WORD_FREQ_SQL,
+    "token_counts": _TOKEN_SQL,
+    "doc_fingerprints": _FP_SQL,
+    "lang_id": _lang_id_sql(),
+    "quality_scores": _QUALITY_SQL,
+    "near_dup_jaccard": _NEAR_DUP_SQL,
+    "minhash_lsh": _minhash_sql(),
+    "knn_cosine": _KNN_SQL,
+}

@@ -37,24 +37,114 @@ class CommitRecord:
     committed_at: float
 
 
-def fingerprint(changes: DataFrame) -> tuple[str, dict[int, int], int]:
-    """(order-insensitive content hash, per-partition max lsn, event count).
+@dataclass
+class BatchStats:
+    """Everything the exactly-once + lineage machinery needs, from ONE
+    aggregation pass over the epoch (grouped by source partition so the
+    collect is #source-partitions rows, never data rows)."""
 
-    One aggregation job; fully partial-aggregatable, no sort, no collect of
-    row data — scales to arbitrary epoch sizes.
-    """
+    fingerprint: str
+    offsets: dict[int, int]
+    n_events: int
+    #: per-source-partition (events_read, rows_upserted, rows_deleted,
+    #: conv_ids_touched) for the lineage table
+    lineage_rows: list[tuple[int, int, int, int, int]]
+
+
+def batch_stats(changes: DataFrame) -> BatchStats:
+    """Single partial-aggregatable pass: content fingerprint (order-
+    insensitive decimal sum of row hashes — stable under any partitioning),
+    per-partition max offsets, and the lineage counters."""
     cols = [F.col(c) for c in changes.columns]
-    # decimal(38,0) sum: order-insensitive and overflow-free under ANSI mode
-    row = changes.agg(
-        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
-        F.count("*").alias("n"),
-    ).first()
-    offsets_rows = (
-        changes.groupBy("source_partition").agg(F.max("lsn").alias("o")).collect()
+    rows = (
+        changes.groupBy("source_partition")
+        .agg(
+            # decimal(38,0): order-insensitive, overflow-free under ANSI mode
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+            F.count("*").alias("n"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("up"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("del"),
+            F.approx_count_distinct("conv_id").alias("convs"),
+        )
+        .collect()
     )
-    offsets = {int(r["source_partition"]): int(r["o"]) for r in offsets_rows}
-    fp = f"{row['h']}:{row['n']}"
-    return fp, offsets, int(row["n"])
+    total_h = sum(int(r["h"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+    offsets = {int(r["source_partition"]): int(r["max_lsn"]) for r in rows}
+    lineage = [
+        (
+            int(r["source_partition"]),
+            int(r["n"]),
+            int(r["up"]),
+            int(r["del"]),
+            int(r["convs"]),
+        )
+        for r in rows
+    ]
+    return BatchStats(f"{total_h}:{n}", offsets, n, lineage)
+
+
+def fingerprint(changes: DataFrame) -> tuple[str, dict[int, int], int]:
+    """Back-compat wrapper over `batch_stats`."""
+    s = batch_stats(changes)
+    return s.fingerprint, s.offsets, s.n_events
+
+
+def observe_exprs(columns: list[str], n_source_partitions: int) -> list:
+    """Aggregate expressions for a zero-extra-pass stats collection.
+
+    Attached via ``Dataset.observe`` to the epoch's single write job, these
+    compute the same content as `batch_stats` — global fingerprint + count,
+    and per-source-partition offsets/lineage counters as conditional
+    aggregates (the partition count of a binlog/Kafka source is a known,
+    small source property, so enumerating it statically is safe; a guard
+    metric ``max_sp`` catches violations).
+    """
+    cols = [F.col(c) for c in columns]
+    sp = F.col("source_partition")
+    exprs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        F.max(sp).alias("max_sp"),
+    ]
+    for p in range(n_source_partitions):
+        is_p = sp == p
+        exprs += [
+            F.max(F.when(is_p, F.col("lsn"))).alias(f"off_{p}"),
+            F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n_{p}"),
+            F.sum(F.when(is_p & (F.col("op") != "delete"), 1).otherwise(0)).alias(
+                f"up_{p}"
+            ),
+            F.sum(F.when(is_p & (F.col("op") == "delete"), 1).otherwise(0)).alias(
+                f"del_{p}"
+            ),
+            F.approx_count_distinct(F.when(is_p, F.col("conv_id"))).alias(
+                f"convs_{p}"
+            ),
+        ]
+    return exprs
+
+
+def stats_from_observation(m: dict, n_source_partitions: int) -> BatchStats:
+    """Decode `observe_exprs` results into a BatchStats."""
+    n = int(m["n"] or 0)
+    if n == 0:
+        return BatchStats(f"0:{0}", {}, 0, [])
+    if int(m["max_sp"]) >= n_source_partitions:
+        raise ValueError(
+            f"source_partition {m['max_sp']} >= declared n_source_partitions "
+            f"{n_source_partitions}"
+        )
+    offsets, lineage = {}, []
+    for p in range(n_source_partitions):
+        if m[f"n_{p}"] and int(m[f"n_{p}"]) > 0:
+            offsets[p] = int(m[f"off_{p}"])
+            lineage.append(
+                (p, int(m[f"n_{p}"]), int(m[f"up_{p}"]), int(m[f"del_{p}"]),
+                 int(m[f"convs_{p}"]))
+            )
+    return BatchStats(f"{int(m['h'])}:{n}", offsets, n, lineage)
 
 
 class CommitLog:

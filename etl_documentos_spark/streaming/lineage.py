@@ -10,6 +10,7 @@ incrementally-updated per-endpoint metrics
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,58 @@ def append_lineage(
     out.write.mode("append").parquet(path)
 
 
+def _append_parquet_local(path: str, table) -> None:
+    """Driver-local parquet append via pyarrow: the rows were already
+    collected (they are per-partition counters, not data), so spinning a
+    Spark job for them would cost more than the write. Files are named
+    uniquely; Spark reads the directory as one table."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+def _arrow_schema(spark_schema):
+    import pyarrow as pa
+
+    mapping = {
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    return pa.schema(
+        [(f.name, mapping[f.dataType.simpleString()]) for f in spark_schema.fields]
+    )
+
+
+def append_lineage_rows(
+    spark: SparkSession,
+    path: str,
+    epoch_id: int,
+    rows: list[tuple[int, int, int, int, int]],
+) -> None:
+    """Append pre-collected lineage counters (source_partition, events_read,
+    rows_upserted, rows_deleted, conv_ids_touched) — the stats pass already
+    reduced them to #source-partitions rows, so this is a tiny local write,
+    not a data-scale job."""
+    import pyarrow as pa
+
+    data = [(epoch_id, *r) for r in rows]
+    cols = list(zip(*data)) if data else [[], [], [], [], [], []]
+    table = pa.table(
+        {f.name: list(c) for f, c in zip(LINEAGE.fields, cols)},
+        schema=_arrow_schema(LINEAGE),
+    )
+    _append_parquet_local(path, table)
+
+
 def append_metrics(
     spark: SparkSession,
     path: str,
@@ -41,16 +94,16 @@ def append_metrics(
     duration_s: float,
     lag_events: int,
 ) -> None:
-    row = [
-        (
-            epoch_id,
-            (events / duration_s) if duration_s > 0 else 0.0,
-            lag_events,
-            duration_s,
-            datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
-        )
-    ]
-    spark.createDataFrame(row, METRICS).coalesce(1).write.mode("append").parquet(path)
+    import pyarrow as pa
+
+    row = {
+        "epoch_id": [epoch_id],
+        "events_per_sec": [(events / duration_s) if duration_s > 0 else 0.0],
+        "lag_events": [lag_events],
+        "duration_s": [duration_s],
+        "ts": [datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)],
+    }
+    _append_parquet_local(path, pa.table(row, schema=_arrow_schema(METRICS)))
 
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:

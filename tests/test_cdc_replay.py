@@ -37,10 +37,10 @@ def events_path(stream_df, tmp_path_factory):
     return p
 
 
-def fresh_pipeline(spark, tmp_path) -> CdcPipeline:
+def fresh_pipeline(spark, tmp_path, mode: str = "mor") -> CdcPipeline:
     table_root = str(tmp_path / "transcripts")
     LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=8)
-    return CdcPipeline(spark, table_root, str(tmp_path / "work"))
+    return CdcPipeline(spark, table_root, str(tmp_path / "work"), mode=mode)
 
 
 def final_state_rows(spark, pipeline):
@@ -53,8 +53,9 @@ def oracle_rows(stream_df):
     return oracle.reduce_events(events)
 
 
-def test_replay_matches_oracle(spark, stream_df, events_path, tmp_path):
-    pipeline = fresh_pipeline(spark, tmp_path)
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_replay_matches_oracle(spark, stream_df, events_path, tmp_path, mode):
+    pipeline = fresh_pipeline(spark, tmp_path, mode)
     results = replay_epochs(pipeline, events_path)
     assert all(not r.skipped for r in results)
     got = final_state_rows(spark, pipeline)
@@ -103,11 +104,14 @@ def test_duplicate_and_late_events_present_in_fixture(stream_df):
     assert stream_df.filter("op = 'delete'").count() > 0
 
 
-def test_idempotent_reapply_of_committed_epoch(spark, stream_df, events_path, tmp_path):
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_idempotent_reapply_of_committed_epoch(
+    spark, stream_df, events_path, tmp_path, mode
+):
     """Re-applying an already-committed epoch leaves the table bit-identical
     (commit-log skip) — and even with the commit log bypassed, the
-    version-checked merge is a no-op."""
-    pipeline = fresh_pipeline(spark, tmp_path)
+    version-checked merge / read-time LWW make re-application a no-op."""
+    pipeline = fresh_pipeline(spark, tmp_path, mode)
     replay_epochs(pipeline, events_path)
     before = final_state_rows(spark, pipeline)
     snap_before = pipeline.table.current_snapshot.snapshot_id
@@ -128,15 +132,18 @@ def test_idempotent_reapply_of_committed_epoch(spark, stream_df, events_path, tm
     assert after == before
 
 
-def test_restart_resume_from_commit_log(spark, stream_df, events_path, tmp_path):
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_restart_resume_from_commit_log(
+    spark, stream_df, events_path, tmp_path, mode
+):
     """Simulated crash-restart: apply a prefix, 'restart' with a new pipeline
     object over the same dirs, replay everything — prefix epochs skip, final
     state still equals the oracle."""
     epochs = list_epochs(events_path)
-    pipeline = fresh_pipeline(spark, tmp_path)
+    pipeline = fresh_pipeline(spark, tmp_path, mode)
     replay_epochs(pipeline, events_path, epochs=epochs[:2])
 
-    resumed = CdcPipeline(spark, pipeline.table_root, pipeline.workdir)
+    resumed = CdcPipeline(spark, pipeline.table_root, pipeline.workdir, mode=mode)
     results = replay_epochs(resumed, events_path, epochs=epochs)
     assert [r.skipped for r in results[:2]] == [True, True]
     assert all(not r.skipped for r in results[2:])
