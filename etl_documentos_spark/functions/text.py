@@ -114,9 +114,9 @@ def head_middle_tail(col: Column | str, n: int = 200) -> Column:
         F.concat(
             F.substring(c, 1, n),
             F.lit(" ... "),
-            c.substr((ln / 2).cast("int") - n // 2, n),
+            c.substr((ln / 2).cast("int") - F.lit(n // 2), F.lit(n)),
             F.lit(" ... "),
-            c.substr(ln - n + 1, n),
+            c.substr(ln - F.lit(n - 1), F.lit(n)),
         )
     )
 

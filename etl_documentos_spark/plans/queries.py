@@ -645,6 +645,218 @@ _KNN_SQL = """
 """
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit, md5-derived — portable to SQL)."""
+    s = dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
+    return s.select(F.col("_id").alias("doc_id"), "simhash")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = []
+    for i in range(bits):
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {i}) & 1 = 1"
+            f" THEN 1 ELSE -1 END)) > 0 THEN {2**i} ELSE 0 END"
+        )
+    total = " + ".join(votes)
+    return f"""
+        WITH w AS (SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws FROM documents),
+        th AS (SELECT doc_id,
+                      list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+                        AS th
+               FROM w)
+        SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM th
+    """
+
+
+def q_extract_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference regex extractors (dates/currency/CPF/emails,
+    text_utils.py:32-143) over seasoned text — counts + first match."""
+    d = load(spark, sf_dir, "documents")
+    seasoned = F.concat(
+        F.col("text"),
+        F.lit(
+            " pago em 15/01/2024 valor R$ 1.500,00 CPF 123.456.789-00"
+            " contato a@b.com"
+        ),
+    )
+    t = d.select("doc_id", seasoned.alias("s"))
+    return t.select(
+        "doc_id",
+        F.size(tx.extract_all(F.col("s"), tx.RE_DATE_BR)).alias("n_dates"),
+        F.size(tx.extract_all(F.col("s"), tx.RE_CURRENCY_BRL)).alias("n_currency"),
+        F.size(tx.extract_all(F.col("s"), tx.RE_CPF)).alias("n_cpf"),
+        F.size(tx.extract_all(F.col("s"), tx.RE_EMAIL)).alias("n_emails"),
+        F.regexp_extract(F.col("s"), "(" + tx.RE_DATE_BR + ")", 1).alias(
+            "first_date"
+        ),
+    )
+
+
+_EXTRACT_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' pago em 15/01/2024 valor R$ 1.500,00 CPF 123.456.789-00 contato a@b.com' AS s
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(s, '[0-9]{2}/[0-9]{2}/[0-9]{4}')) AS n_dates,
+           len(regexp_extract_all(s, 'R\$ ?[0-9.,]+')) AS n_currency,
+           len(regexp_extract_all(s, '[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}')) AS n_cpf,
+           len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           regexp_extract(s, '([0-9]{2}/[0-9]{2}/[0-9]{4})', 1) AS first_date
+    FROM t
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: opaque blob column -> size + content hash
+    (builtins only; the decode stub is `multimodal_decode` below)."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.with_binary_payload(load(spark, sf_dir, "documents"))
+    return multimodal.binary_meta(d)
+
+
+_MULTIMODAL_SQL = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode stage over mapInPandas (deterministic stub decoder —
+    no oracle: fake dims are engine-internal; rows-only check)."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.with_binary_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_images(d)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (video-style explode; stub decoder, rows-only)."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.with_binary_payload(load(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(d, n_frames=4)
+
+
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4; exact double math)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        similarity._to_double("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        similarity._to_double("embedding").alias("vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = similarity.dot(F.col("va"), F.col("vb")) / (
+        similarity.norm(F.col("va")) * similarity.norm(F.col("vb"))
+    )
+    return (
+        pairs.select("id_a", "id_b", sim.alias("_s"))
+        .filter(F.round(F.col("_s"), 4) >= 0.4)
+        .select("id_a", "id_b", F.round("_s", 4).alias("cosine_sim"))
+    )
+
+
+_NEAR_DUP_EMB_SQL = """
+    WITH dims AS (SELECT unnest(generate_series(1,
+        (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i),
+    flat AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+             FROM embeddings, dims),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM flat GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS d
+             FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, round(d / (na.nv * nb.nv), 4) AS cosine_sim
+    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    WHERE round(d / (na.nv * nb.nv), 4) >= 0.4
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: hyperplane-LSH bucket prune + in-bucket cosine top-k (planes =
+    first 4 corpus vectors -> fully deterministic; rows-only check)."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (1,2,3,4)").orderBy("vec_id").collect()
+    ]
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return similarity.ann_lsh_topk(
+        emb.filter("vec_id <> 0"), qvec, planes, k=10
+    )
+
+
+def q_cpf_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPF check-digit validation via vectorized pandas UDF (mod-11 math,
+    validators.py:20-58; rows-only — the UDF is the point)."""
+    d = load(spark, sf_dir, "documents")
+    cpf = F.concat(
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad(((F.col("doc_id") * 13) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return d.select(
+        "doc_id", cpf.alias("cpf"), tx.cpf_valid(cpf).alias("is_valid")
+    )
+
+
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows (the batch shape of the
+    streaming rate-limit / metrics aggregation, middleware.py:73-97)."""
+    e = load(spark, sf_dir, "events")
+    w = e.groupBy(F.window("ts", "5 minutes").alias("w")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return w.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+        "n_users",
+    )
+
+
+_TUMBLING_SQL = """
+    SELECT epoch_ms(CAST(floor(epoch(ts) / 300) * 300000 AS BIGINT)) AS window_start,
+           epoch_ms(CAST((floor(epoch(ts) / 300) * 300 + 300) * 1000 AS BIGINT)) AS window_end,
+           count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over orders (beyond-reference OLAP coverage)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 4
+            ).cast("double").alias("total_price"),
+        )
+    )
+
+
+_CUBE_SQL = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -677,6 +889,16 @@ QUERIES: dict[str, Query] = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
+    "simhash": q_simhash,
+    "extract_patterns": q_extract_patterns,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
+    "near_dup_embedding": q_near_dup_embedding,
+    "ann_lsh": q_ann_lsh,
+    "cpf_validation": q_cpf_validation,
+    "tumbling_windows": q_tumbling_windows,
+    "cube_orders": q_cube_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -753,4 +975,12 @@ ORACLES: dict[str, str] = {
     "near_dup_jaccard": _NEAR_DUP_SQL,
     "minhash_lsh": _minhash_sql(),
     "knn_cosine": _KNN_SQL,
+    "simhash": _simhash_sql(),
+    "extract_patterns": _EXTRACT_SQL,
+    "multimodal_meta": _MULTIMODAL_SQL,
+    # multimodal_decode / frame_sample / ann_lsh / cpf_validation: rows-only
+    # (stub decoders + pandas UDF internals are not SQL-expressible)
+    "near_dup_embedding": _NEAR_DUP_EMB_SQL,
+    "tumbling_windows": _TUMBLING_SQL,
+    "cube_orders": _CUBE_SQL,
 }

@@ -1,0 +1,143 @@
+"""Unit tests for analytics operators and skew/evolve/lake building blocks."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_documentos_spark import analytics
+from etl_documentos_spark.lake.table import LakeTable
+from etl_documentos_spark.operators import skew
+from etl_documentos_spark.operators.lww import lww_dedup, lww_dedup_window
+
+
+def ts(s):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_lww_agg_and_window_agree(spark):
+    rows = [
+        ("c1", 0, "a", ts(10), 1),
+        ("c1", 0, "b", ts(20), 2),   # newer ts wins
+        ("c1", 0, "c", ts(20), 3),   # same ts, higher lsn wins
+        ("c1", 1, "d", ts(5), 4),
+        ("c2", 0, "e", ts(1), 5),
+        ("c2", 0, "e", ts(1), 5),    # exact duplicate
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp, lsn long"
+    )
+    a = sorted(map(tuple, lww_dedup(df).collect()))
+    b = sorted(map(tuple, lww_dedup_window(df).collect()))
+    assert a == b
+    winners = {(r[0], r[1]): r[2] for r in a}
+    assert winners == {("c1", 0): "c", ("c1", 1): "d", ("c2", 0): "e"}
+
+
+def test_salted_agg_equals_direct(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i), i) for i in range(1000)], "k int, v double, lsn long"
+    )
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"])
+        for r in skew.salted_agg(df, ["k"], {"n": "count(*)", "s": "sum(v)"}).collect()
+    }
+    assert direct == salted
+
+
+def test_detect_hot_keys(spark):
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "conv_id string")
+    hot = skew.detect_hot_keys(df, threshold_frac=0.2).collect()
+    assert [r["conv_id"] for r in hot] == ["hot"]
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, ts(0)), (1, ts(60)), (1, ts(4000)), (2, ts(0))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    s = analytics.sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    per_user = {}
+    for r in s:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_paginate_window(spark):
+    df = spark.createDataFrame([(i, ts(i)) for i in range(100)], "id long, ts timestamp")
+    page = analytics.paginate(df, "ts", "id", offset=10, limit=5).collect()
+    assert [r["id"] for r in page] == [89, 88, 87, 86, 85]
+
+
+def test_time_travel_and_snapshot_isolation(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    root = str(tmp_path / "tt")
+    tbl = LakeTable.create(root, schema, num_buckets=4)
+    tbl.append(spark.createDataFrame([("a", 0, 1)], schema))
+    snap1 = tbl.current_snapshot.snapshot_id
+    tbl.append(spark.createDataFrame([("b", 0, 2)], schema))
+    assert tbl.scan(spark).count() == 2
+    assert tbl.scan(spark, snapshot_id=snap1).count() == 1
+
+
+def test_evolve_rejects_type_change(spark, tmp_path):
+    from etl_documentos_spark.operators.evolve import check_compatible
+
+    schema = T.StructType([T.StructField("conv_id", T.StringType()),
+                           T.StructField("x", T.IntegerType())])
+    root = str(tmp_path / "ev")
+    tbl = LakeTable.create(root, schema, num_buckets=2)
+    bad = spark.createDataFrame([("a", "oops")], "conv_id string, x string")
+    with pytest.raises(TypeError):
+        check_compatible(bad, tbl)
+
+
+def test_compaction_reduces_files_preserves_state(spark, tmp_path):
+    from etl_documentos_spark.operators.merge import (
+        compact,
+        merge_mor,
+        physical_schema,
+        read_current,
+    )
+    from etl_documentos_spark.schemas import CHANGE_EVENTS, TRANSCRIPTS
+
+    root = str(tmp_path / "cp")
+    tbl = LakeTable.create(root, physical_schema(TRANSCRIPTS), num_buckets=2)
+
+    def ev(conv, turn, s, lsn, text):
+        return ("update", conv, turn, "user", text, None, ts(s), lsn, 0)
+
+    for i in range(5):
+        merge_mor(
+            spark,
+            LakeTable.load(root),
+            spark.createDataFrame(
+                [ev("c1", 0, i * 10, i, f"v{i}"), ev("c2", i, i, 100 + i, f"w{i}")],
+                CHANGE_EVENTS,
+            ),
+        )
+    tbl = LakeTable.load(root)
+    before = sorted(map(tuple, read_current(spark, tbl).collect()))
+    files_before = sum(len(fs) for fs in tbl.current_snapshot.files.values())
+    compact(spark, tbl)
+    tbl = LakeTable.load(root)
+    files_after = sum(len(fs) for fs in tbl.current_snapshot.files.values())
+    assert files_after < files_before
+    after = sorted(map(tuple, read_current(spark, tbl).collect()))
+    assert after == before
+    assert {r[3] for r in after if r[0] == "c1"} == {"v4"}

@@ -1,0 +1,145 @@
+"""Unit tests for the scalar-function / dedup / similarity / multimodal layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_documentos_spark.functions import text as tx
+from etl_documentos_spark.operators import dedup, similarity
+from etl_documentos_spark.sources import multimodal
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_normalize_and_counts(spark):
+    s = F.lit("  Olá, MUNDO!! 123  ")
+    assert _one(spark, tx.normalize_text(s)) == "ol mundo 123"
+    assert _one(spark, tx.word_count(s)) == 3
+    # accent-strip UDF folds the accent instead of dropping the letter
+    df = spark.createDataFrame([("Olá, MUNDO",)], "t string")
+    assert df.select(tx.normalize_text_unicode("t").alias("v")).first()["v"] == (
+        "ola, mundo"
+    )
+
+
+def test_regex_extractors(spark):
+    s = F.lit("R$ 1.500,00 em 15/01/2024 CPF 123.456.789-00 a@b.com.br")
+    assert _one(spark, F.size(tx.extract_all(s, tx.RE_DATE_BR))) == 1
+    assert _one(spark, F.size(tx.extract_all(s, tx.RE_CURRENCY_BRL))) == 1
+    assert _one(spark, F.size(tx.extract_all(s, tx.RE_CPF))) == 1
+    assert _one(spark, F.size(tx.extract_all(s, tx.RE_EMAIL))) == 1
+
+
+def test_truncate_strip_html_sampling(spark):
+    assert _one(spark, tx.truncate_ellipsis(F.lit("abcdefghij"), 8)) == "abcde..."
+    assert _one(spark, tx.strip_html(F.lit("<p>hi <b>x</b></p>"))) == "hi x"
+    long = "a" * 1000
+    sampled = _one(spark, tx.head_middle_tail(F.lit(long), 10))
+    assert len(sampled) < 1000 and " ... " in sampled
+
+
+def test_jaccard_and_quality(spark):
+    j = _one(spark, tx.jaccard_tokens(F.lit("a b c d"), F.lit("c d e f")))
+    assert j == round(2 / 6, 4)
+    q = _one(spark, tx.quality_score(F.lit("the quick brown fox is on the hill")))
+    assert 0.0 < q <= 1.0
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, tx.lang_id(F.lit("the cat and the dog of the house"))) == "en"
+    assert _one(spark, tx.lang_id(F.lit("el perro y la casa de los gatos"))) == "es"
+    assert _one(spark, tx.lang_id(F.lit("der hund und die katze ist von"))) == "de"
+
+
+def test_cpf_check_digits(spark):
+    df = spark.createDataFrame(
+        [("111.444.777-35",), ("111.444.777-36",), ("000.000.000-00",)],
+        "cpf string",
+    )
+    got = [r["v"] for r in df.select(tx.cpf_valid("cpf").alias("v")).collect()]
+    assert got == [True, False, False]
+
+
+def test_dedup_exact_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world"), (2, "hello, WORLD!"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    rows = {r["canonical_id"]: r["n_dupes"] for r in dedup.dedup_exact(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_simhash_near_duplicates_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river"),
+         (2, "the quick brown fox jumps over the lazy dog near the riverbank"),
+         (3, "completely different words about spark query engines here")],
+        "doc_id long, text string",
+    )
+    s = {r["_id"]: r["simhash"] for r in dedup.simhash(df, bits=16).collect()}
+    d12 = bin(s[1] ^ s[2]).count("1")
+    d13 = bin(s[1] ^ s[3]).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk_and_pandas_variant_agree(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    a = similarity.cosine_topk(df.filter("vec_id <> 0"), q, k=5).collect()
+    b = similarity.cosine_topk_pandas(df.filter("vec_id <> 0"), q, k=5).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in a] == [
+        (r["vec_id"], r["cosine_sim"]) for r in b
+    ]
+
+
+def test_ann_lsh_returns_bucket_subset(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    planes = [rows[i][1] for i in (1, 2, 3)]
+    approx = similarity.ann_lsh_topk(df.filter("vec_id <> 0"), q, planes, k=5)
+    got = approx.collect()
+    assert 0 < len(got) <= 5
+    exact = similarity.cosine_topk(df.filter("vec_id <> 0"), q, k=5).collect()
+    # the approximate top-1 should be a strong neighbor (recall sanity)
+    exact_ids = {r["vec_id"] for r in exact}
+    assert any(r["vec_id"] in exact_ids for r in got)
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "some text payload"), (2, "another payload")],
+        "doc_id long, text string",
+    )
+    withbin = multimodal.with_binary_payload(df)
+    meta = {r["doc_id"]: r for r in multimodal.binary_meta(withbin).collect()}
+    assert meta[1]["n_bytes"] == len("some text payload")
+    decoded = multimodal.decode_images(withbin).collect()
+    assert len(decoded) == 2
+    assert all(r["width"] > 0 and r["height"] > 0 for r in decoded)
+    # deterministic stub: same payload -> same dims
+    again = multimodal.decode_images(withbin).collect()
+    assert sorted(map(tuple, decoded)) == sorted(map(tuple, again))
+    frames = multimodal.sample_frames(withbin, n_frames=3).collect()
+    assert len(frames) == 6
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2}
