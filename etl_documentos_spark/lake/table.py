@@ -213,8 +213,7 @@ class LakeTable:
         explosion. At cluster scale raise ``write.salts`` with executor
         count; files-per-bucket is exactly the intra-bucket read parallelism.
         """
-        sid = self.current_snapshot.snapshot_id + 1
-        rel = f"data/snap-{sid}"
+        rel = f"data/w-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, rel)
         salt_k = int(self._meta["properties"].get("write.salts", "2"))
         non_bucket = [c for c in df.columns if c != self.bucket_col]
@@ -240,23 +239,27 @@ class LakeTable:
             )
         return files
 
-    def append(self, df: DataFrame) -> None:
-        """Append rows (new files only; existing files untouched)."""
-        new_files = self._write_data(df)
+    def write_data_files(self, df: DataFrame) -> dict[str, list[str]]:
+        """Stage data files for a later commit (the expensive, parallel part).
+
+        Decoupled from the metadata commit so concurrent writers can run
+        their write jobs in parallel and serialize only the (cheap) commit —
+        the two-phase shape real table formats use for optimistic
+        concurrency.
+        """
+        return self._write_data(df)
+
+    def commit_append(self, new_files: dict[str, list[str]]) -> None:
+        """Commit previously staged files as an append snapshot."""
         merged = {b: list(fs) for b, fs in self.current_snapshot.files.items()}
         for b, fs in new_files.items():
             merged.setdefault(b, []).extend(fs)
         self._next_snapshot("append", {"buckets_written": len(new_files)}, merged)
 
-    def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
-        """Copy-on-write replace of the named buckets with df's rows.
-
-        df must contain only rows belonging to ``buckets`` (caller guarantees
-        it — merge_into does). Untouched buckets keep their existing files;
-        this is what keeps a MERGE that hits 1% of conversations from
-        rewriting 100 TB.
-        """
-        new_files = self._write_data(df)
+    def commit_overwrite(
+        self, new_files: dict[str, list[str]], buckets: list[int]
+    ) -> None:
+        """Commit previously staged files as a bucket-replacing snapshot."""
         merged = {
             b: list(fs)
             for b, fs in self.current_snapshot.files.items()
@@ -267,6 +270,20 @@ class LakeTable:
         self._next_snapshot(
             "overwrite", {"buckets_replaced": sorted(buckets)}, merged
         )
+
+    def append(self, df: DataFrame) -> None:
+        """Append rows (new files only; existing files untouched)."""
+        self.commit_append(self.write_data_files(df))
+
+    def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+        """Copy-on-write replace of the named buckets with df's rows.
+
+        df must contain only rows belonging to ``buckets`` (caller guarantees
+        it — merge_into does). Untouched buckets keep their existing files;
+        this is what keeps a MERGE that hits 1% of conversations from
+        rewriting 100 TB.
+        """
+        self.commit_overwrite(self.write_data_files(df), buckets)
 
     # ----------------------------------------------------- schema evolution
     def add_columns(self, fields: list[T.StructField]) -> None:

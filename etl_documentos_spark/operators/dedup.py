@@ -48,17 +48,27 @@ def near_dup_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_doc_frequency: float | None = None,
 ) -> DataFrame:
     """Pairs of documents with token-set Jaccard >= threshold.
 
     Inverted-index candidate join: explode distinct tokens, self-join on the
     token, count shared tokens per pair, then jaccard = inter/(|a|+|b|-inter).
-    Shuffles on the token key — skewed common tokens are the hazard at scale;
-    callers should pre-drop ultra-frequent tokens (document-frequency cap) the
-    way near-dup pipelines do. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Shuffles on the token key — ultra-frequent tokens are the O(n^2) hazard at
+    scale; ``max_doc_frequency`` drops tokens present in more than that
+    fraction of documents before the join (the standard near-dup df-cap; it
+    makes the result approximate, so the oracle-checked query leaves it off).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     docs = _doc_words(df, text_col, id_col).withColumn("_n", F.size("_ws"))
     tokens = docs.select("_id", "_n", F.explode("_ws").alias("w"))
+    if max_doc_frequency is not None:
+        n_docs = docs.count()
+        cap = int(max_doc_frequency * n_docs)
+        common = (
+            tokens.groupBy("w").count().filter(F.col("count") > cap).select("w")
+        )
+        tokens = tokens.join(F.broadcast(common), "w", "left_anti")
     a = tokens.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("na"), "w"
     )

@@ -645,6 +645,71 @@ _KNN_SQL = """
 """
 
 
+def q_longest_text_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 chunk-consolidation shape: per group keep the longest value
+    (extraction_service.py:961-974) — deterministic tie-break on text."""
+    d = load(spark, sf_dir, "documents")
+    best = F.max(
+        F.struct(
+            F.length("text").alias("len"),
+            F.col("text").alias("t"),
+            F.col("doc_id").alias("id"),
+        )
+    )
+    return d.groupBy("lang").agg(
+        best.getField("id").alias("longest_doc_id"),
+        best.getField("len").cast("int").alias("longest_len"),
+    )
+
+
+_LONGEST_SQL = """
+    WITH ranked AS (
+      SELECT lang, doc_id, length(text) AS len,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY length(text) DESC, text DESC,
+                                         doc_id DESC) AS rn
+      FROM documents)
+    SELECT lang, doc_id AS longest_doc_id, CAST(len AS INT) AS longest_len
+    FROM ranked WHERE rn = 1
+"""
+
+
+def q_llm_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost arithmetic with a broadcast price map (cost_service.py:32-47,
+    192-209): cost = tokens/1000 * price[model]; per-model totals."""
+    e = load(spark, sf_dir, "events")
+    prices = {"click": 0.0005, "view": 0.0002, "purchase": 0.002,
+              "signup": 0.001, "error": 0.0}
+    price_map = F.create_map(
+        *[x for k, v in sorted(prices.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    tokens = (F.col("value") * 1000).cast("decimal(18,6)")
+    cost = (tokens / 1000) * F.coalesce(
+        price_map[F.col("event_type")], F.lit(0.0)
+    ).cast("decimal(18,6)")
+    return (
+        e.select(F.col("event_type").alias("model"), cost.alias("c"))
+        .groupBy("model")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.round(F.sum("c"), 6).cast("double").alias("total_cost"),
+        )
+    )
+
+
+_COST_SQL = """
+    SELECT event_type AS model, count(*) AS n_calls,
+           CAST(round(sum(
+             (CAST(value * 1000 AS DECIMAL(18,6)) / 1000)
+             * CAST(CASE event_type
+                 WHEN 'click' THEN 0.0005 WHEN 'view' THEN 0.0002
+                 WHEN 'purchase' THEN 0.002 WHEN 'signup' THEN 0.001
+                 ELSE 0.0 END AS DECIMAL(18,6))
+           ), 6) AS DOUBLE) AS total_cost
+    FROM events GROUP BY event_type
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (16-bit, md5-derived — portable to SQL)."""
     s = dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
@@ -889,6 +954,8 @@ QUERIES: dict[str, Query] = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
+    "longest_text_per_lang": q_longest_text_per_lang,
+    "llm_cost_report": q_llm_cost_report,
     "simhash": q_simhash,
     "extract_patterns": q_extract_patterns,
     "multimodal_meta": q_multimodal_meta,
@@ -975,6 +1042,8 @@ ORACLES: dict[str, str] = {
     "near_dup_jaccard": _NEAR_DUP_SQL,
     "minhash_lsh": _minhash_sql(),
     "knn_cosine": _KNN_SQL,
+    "longest_text_per_lang": _LONGEST_SQL,
+    "llm_cost_report": _COST_SQL,
     "simhash": _simhash_sql(),
     "extract_patterns": _EXTRACT_SQL,
     "multimodal_meta": _MULTIMODAL_SQL,

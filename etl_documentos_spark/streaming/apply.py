@@ -22,10 +22,12 @@ update ``concluido``/``erro`` + audit rows
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_documentos_spark.lake.table import LakeTable
 from etl_documentos_spark.operators.evolve import evolve_if_needed
@@ -86,41 +88,170 @@ class CdcPipeline:
         self.commitlog = CommitLog(os.path.join(workdir, "commits"))
         self.lineage_path = os.path.join(workdir, "lineage")
         self.metrics_path = os.path.join(workdir, "metrics")
+        #: serializes metadata commits (schema evolution, snapshot append,
+        #: compaction) — the data-file write jobs themselves run unlocked, so
+        #: concurrent epoch applies overlap executor work and only the cheap
+        #: pointer swap is serial (two-phase commit shape)
+        self._commit_lock = threading.Lock()
+        #: cached observe expressions (rebuilt only when the batch column
+        #: set changes — expression construction is driver-side py4j cost)
+        self._obs_exprs: tuple[tuple[str, ...], list] | None = None
+
+    def _observe_exprs_for(self, columns: list[str]) -> list:
+        key = tuple(columns)
+        if self._obs_exprs is None or self._obs_exprs[0] != key:
+            self._obs_exprs = (
+                key,
+                observe_exprs(columns, self.n_source_partitions),
+            )
+        return self._obs_exprs[1]
 
     @property
     def table(self) -> LakeTable:
         return LakeTable.load(self.table_root)
 
+    def apply_epochs_bulk(
+        self, changes: DataFrame, epoch_ids: list[int]
+    ) -> list[EpochResult]:
+        """Backfill mode: apply MANY epochs as one super-batch.
+
+        A 10^10-event replay is a catch-up backfill — paying the per-epoch
+        serial cost (plan analysis, job scheduling, snapshot commit) once per
+        micro-batch would make the driver the bottleneck. Bulk mode applies K
+        epochs with ONE stats aggregation (grouped by epoch x source
+        partition), ONE append job, and K commit records, preserving the
+        exactly-once contract per epoch: already-committed epochs are
+        filtered out up front, fingerprints/offsets/lineage stay per-epoch.
+
+        ``changes`` must carry an ``epoch`` column; MOR mode only (the
+        reduction happens at read/compaction, so epochs need no ordering
+        barrier between them — LWW is order-insensitive by construction).
+        """
+        assert self.mode == "mor", "bulk backfill requires merge-on-read"
+        t0 = time.monotonic()
+        todo = [e for e in epoch_ids if not self.commitlog.is_committed(e)]
+        skipped = [
+            EpochResult(e, True, 0, 0.0, []) for e in epoch_ids if e not in todo
+        ]
+        if not todo:
+            return skipped
+        batch = changes.filter(F.col("epoch").isin(todo)).persist()
+        try:
+            table = self.table
+            added = evolve_if_needed(batch, table)
+
+            # one pass: per-(epoch, source_partition) stats
+            data_cols = [c for c in batch.columns if c != "epoch"]
+            rows = (
+                batch.groupBy("epoch", "source_partition")
+                .agg(
+                    F.sum(
+                        F.xxhash64(*[F.col(c) for c in data_cols]).cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias("h"),
+                    F.count("*").alias("n"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias(
+                        "up"
+                    ),
+                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias(
+                        "del"
+                    ),
+                    F.approx_count_distinct("conv_id").alias("convs"),
+                )
+                .collect()
+            )
+
+            # one append job for the whole super-batch
+            merge_mor(self.spark, table, batch.drop("epoch"))
+            self._maybe_compact(table)
+
+            per_epoch: dict[int, list] = {}
+            for r in rows:
+                per_epoch.setdefault(int(r["epoch"]), []).append(r)
+            results = list(skipped)
+            duration = time.monotonic() - t0
+            for e in sorted(todo):
+                ers = per_epoch.get(e, [])
+                n = sum(int(r["n"]) for r in ers)
+                fp = f"{sum(int(r['h']) for r in ers)}:{n}"
+                offsets = {
+                    int(r["source_partition"]): int(r["max_lsn"]) for r in ers
+                }
+                lineage = [
+                    (
+                        int(r["source_partition"]), int(r["n"]), int(r["up"]),
+                        int(r["del"]), int(r["convs"]),
+                    )
+                    for r in ers
+                ]
+                append_lineage_rows(self.spark, self.lineage_path, e, lineage)
+                append_metrics(
+                    self.spark, self.metrics_path, e,
+                    events=n, duration_s=duration / max(len(todo), 1),
+                    lag_events=0,
+                )
+                self.commitlog.commit(e, fp, offsets)
+                results.append(EpochResult(e, False, n, duration, added))
+            return results
+        finally:
+            batch.unpersist()
+
     def _maybe_compact(self, table: LakeTable) -> None:
         """Compact buckets whose delta-file count exceeds the threshold —
         bounds MOR read amplification; amortized O(table/epochs) instead of
-        COW's O(table) per epoch."""
+        COW's O(table) per epoch.
+
+        Holds the commit lock for the whole read-reduce-rewrite: a concurrent
+        append between the compaction's scan and its commit would otherwise
+        be dropped by the bucket overwrite.
+        """
         files = table.current_snapshot.files
         hot = [int(b) for b, fs in files.items() if len(fs) > self.compact_at_files]
         if hot:
-            compact(self.spark, table, buckets=hot)
+            with self._commit_lock:
+                fresh = self.table  # recheck under the lock (another thread
+                # may have compacted these buckets already)
+                hot = [
+                    int(b)
+                    for b, fs in fresh.current_snapshot.files.items()
+                    if len(fs) > self.compact_at_files
+                ]
+                if hot:
+                    compact(self.spark, fresh, buckets=hot)
 
     def apply_epoch(self, changes: DataFrame, epoch_id: int) -> EpochResult:
         t0 = time.monotonic()
         if self.commitlog.is_committed(epoch_id):
             return EpochResult(epoch_id, True, 0, 0.0, [])
 
-        table = self.table
-        added = evolve_if_needed(changes, table)
+        with self._commit_lock:
+            table = self.table
+            added = evolve_if_needed(changes, table)
 
         if self.mode == "mor" and self.n_source_partitions:
             # single-pass path: the append write job carries the stats as
-            # observed metrics — one scan of the batch per epoch, no persist
+            # observed metrics — one scan of the batch per epoch, no persist.
+            # The write job runs OUTSIDE the commit lock (concurrent epochs
+            # overlap on the executors); only the metadata commit serializes.
             from pyspark.sql import Observation
+
+            from etl_documentos_spark.operators.merge import changes_to_physical
 
             obs = Observation()
             observed = changes.observe(
-                obs, *observe_exprs(changes.columns, self.n_source_partitions)
+                obs, *self._observe_exprs_for(changes.columns)
             )
-            merge_mor(self.spark, table, observed)
+            files = table.write_data_files(
+                changes_to_physical(observed, table.schema)
+            )
+            if files:
+                with self._commit_lock:
+                    self.table.commit_append(files)
             stats = stats_from_observation(obs.get, self.n_source_partitions)
             if stats.n_events > 0:
-                self._maybe_compact(table)
+                self._maybe_compact(self.table)
         else:
             # two-pass path: explicit stats aggregation, then the merge
             changes = changes.persist()
@@ -128,19 +259,22 @@ class CdcPipeline:
                 stats = batch_stats(changes)
                 if stats.n_events > 0:
                     if self.mode == "mor":
-                        merge_mor(self.spark, table, changes)
-                        self._maybe_compact(table)
+                        with self._commit_lock:
+                            merge_mor(self.spark, self.table, changes)
+                        self._maybe_compact(self.table)
                     else:
                         # a batch much larger than the bucket count almost
                         # surely touches every bucket — skip the pruning job
-                        # (safe overestimate)
-                        merge_into(
-                            self.spark,
-                            table,
-                            changes,
-                            assume_all_buckets=stats.n_events
-                            > 1000 * table.num_buckets,
-                        )
+                        # (safe overestimate). COW merges hold the lock for
+                        # their whole read-modify-write (no concurrent COW).
+                        with self._commit_lock:
+                            merge_into(
+                                self.spark,
+                                self.table,
+                                changes,
+                                assume_all_buckets=stats.n_events
+                                > 1000 * table.num_buckets,
+                            )
             finally:
                 changes.unpersist()
 

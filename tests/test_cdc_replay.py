@@ -242,6 +242,54 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
         assert g.get("tool_call_id") == w.get("tool_call_id")
 
 
+def test_concurrent_replay_matches_oracle(spark, stream_df, events_path, tmp_path):
+    """Overlapped epoch applies (async batch pipelining): same final state,
+    every epoch committed exactly once, compaction racing appends is safe."""
+    pipeline = fresh_pipeline(spark, tmp_path, "mor")
+    # force compactions to fire during the concurrent run
+    pipeline.compact_at_files = 4
+    results = replay_epochs(pipeline, events_path, concurrency=3)
+    assert not any(r.skipped for r in results)
+    got = final_state_rows(spark, pipeline)
+    want = oracle_rows(stream_df)
+    assert [(g["conv_id"], g["turn_idx"], g["text"]) for g in got] == [
+        (w["conv_id"], w["turn_idx"], w["text"]) for w in want
+    ]
+    n_epochs = len(list_epochs(events_path))
+    assert len(pipeline.commitlog.max_offsets()) > 0
+    assert sum(1 for e in range(n_epochs) if pipeline.commitlog.is_committed(e)) == n_epochs
+
+
+def test_bulk_backfill_matches_oracle_and_is_idempotent(
+    spark, stream_df, events_path, tmp_path
+):
+    """Backfill super-batch: one stats pass + one append for all epochs;
+    state equals the oracle; re-running skips every epoch; a partially
+    micro-batched prefix composes with a bulk remainder."""
+    from etl_documentos_spark.streaming.stream import replay_bulk
+
+    pipeline = fresh_pipeline(spark, tmp_path, "mor")
+    results = replay_bulk(pipeline, events_path)
+    assert not any(r.skipped for r in results)
+    got = final_state_rows(spark, pipeline)
+    want = oracle_rows(stream_df)
+    assert [(g["conv_id"], g["turn_idx"], g["text"]) for g in got] == [
+        (w["conv_id"], w["turn_idx"], w["text"]) for w in want
+    ]
+    # re-run: every epoch already committed
+    again = replay_bulk(pipeline, events_path)
+    assert all(r.skipped for r in again)
+    assert final_state_rows(spark, pipeline) == got
+
+    # mixed: micro-batch a prefix, bulk the rest
+    p2 = fresh_pipeline(spark, tmp_path / "mixed", "mor")
+    epochs = list_epochs(events_path)
+    replay_epochs(p2, events_path, epochs=epochs[:2])
+    mixed = replay_bulk(p2, events_path)
+    assert sum(r.skipped for r in mixed) == 2
+    assert final_state_rows(spark, p2) == got
+
+
 def test_lineage_and_metrics_emitted(spark, stream_df, events_path, tmp_path):
     from etl_documentos_spark.streaming.lineage import read_lineage, read_metrics
 
