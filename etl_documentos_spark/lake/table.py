@@ -285,6 +285,40 @@ class LakeTable:
         """
         self.commit_overwrite(self.write_data_files(df), buckets)
 
+    # ------------------------------------------------------------------- gc
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Expire old snapshots and delete data files no longer referenced.
+
+        Keeps the most recent ``keep_last`` snapshots (time travel window);
+        deletes every data file referenced only by expired snapshots.
+        Returns the number of files deleted. Single-writer assumption: call
+        from the owner of the commit lock.
+        """
+        snaps = sorted(self.snapshots, key=lambda s: s.snapshot_id)
+        if len(snaps) <= keep_last:
+            return 0
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        live: set[str] = set()
+        for s in kept:
+            for fs in s.files.values():
+                live.update(fs)
+        dead: set[str] = set()
+        for s in expired:
+            for fs in s.files.values():
+                dead.update(f for f in fs if f not in live)
+        for rel in dead:
+            full = os.path.join(self.root, rel)
+            crc = os.path.join(os.path.dirname(full), "." + os.path.basename(full) + ".crc")
+            for p in (full, crc):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        self._meta["snapshots"] = [s.to_json() for s in kept]
+        self._meta["metadata_version"] += 1
+        self._write_metadata()
+        return len(dead)
+
     # ----------------------------------------------------- schema evolution
     def add_columns(self, fields: list[T.StructField]) -> None:
         """Additive schema evolution: metadata-only, zero data files touched.

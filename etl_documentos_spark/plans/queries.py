@@ -218,6 +218,101 @@ _TPCH_Q6_SQL = """
 """
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): 3-way join + group + top-k."""
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01 00:00:00"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-01-01 00:00:00"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_TPCH_Q3_SQL = """
+    SELECT l_orderkey, o_orderdate,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume shape (TPC-H Q5): 5-way join, dims broadcast."""
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double"),
+            4,
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_TPCH_Q5_SQL = """
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4)
+             AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
 def q_dashboard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional counts in one pass (A1, analytics_service.py:38-53)."""
     return analytics.conditional_counts(
@@ -931,6 +1026,8 @@ QUERIES: dict[str, Query] = {
     "cdc_offsets": q_cdc_offsets,
     "cdc_epoch_stats": q_cdc_epoch_stats,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "dashboard_counts": q_dashboard_counts,
     "usage_report": q_usage_report,
@@ -986,6 +1083,8 @@ ORACLES: dict[str, str] = {
         FROM ch GROUP BY 1
     """,
     "tpch_q1": _TPCH_Q1_SQL,
+    "tpch_q3": _TPCH_Q3_SQL,
+    "tpch_q5": _TPCH_Q5_SQL,
     "tpch_q6": _TPCH_Q6_SQL,
     "dashboard_counts": """
         SELECT count(*) AS total,

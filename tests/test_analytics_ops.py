@@ -95,6 +95,34 @@ def test_time_travel_and_snapshot_isolation(spark, tmp_path):
     assert tbl.scan(spark, snapshot_id=snap1).count() == 1
 
 
+def test_expire_snapshots_gc(spark, tmp_path):
+    import os
+
+    schema = T.StructType([T.StructField("conv_id", T.StringType()),
+                           T.StructField("v", T.IntegerType())])
+    root = str(tmp_path / "gc")
+    tbl = LakeTable.create(root, schema, num_buckets=2)
+    for i in range(4):
+        tbl.append(spark.createDataFrame([(f"k{i}", i)], schema))
+    before_rows = sorted(map(tuple, tbl.scan(spark).collect()))
+    # rewrite everything into one snapshot, then expire history
+    from etl_documentos_spark.operators.lww import lww_dedup  # noqa: F401
+
+    all_rows = tbl.scan(spark)
+    tbl.overwrite_buckets(all_rows, [0, 1])
+    deleted = tbl.expire_snapshots(keep_last=1)
+    assert deleted > 0
+    tbl2 = LakeTable.load(root)
+    assert sorted(map(tuple, tbl2.scan(spark).collect())) == before_rows
+    # expired data dirs actually shrunk
+    n_files = sum(
+        sum(1 for f in files if f.endswith(".parquet"))
+        for _, _, files in os.walk(os.path.join(root, "data"))
+    )
+    live = sum(len(fs) for fs in tbl2.current_snapshot.files.values())
+    assert n_files == live
+
+
 def test_evolve_rejects_type_change(spark, tmp_path):
     from etl_documentos_spark.operators.evolve import check_compatible
 
