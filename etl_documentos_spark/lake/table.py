@@ -202,22 +202,44 @@ class LakeTable:
         self._meta["metadata_version"] += 1
         self._write_metadata()
 
-    def _write_data(self, df: DataFrame) -> dict[str, list[str]]:
+    def _write_data(
+        self, df: DataFrame, salts: int | None = None
+    ) -> dict[str, list[str]]:
         """Write df into a new snapshot dir, one subdir per bucket.
 
         The write is hash-distributed on (bucket, salt) with an explicit
-        partition count of ``num_buckets * write.salts``: a hot bucket is
-        spread across up to ``write.salts`` tasks (skew defense for hot
-        conversations) while the file count per snapshot stays bounded at
-        buckets x salts — no AQE-coalesced single-writer, no small-file
-        explosion. At cluster scale raise ``write.salts`` with executor
-        count; files-per-bucket is exactly the intra-bucket read parallelism.
+        partition count of ``num_buckets * salts``: a hot bucket is spread
+        across up to ``salts`` tasks (skew defense for hot conversations)
+        while the file count per snapshot stays bounded at buckets x salts —
+        no AQE-coalesced single-writer, no small-file explosion.
+
+        Salt count: a key holding fraction ``h`` of the batch lands in one
+        bucket, so the slowest write task gets ``h/salts`` of the rows; for
+        the write to scale to P cores that must stay <= 1/P, i.e. ``salts >=
+        h*P``. Default is P/2 (capped) — safe up to h≈50% hot keys — and the
+        ``write.salts`` table property or the ``salts`` arg override it
+        (callers writing already-deduped data pass a small value to keep file
+        counts low). Salt source is the log sequence number when present
+        (unique -> uniform spread); falling back to the first payload column.
         """
         rel = f"data/w-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, rel)
-        salt_k = int(self._meta["properties"].get("write.salts", "2"))
-        non_bucket = [c for c in df.columns if c != self.bucket_col]
-        salt_src = F.col(non_bucket[0]) if non_bucket else F.lit(0)
+        if salts is not None:
+            salt_k = max(1, salts)
+        else:
+            prop = self._meta["properties"].get("write.salts")
+            if prop is not None:
+                salt_k = int(prop)
+            else:
+                p = df.sparkSession.sparkContext.defaultParallelism
+                salt_k = max(2, min(32, (p + 1) // 2))
+        for cand in ("_lsn", "lsn"):
+            if cand in df.columns:
+                salt_src = F.col(cand)
+                break
+        else:
+            non_bucket = [c for c in df.columns if c != self.bucket_col]
+            salt_src = F.col(non_bucket[0]) if non_bucket else F.lit(0)
         salt = F.pmod(F.xxhash64(salt_src), F.lit(salt_k))
         (
             df.withColumn("_bucket", self.bucket_expr())
@@ -239,7 +261,9 @@ class LakeTable:
             )
         return files
 
-    def write_data_files(self, df: DataFrame) -> dict[str, list[str]]:
+    def write_data_files(
+        self, df: DataFrame, salts: int | None = None
+    ) -> dict[str, list[str]]:
         """Stage data files for a later commit (the expensive, parallel part).
 
         Decoupled from the metadata commit so concurrent writers can run
@@ -247,7 +271,7 @@ class LakeTable:
         the two-phase shape real table formats use for optimistic
         concurrency.
         """
-        return self._write_data(df)
+        return self._write_data(df, salts=salts)
 
     def commit_append(self, new_files: dict[str, list[str]]) -> None:
         """Commit previously staged files as an append snapshot."""
@@ -271,11 +295,13 @@ class LakeTable:
             "overwrite", {"buckets_replaced": sorted(buckets)}, merged
         )
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, salts: int | None = None) -> None:
         """Append rows (new files only; existing files untouched)."""
-        self.commit_append(self.write_data_files(df))
+        self.commit_append(self.write_data_files(df, salts=salts))
 
-    def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+    def overwrite_buckets(
+        self, df: DataFrame, buckets: list[int], salts: int | None = None
+    ) -> None:
         """Copy-on-write replace of the named buckets with df's rows.
 
         df must contain only rows belonging to ``buckets`` (caller guarantees
@@ -283,7 +309,7 @@ class LakeTable:
         this is what keeps a MERGE that hits 1% of conversations from
         rewriting 100 TB.
         """
-        self.commit_overwrite(self.write_data_files(df), buckets)
+        self.commit_overwrite(self.write_data_files(df, salts=salts), buckets)
 
     # ------------------------------------------------------------------- gc
     def expire_snapshots(self, keep_last: int = 2) -> int:

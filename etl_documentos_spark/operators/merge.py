@@ -142,7 +142,9 @@ def merge_into(
             conv_ids_touched=agg["convs"],
         )
 
-    table.overwrite_buckets(merged, touched)
+    # COW output is deduped (<=1 row/key) — no hot-key skew left, so a small
+    # salt keeps the per-snapshot file count low
+    table.overwrite_buckets(merged, touched, salts=2)
     return stats
 
 
@@ -150,6 +152,7 @@ def merge_mor(
     spark: SparkSession,
     table: LakeTable,
     changes: DataFrame,
+    salts: int | None = None,
 ) -> None:
     """Merge-on-read apply: append the batch as delta files, defer the LWW
     reduction to read time (`read_current`) / compaction (`compact`).
@@ -159,8 +162,13 @@ def merge_mor(
     append — instead of copy-on-write's O(touched table slice). At 10^10
     events the COW variant rewrites every hot bucket every epoch; MOR keeps
     ingest linear and bounds read amplification with `compact`.
+
+    ``salts``: raw change batches keep the hot conversation's full event
+    volume, so the append salt must scale with parallelism (None = adaptive,
+    see ``LakeTable._write_data``); callers with small per-epoch batches pass
+    a lower value to bound file churn between compactions.
     """
-    table.append(changes_to_physical(changes, table.schema))
+    table.append(changes_to_physical(changes, table.schema), salts=salts)
 
 
 def compact(
@@ -187,7 +195,7 @@ def compact(
             (~F.coalesce(F.col("_deleted"), F.lit(False)))
             | (F.col("ts") >= F.lit(expire_tombstones_before))
         )
-    table.overwrite_buckets(merged, target)
+    table.overwrite_buckets(merged, target, salts=2)
 
 
 def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:

@@ -110,8 +110,17 @@ class CdcPipeline:
     def table(self) -> LakeTable:
         return LakeTable.load(self.table_root)
 
+    @property
+    def _epoch_salts(self) -> int:
+        """Write salt for per-epoch MOR appends: enough spread to defuse the
+        hot conversation at this parallelism, small enough that delta-file
+        churn between compactions stays bounded (files/bucket/epoch = salts).
+        """
+        p = self.spark.sparkContext.defaultParallelism
+        return max(2, min(8, p // 4))
+
     def apply_epochs_bulk(
-        self, changes: DataFrame, epoch_ids: list[int]
+        self, changes: DataFrame, epoch_ids: list[int], persist: bool = True
     ) -> list[EpochResult]:
         """Backfill mode: apply MANY epochs as one super-batch.
 
@@ -126,6 +135,13 @@ class CdcPipeline:
         ``changes`` must carry an ``epoch`` column; MOR mode only (the
         reduction happens at read/compaction, so epochs need no ordering
         barrier between them — LWW is order-insensitive by construction).
+
+        ``persist=False`` skips caching the batch between the stats pass and
+        the append pass — correct whenever ``changes`` re-reads identical
+        bytes (immutable files, a pinned snapshot); re-scanning page-cached
+        parquet is cheaper than materializing deserialized rows. Keep the
+        default for non-deterministic or remote sources, where the
+        fingerprint and the written rows must come from one materialization.
         """
         assert self.mode == "mor", "bulk backfill requires merge-on-read"
         t0 = time.monotonic()
@@ -135,7 +151,9 @@ class CdcPipeline:
         ]
         if not todo:
             return skipped
-        batch = changes.filter(F.col("epoch").isin(todo)).persist()
+        batch = changes.filter(F.col("epoch").isin(todo))
+        if persist:
+            batch = batch.persist()
         try:
             table = self.table
             added = evolve_if_needed(batch, table)
@@ -163,8 +181,10 @@ class CdcPipeline:
                 .collect()
             )
 
-            # one append job for the whole super-batch
-            merge_mor(self.spark, table, batch.drop("epoch"))
+            # one append job for the whole super-batch; adaptive salt
+            # (scales with cores) — the backfill batch carries the hot
+            # conversation's full volume
+            merge_mor(self.spark, table, batch.drop("epoch"), salts=None)
             self._maybe_compact(table)
 
             per_epoch: dict[int, list] = {}
@@ -196,7 +216,8 @@ class CdcPipeline:
                 results.append(EpochResult(e, False, n, duration, added))
             return results
         finally:
-            batch.unpersist()
+            if persist:
+                batch.unpersist()
 
     def _maybe_compact(self, table: LakeTable) -> None:
         """Compact buckets whose delta-file count exceeds the threshold —
@@ -244,7 +265,8 @@ class CdcPipeline:
                 obs, *self._observe_exprs_for(changes.columns)
             )
             files = table.write_data_files(
-                changes_to_physical(observed, table.schema)
+                changes_to_physical(observed, table.schema),
+                salts=self._epoch_salts,
             )
             if files:
                 with self._commit_lock:
@@ -260,7 +282,10 @@ class CdcPipeline:
                 if stats.n_events > 0:
                     if self.mode == "mor":
                         with self._commit_lock:
-                            merge_mor(self.spark, self.table, changes)
+                            merge_mor(
+                                self.spark, self.table, changes,
+                                salts=self._epoch_salts,
+                            )
                         self._maybe_compact(self.table)
                     else:
                         # a batch much larger than the bucket count almost

@@ -81,7 +81,9 @@ def replay_bulk(
 ) -> list[EpochResult]:
     """Backfill replay: all epochs in one super-batch (see
     ``CdcPipeline.apply_epochs_bulk``). Per-epoch exactly-once records are
-    preserved; the per-epoch driver overhead is paid once."""
+    preserved; the per-epoch driver overhead is paid once. The input is
+    immutable on-disk parquet, so the stats pass and the append pass can
+    each scan it directly (``persist=False``) — no cache materialization."""
     spark = pipeline.spark
     epochs = list_epochs(events_path)
     reader = spark.read
@@ -90,7 +92,7 @@ def replay_bulk(
     changes = reader.option("basePath", events_path).parquet(
         *[os.path.join(events_path, f"epoch={e}") for e in epochs]
     )
-    return pipeline.apply_epochs_bulk(changes, epochs)
+    return pipeline.apply_epochs_bulk(changes, epochs, persist=False)
 
 
 def start_stream(
