@@ -261,6 +261,116 @@ class LakeTable:
             )
         return files
 
+    def _write_data_direct(
+        self, df: DataFrame, target_tasks: int | None = None
+    ) -> dict[str, list[str]]:
+        """Shuffle-free Arrow-native append writer (Hudi ``bulk_insert`` /
+        Iceberg unsorted-write shape).
+
+        Each input task partitions its own Arrow batches by bucket locally
+        and streams them into per-(task, bucket) parquet files written
+        DIRECTLY to their final (uuid) names — no repartition shuffle, no
+        Hadoop FileOutputCommitter temp/rename churn, no checksum sidecars.
+        The task yields one manifest batch ``(bucket, path, nrows)``; the
+        snapshot commit is metadata-only, so a retried task leaves only
+        invisible orphan files (swept by `expire_snapshots`), exactly the
+        real-Iceberg failure contract.
+
+        Why this scales where the shuffled writer cannot: the append's only
+        job is to get rows into *some* file of the right bucket. Grouping
+        rows by (bucket, salt) first costs a full shuffle (write + fetch of
+        the whole batch through one shared disk) purely to control file
+        count, and the salted writer tasks inherit the hot conversation that
+        the source partitions had already spread out. Writing from source
+        partitions keeps the input's balance (a binlog tail interleaves
+        conversations across shards), does zero extra I/O, and needs no salt
+        at all. File count is bounded by ``coalesce`` to
+        ``target_tasks × buckets-per-task`` and reduced later by compaction,
+        which is the standard bulk-ingest trade.
+
+        Python touches data only as Arrow batches (vectorized C++ filter +
+        parquet encode); no per-row Python.
+        """
+        import pyarrow as pa
+
+        rel = f"data/w-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.root, rel)
+        os.makedirs(out, exist_ok=True)
+        p = df.sparkSession.sparkContext.defaultParallelism
+        target = target_tasks or 2 * p
+        with_b = df.withColumn(
+            "_bucket", self.bucket_expr().cast("int")
+        ).coalesce(target)
+
+        data_cols = [c for c in df.columns]
+
+        def write_partition(batches):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            writers: dict[int, _pq.ParquetWriter] = {}
+            names: dict[int, str] = {}
+            counts: dict[int, int] = {}
+            for batch in batches:
+                tbl = _pa.Table.from_batches([batch])
+                bcol = tbl.column("_bucket")
+                data = tbl.select(data_cols)
+                for b in _pc.unique(bcol).to_pylist():
+                    sub = data.filter(_pc.equal(bcol, b))
+                    w = writers.get(b)
+                    if w is None:
+                        name = f"b{b:05d}-{_uuid.uuid4().hex[:16]}.parquet"
+                        names[b] = name
+                        writers[b] = w = _pq.ParquetWriter(
+                            _os.path.join(out, name),
+                            sub.schema,
+                            compression="snappy",
+                        )
+                        counts[b] = 0
+                    w.write_table(sub)
+                    counts[b] += sub.num_rows
+            for w in writers.values():
+                w.close()
+            if writers:
+                yield _pa.RecordBatch.from_pydict(
+                    {
+                        "bucket": list(names.keys()),
+                        "path": list(names.values()),
+                        "nrows": [counts[b] for b in names],
+                    },
+                    schema=_pa.schema(
+                        [
+                            ("bucket", _pa.int32()),
+                            ("path", _pa.string()),
+                            ("nrows", _pa.int64()),
+                        ]
+                    ),
+                )
+
+        manifest = with_b.mapInArrow(
+            write_partition, "bucket int, path string, nrows long"
+        ).collect()
+        files: dict[str, list[str]] = {}
+        for r in manifest:
+            files.setdefault(str(r["bucket"]), []).append(f"{rel}/{r['path']}")
+        return {b: sorted(fs) for b, fs in files.items()}
+
+    def write_data_files_direct(
+        self, df: DataFrame, target_tasks: int | None = None
+    ) -> dict[str, list[str]]:
+        """Stage files via the shuffle-free Arrow writer (no commit)."""
+        return self._write_data_direct(df, target_tasks)
+
+    def append_direct(
+        self, df: DataFrame, target_tasks: int | None = None
+    ) -> None:
+        """Append via the shuffle-free Arrow writer (raw change batches)."""
+        self.commit_append(self._write_data_direct(df, target_tasks))
+
     def write_data_files(
         self, df: DataFrame, salts: int | None = None
     ) -> dict[str, list[str]]:

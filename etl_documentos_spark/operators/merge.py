@@ -152,23 +152,26 @@ def merge_mor(
     spark: SparkSession,
     table: LakeTable,
     changes: DataFrame,
-    salts: int | None = None,
+    target_tasks: int | None = None,
 ) -> None:
     """Merge-on-read apply: append the batch as delta files, defer the LWW
     reduction to read time (`read_current`) / compaction (`compact`).
 
     This is the high-throughput CDC ingest path (the Hudi/Paimon MOR shape):
-    per epoch the write cost is O(batch) — one projection + one bucketed
-    append — instead of copy-on-write's O(touched table slice). At 10^10
-    events the COW variant rewrites every hot bucket every epoch; MOR keeps
-    ingest linear and bounds read amplification with `compact`.
+    per epoch the write cost is O(batch) — one projection + one shuffle-free
+    bucketed append (`LakeTable.append_direct`) — instead of copy-on-write's
+    O(touched table slice). At 10^10 events the COW variant rewrites every
+    hot bucket every epoch; MOR keeps ingest linear and bounds read
+    amplification with `compact`.
 
-    ``salts``: raw change batches keep the hot conversation's full event
-    volume, so the append salt must scale with parallelism (None = adaptive,
-    see ``LakeTable._write_data``); callers with small per-epoch batches pass
-    a lower value to bound file churn between compactions.
+    ``target_tasks`` bounds writer-task count (files/epoch =
+    tasks x buckets-per-task); callers with small per-epoch batches pass a
+    low value to bound delta-file churn between compactions, the bulk
+    backfill leaves the default (~2x parallelism).
     """
-    table.append(changes_to_physical(changes, table.schema), salts=salts)
+    table.append_direct(
+        changes_to_physical(changes, table.schema), target_tasks=target_tasks
+    )
 
 
 def compact(

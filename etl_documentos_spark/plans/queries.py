@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_documentos_spark import analytics
@@ -1017,6 +1017,191 @@ _CUBE_SQL = """
 """
 
 
+#: rule-based classifier keyword lists (reference shape:
+#: /root/reference/app/services/classification_service.py:316-359 — keyword
+#: hits per candidate type, argmax with deterministic tie-break)
+_KW = {
+    "perf": ["fast", "slow", "scan"],
+    "storage": ["table", "row", "part"],
+    "query": ["sort", "merge", "window"],
+}
+
+
+def q_keyword_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: keyword-hit scoring + argmax (vectorized contains, no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    scores = {
+        cls: sum(
+            F.when(F.col("text").contains(kw), 1).otherwise(0) for kw in kws
+        ).cast("int")
+        for cls, kws in _KW.items()
+    }
+    s_perf, s_storage, s_query = (
+        scores["perf"], scores["storage"], scores["query"],
+    )
+    label = (
+        F.when((s_perf >= s_storage) & (s_perf >= s_query), F.lit("perf"))
+        .when(s_storage >= s_query, F.lit("storage"))
+        .otherwise(F.lit("query"))
+    )
+    return d.select(
+        "doc_id",
+        s_perf.alias("s_perf"),
+        s_storage.alias("s_storage"),
+        s_query.alias("s_query"),
+        label.alias("label"),
+    )
+
+
+def _kw_score_sql(kws: list[str]) -> str:
+    return " + ".join(
+        f"CASE WHEN contains(text, '{k}') THEN 1 ELSE 0 END" for k in kws
+    )
+
+
+_KEYWORD_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST({_kw_score_sql(_KW['perf'])} AS INT) AS s_perf,
+             CAST({_kw_score_sql(_KW['storage'])} AS INT) AS s_storage,
+             CAST({_kw_score_sql(_KW['query'])} AS INT) AS s_query
+      FROM documents)
+    SELECT doc_id, s_perf, s_storage, s_query,
+           CASE WHEN s_perf >= s_storage AND s_perf >= s_query THEN 'perf'
+                WHEN s_storage >= s_query THEN 'storage'
+                ELSE 'query' END AS label
+    FROM scored
+"""
+
+
+def q_chunk_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 chunk-result consolidation: per parent doc keep the longest
+    chunk value (extraction_service.py:961-974 as max_by-style reduction;
+    window form for a portable deterministic tie-break)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "parent_id", F.col("doc_id") % 100
+    )
+    w = Window.partitionBy("parent_id").orderBy(
+        F.length("text").desc(), F.col("text").desc()
+    )
+    ranked = d.withColumn("_rn", F.row_number().over(w))
+    best = ranked.filter(F.col("_rn") == 1).select(
+        "parent_id", F.col("text").alias("best_text")
+    )
+    counts = d.groupBy("parent_id").agg(F.count("*").alias("n_chunks"))
+    return best.join(counts, "parent_id")
+
+
+_CONSOLIDATE_SQL = """
+    WITH chunks AS (SELECT doc_id % 100 AS parent_id, text FROM documents),
+    ranked AS (
+      SELECT parent_id, text,
+             row_number() OVER (PARTITION BY parent_id
+                                ORDER BY length(text) DESC, text DESC) AS rn,
+             count(*) OVER (PARTITION BY parent_id) AS n_chunks
+      FROM chunks)
+    SELECT parent_id, text AS best_text, n_chunks FROM ranked WHERE rn = 1
+"""
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping text chunking (size 120, stride 90) via posexplode of
+    computed slices — the set-oriented form of text_utils.py:165-195."""
+    d = load(spark, sf_dir, "documents")
+    n_extra = F.greatest(
+        F.expr("(length(text) - 31) div 90"), F.lit(0)
+    ).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx", "_i"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(F.col("text"), F.col("chunk_idx") * 90 + 1, 120).alias(
+                "chunk"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+_CHUNKING_SQL = """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest((length(text) - 31) // 90, 0) + 1)) AS i
+      FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           substring(text, CAST(i AS INT) * 90 + 1, 120) AS chunk,
+           length(substring(text, CAST(i AS INT) * 90 + 1, 120)) AS chunk_len
+    FROM idx
+"""
+
+
+def q_html_strip_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family: HTML strip (text_utils.py:198-213), truncate
+    + ellipsis (295-323), head/middle/tail sampling
+    (extraction_service.py:523-534) — all built-in column expressions."""
+    d = load(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    return d.select(
+        "doc_id",
+        tx.strip_html(wrapped).alias("stripped"),
+        tx.truncate_ellipsis(F.col("text"), 80).alias("preview"),
+        tx.head_middle_tail(F.col("text"), 40).alias("sample"),
+    )
+
+
+_HTML_SQL = """
+    SELECT doc_id,
+           trim(regexp_replace('<p>' || text || '</p>', '<[^>]*>', ' ', 'g'))
+             AS stripped,
+           CASE WHEN length(text) <= 80 THEN text
+                ELSE substring(text, 1, 77) || '...' END AS preview,
+           CASE WHEN length(text) <= 120 THEN text
+                ELSE substring(text, 1, 40) || ' ... '
+                     || substring(text,
+                                  CAST(floor(length(text) / 2) AS INT) - 20, 40)
+                     || ' ... '
+                     || substring(text, length(text) - 39, 40) END
+             AS sample
+    FROM documents
+"""
+
+
+def q_conversation_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 chronological history per entity: ordered event-id trail
+    (document_tracking.py:374-377 as sort_array over collect_list — one
+    shuffle, no per-row Python)."""
+    e = load(spark, sf_dir, "events")
+    trail = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id")))
+            ),
+            lambda s: s["event_id"].cast("string"),
+        ),
+        ",",
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        trail.alias("event_trail"),
+    )
+
+
+_TIMELINE_SQL = """
+    SELECT user_id, count(*) AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+             AS event_trail
+    FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1063,9 +1248,19 @@ QUERIES: dict[str, Query] = {
     "cpf_validation": q_cpf_validation,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
+    "keyword_classifier": q_keyword_classifier,
+    "chunk_consolidate": q_chunk_consolidate,
+    "text_chunking": q_text_chunking,
+    "html_strip_preview": q_html_strip_preview,
+    "conversation_timeline": q_conversation_timeline,
 }
 
 ORACLES: dict[str, str] = {
+    "keyword_classifier": _KEYWORD_SQL,
+    "chunk_consolidate": _CONSOLIDATE_SQL,
+    "text_chunking": _CHUNKING_SQL,
+    "html_strip_preview": _HTML_SQL,
+    "conversation_timeline": _TIMELINE_SQL,
     "cdc_lww_replay": _LWW_SQL,
     "cdc_lww_window": _LWW_SQL,
     "cdc_offsets": f"""

@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # split scans finer than the 128 MB default: a binlog tail arrives
+        # as many small shard files, and the default packing collapses a
+        # multi-GB replay input into fewer splits than cores (observed: 9
+        # partitions for a 12.6M-event input = a one-straggler-wave scan at
+        # any parallelism). 16 MB targets + 1 MB open cost keep scan task
+        # count >= cores at bench scale; on a 100 TB cluster the default
+        # would already yield thousands of splits, so this only matters for
+        # many-small-files inputs there too (same knob, same reason).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")

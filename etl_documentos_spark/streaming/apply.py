@@ -35,6 +35,8 @@ from etl_documentos_spark.operators.merge import compact, merge_into, merge_mor
 from etl_documentos_spark.streaming.commitlog import (
     CommitLog,
     batch_stats,
+    combine_chunks,
+    hash_chunk_exprs,
     observe_exprs,
     stats_from_observation,
 )
@@ -111,11 +113,11 @@ class CdcPipeline:
         return LakeTable.load(self.table_root)
 
     @property
-    def _epoch_salts(self) -> int:
-        """Write salt for per-epoch MOR appends: enough spread to defuse the
-        hot conversation at this parallelism, small enough that delta-file
-        churn between compactions stays bounded (files/bucket/epoch = salts).
-        """
+    def _epoch_write_tasks(self) -> int:
+        """Writer-task bound for per-epoch MOR appends: enough parallelism
+        to keep an epoch's append off the critical path (concurrent epochs
+        overlap anyway), low enough that delta-file churn between
+        compactions stays bounded (files/bucket/epoch <= tasks)."""
         p = self.spark.sparkContext.defaultParallelism
         return max(2, min(8, p // 4))
 
@@ -158,16 +160,13 @@ class CdcPipeline:
             table = self.table
             added = evolve_if_needed(batch, table)
 
-            # one pass: per-(epoch, source_partition) stats
-            data_cols = [c for c in batch.columns if c != "epoch"]
+            # one pass: per-(epoch, source_partition) stats (chunked long
+            # sums — see commitlog.hash_chunk_exprs for why not decimal)
+            data_cols = [F.col(c) for c in batch.columns if c != "epoch"]
             rows = (
                 batch.groupBy("epoch", "source_partition")
                 .agg(
-                    F.sum(
-                        F.xxhash64(*[F.col(c) for c in data_cols]).cast(
-                            "decimal(38,0)"
-                        )
-                    ).alias("h"),
+                    *hash_chunk_exprs(data_cols),
                     F.count("*").alias("n"),
                     F.max("lsn").alias("max_lsn"),
                     F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias(
@@ -181,10 +180,8 @@ class CdcPipeline:
                 .collect()
             )
 
-            # one append job for the whole super-batch; adaptive salt
-            # (scales with cores) — the backfill batch carries the hot
-            # conversation's full volume
-            merge_mor(self.spark, table, batch.drop("epoch"), salts=None)
+            # one shuffle-free append job for the whole super-batch
+            merge_mor(self.spark, table, batch.drop("epoch"))
             self._maybe_compact(table)
 
             per_epoch: dict[int, list] = {}
@@ -195,7 +192,9 @@ class CdcPipeline:
             for e in sorted(todo):
                 ers = per_epoch.get(e, [])
                 n = sum(int(r["n"]) for r in ers)
-                fp = f"{sum(int(r['h']) for r in ers)}:{n}"
+                fp = combine_chunks(
+                    [(int(r["h0"]), int(r["h1"]), int(r["h2"])) for r in ers]
+                ) + f":{n}"
                 offsets = {
                     int(r["source_partition"]): int(r["max_lsn"]) for r in ers
                 }
@@ -264,9 +263,9 @@ class CdcPipeline:
             observed = changes.observe(
                 obs, *self._observe_exprs_for(changes.columns)
             )
-            files = table.write_data_files(
+            files = table.write_data_files_direct(
                 changes_to_physical(observed, table.schema),
-                salts=self._epoch_salts,
+                target_tasks=self._epoch_write_tasks,
             )
             if files:
                 with self._commit_lock:
@@ -284,7 +283,7 @@ class CdcPipeline:
                         with self._commit_lock:
                             merge_mor(
                                 self.spark, self.table, changes,
-                                salts=self._epoch_salts,
+                                target_tasks=self._epoch_write_tasks,
                             )
                         self._maybe_compact(self.table)
                     else:
