@@ -61,7 +61,12 @@ BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "3000000"))
 BENCH_CONVS = 20_000
 BENCH_TURNS = 30
 BENCH_EPOCH = int(os.environ.get("SPARK_GRAFT_CDC_EPOCH", "2000000"))
-EVENTS_CACHE = f"/tmp/spark_graft_bench_events_{BENCH_EVENTS}"
+#: events + working tables live under this dir; point SPARK_GRAFT_BENCH_DIR
+#: at /dev/shm to take the shared local disk out of the measurement (a
+#: cluster's per-executor storage bandwidth is constant as executors scale;
+#: one box's single disk is not — document which mode a ladder used)
+BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp")
+EVENTS_CACHE = os.path.join(BENCH_DIR, f"spark_graft_bench_events_{BENCH_EVENTS}")
 
 
 def _ensure_events(spark) -> str:
@@ -85,7 +90,8 @@ def _ensure_events(spark) -> str:
 
 def _replay(
     spark, events_path: str, workdir: str, bulk: bool = False,
-    concurrency: int = 3,
+    concurrency: int = 3, epoch_mod: int | None = None, epoch_rem: int = 0,
+    create_table: bool = True,
 ) -> dict:
     """One full replay into a fresh lake table; returns throughput.
 
@@ -102,17 +108,35 @@ def _replay(
     from etl_documentos_spark.streaming.stream import replay_bulk, replay_epochs
 
     table_root = os.path.join(workdir, "transcripts")
-    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=32)
-    pipeline = CdcPipeline(spark, table_root, os.path.join(workdir, "work"))
+    if create_table:
+        LakeTable.create(
+            table_root, physical_schema(TRANSCRIPTS), num_buckets=32
+        )
+    # fleet workers disable threshold compaction: its bucket overwrite is
+    # not safe against a concurrent append from ANOTHER process (the
+    # coordinator can compact once after the backfill instead)
+    pipeline = CdcPipeline(
+        spark, table_root, os.path.join(workdir, "work"),
+        compact_at_files=(10**9 if epoch_mod is not None else 64),
+    )
     # the bench stream has the declared v1 change schema — pass it so the
     # reader skips footer inference (a driver-serial cost per run)
     bulk_schema = T.StructType(
         list(CHANGE_EVENTS.fields)
         + [T.StructField("epoch", T.IntegerType(), False)]
     )
+    from etl_documentos_spark.streaming.stream import list_epochs
+
+    epochs = None
+    if epoch_mod is not None:
+        epochs = [
+            e for e in list_epochs(events_path) if e % epoch_mod == epoch_rem
+        ]
     t0 = time.monotonic()
     if bulk:
-        results = replay_bulk(pipeline, events_path, schema=bulk_schema)
+        results = replay_bulk(
+            pipeline, events_path, schema=bulk_schema, epochs=epochs
+        )
     else:
         results = replay_epochs(
             pipeline, events_path, schema=CHANGE_EVENTS,
@@ -129,23 +153,42 @@ def _proc_stat() -> list[int]:
         return list(map(int, f.readline().split()[1:9]))
 
 
-def run_cdc_worker(master: str, out_path: str | None, bulk: bool = False) -> dict:
+def run_cdc_worker(
+    master: str,
+    out_path: str | None,
+    bulk: bool = False,
+    epoch_mod: int | None = None,
+    epoch_rem: int = 0,
+    shared_base: str | None = None,
+) -> dict:
     import tempfile
 
     from etl_documentos_spark.session import get_spark
 
     n = master.split("[", 1)[1].rstrip("]")
-    spark = get_spark(f"bench-{master}", master=master, shuffle_partitions=int(n))
+    spark = get_spark(
+        f"bench-{master}-{epoch_rem}", master=master, shuffle_partitions=int(n)
+    )
     events = _ensure_events(spark)
-    workdir = tempfile.mkdtemp(prefix="cdc_bench_")
+    if shared_base is not None:
+        workdir = shared_base  # fleet mode: table pre-created by the parent
+        cleanup = False
+    else:
+        workdir = tempfile.mkdtemp(prefix="cdc_bench_", dir=BENCH_DIR)
+        cleanup = True
     # fixed pipeline depth so every level runs the identical job; 3 in-flight
     # epochs suffice to hide the per-epoch driver-serial time
     conc = 3
     s0 = _proc_stat()
     try:
-        res = _replay(spark, events, workdir, bulk=bulk, concurrency=conc)
+        res = _replay(
+            spark, events, workdir, bulk=bulk, concurrency=conc,
+            epoch_mod=epoch_mod, epoch_rem=epoch_rem,
+            create_table=shared_base is None,
+        )
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+        if cleanup:
+            shutil.rmtree(workdir, ignore_errors=True)
     s1 = _proc_stat()
     d = [b - a for a, b in zip(s0, s1)]
     total = max(sum(d), 1)
@@ -155,6 +198,78 @@ def run_cdc_worker(master: str, out_path: str | None, bulk: bool = False) -> dic
     res["host_steal_frac"] = round(d[7] / total, 3)
     res["host_idle_frac"] = round(d[3] / total, 3)
     res["master"] = master
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+    print(json.dumps(res))
+    return res
+
+
+def run_cdc_fleet(k: int, out_path: str | None = None) -> dict:
+    """K single-core executor PROCESSES applying disjoint epoch shards of
+    the same backfill to ONE shared lake table (cross-process commit flock).
+
+    This is the cluster-faithful scaling unit: separate JVMs/heaps/python
+    pools per executor, shared storage — exactly the spark-submit topology —
+    whereas local[N] shares one JVM across all "executors". Wall time spans
+    process spawn to last exit (executor startup included, as on a real
+    cluster).
+    """
+    import tempfile
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import physical_schema
+    from etl_documentos_spark.schemas import TRANSCRIPTS
+
+    # pre-generate events once (separate session, outside the timed window)
+    from etl_documentos_spark.session import get_spark
+
+    spark = get_spark("fleet-gen", master=f"local[{DEFAULT_CPUS}]")
+    _ensure_events(spark)
+    spark.stop()
+
+    base = tempfile.mkdtemp(prefix="cdc_fleet_", dir=BENCH_DIR)
+    LakeTable.create(
+        os.path.join(base, "transcripts"),
+        physical_schema(TRANSCRIPTS),
+        num_buckets=32,
+    )
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CDC_EVENTS=str(BENCH_EVENTS),
+        SPARK_DRIVER_MEM="4g",
+    )
+    s0 = _proc_stat()
+    t0 = time.monotonic()
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i),
+             sys.executable, os.path.abspath(__file__), "--cdc-worker",
+             "--bulk", "--master", "local[1]",
+             "--epoch-mod", str(k), "--epoch-rem", str(i),
+             "--shared-base", base, "--events", str(BENCH_EVENTS),
+             "--out", os.path.join(base, f"w{i}.json")],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for i in range(k)
+    ]
+    rcs = [p.wait() for p in procs]
+    dt = time.monotonic() - t0
+    s1 = _proc_stat()
+    assert all(rc == 0 for rc in rcs), rcs
+    events = 0
+    for i in range(k):
+        with open(os.path.join(base, f"w{i}.json")) as f:
+            events += json.load(f)["events"]
+    d = [b - a for a, b in zip(s0, s1)]
+    total = max(sum(d), 1)
+    res = {
+        "events": events, "seconds": dt, "events_per_sec": events / dt,
+        "mode": "fleet-bulk", "master": f"fleet[{k}x1]",
+        "host_steal_frac": round(d[7] / total, 3),
+        "host_idle_frac": round(d[3] / total, 3),
+    }
+    shutil.rmtree(base, ignore_errors=True)
     if out_path:
         with open(out_path, "w") as f:
             json.dump(res, f)
@@ -203,17 +318,23 @@ def run_default(sf_dir: str, cpus: int) -> None:
     )
 
 
-def run_scaling(levels: list[int], repeats: int = 3) -> None:
-    """Identical replay at each local[N]; efficiency from best-of-``repeats``.
+def run_scaling(
+    levels: list[int], repeats: int = 3, fleet_levels: list[int] | None = None
+) -> None:
+    """Identical replay at each level; efficiency from best-of-``repeats``.
 
-    The sandbox host is time-shared (KVM steal bursts) AND SMT-limited (32
-    hyperthreads over 16 physical cores: raw busy-loop arithmetic scales
-    8->32 at only ~0.75 — tools/calibrate_cpu.py). So the ladder (a) runs a
-    hardware calibration first and reports it next to the engine numbers,
-    (b) interleaves repeats across levels and compares best-of (filters
-    steal bursts; every run replays identical bytes), (c) reports every
-    N->4N pair present in the ladder. Writes ``BENCH/BASELINE.md``.
+    Two ladders: ``local[N]`` (one JVM, N task threads, pinned to N CPUs
+    with taskset) and ``fleet[Kx1]`` (K separate single-core executor
+    PROCESSES sharing one table through the cross-process commit lock — the
+    spark-submit topology). A hardware calibration (raw arithmetic via
+    tools/calibrate_cpu.py) runs first and is reported next to the engine
+    pairs; runs interleave across levels and the best run per level is
+    compared (the host is KVM time-shared — steal bursts vary identical
+    runs up to 2x; per-run steal/idle deltas are recorded).
+    Writes ``BENCH/BASELINE.md``.
     """
+    if fleet_levels is None:
+        fleet_levels = [x for x in (1, 4) if x <= max(levels)]
     # hardware ceiling calibration (fast, no Spark)
     calib = json.loads(
         subprocess.check_output(
@@ -247,13 +368,29 @@ def run_scaling(levels: list[int], repeats: int = 3) -> None:
             )
             with open(out) as f, open(ladder_log, "a") as lg:
                 lg.write(f.read().strip() + "\n")
+        for k in fleet_levels:
+            out = f"/tmp/cdc_fleet_{k}.json"
+            env = dict(os.environ, SPARK_GRAFT_CDC_EVENTS=str(BENCH_EVENTS))
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--fleet",
+                 str(k), "--events", str(BENCH_EVENTS), "--out", out],
+                check=True, env=env,
+            )
+            with open(out) as f, open(ladder_log, "a") as lg:
+                lg.write(f.read().strip() + "\n")
     # summarize over ALL recorded runs for this input (including earlier
     # sweeps appended to the same log — interleaving across invocations is
     # equivalent to interleaving within one)
     runs: dict[int, list[dict]] = {n: [] for n in levels}
+    fruns: dict[int, list[dict]] = {k: [] for k in fleet_levels}
     with open(ladder_log) as lg:
         for line in lg:
             r = json.loads(line)
+            if r["master"].startswith("fleet["):
+                lvl = int(r["master"].split("[", 1)[1].split("x", 1)[0])
+                if lvl in fruns:
+                    fruns[lvl].append(r)
+                continue
             lvl = int(r["master"].split("[", 1)[1].rstrip("]"))
             if lvl in runs:
                 runs[lvl].append(r)
@@ -335,6 +472,43 @@ def run_scaling(levels: list[int], repeats: int = 3) -> None:
             f"- local[{a}] -> local[{b}] (4x cores): speedup "
             f"**{ratio:.2f}x**, scaling efficiency **{eff:.2f}**{hw_note}"
         )
+    if any(fruns.values()):
+        fbest = {
+            k: max(rs, key=lambda r: r["events_per_sec"])
+            for k, rs in fruns.items() if rs
+        }
+        lines += [
+            "",
+            "## Executor-process ladder (fleet[Kx1])",
+            "",
+            "K separate single-core executor PROCESSES (own JVM + python "
+            "pool each, pinned to distinct CPUs) bulk-apply disjoint epoch "
+            "shards of the same input into ONE shared table through the "
+            "cross-process commit flock — the spark-submit multi-executor "
+            "topology, minus the network. Wall time includes executor "
+            "startup, as on a real cluster.",
+            "",
+            "| executors | best events/sec | best seconds | all runs (sec) |",
+            "|---|---|---|---|",
+        ]
+        for k in sorted(fbest):
+            alls = ", ".join(f"{r['seconds']:.1f}" for r in fruns[k])
+            lines.append(
+                f"| fleet[{k}x1] | {fbest[k]['events_per_sec']:,.0f} | "
+                f"{fbest[k]['seconds']:.1f} | {alls} |"
+            )
+        lines.append("")
+        for a in sorted(fbest):
+            b = a * 4
+            if b in fbest:
+                ratio = (
+                    fbest[b]["events_per_sec"] / fbest[a]["events_per_sec"]
+                )
+                lines.append(
+                    f"- fleet[{a}x1] -> fleet[{b}x1] (4x executors): "
+                    f"speedup **{ratio:.2f}x**, scaling efficiency "
+                    f"**{ratio / 4:.2f}**"
+                )
     lines += [
         "",
         "Reading the ladder: the north rule's N -> 4N criterion is "
@@ -373,14 +547,27 @@ if __name__ == "__main__":
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--events", type=int, default=None,
                     help="override replay size (scaling mode: also for workers)")
+    ap.add_argument("--fleet", type=int, default=None,
+                    help="run K single-core executor processes over one table")
+    ap.add_argument("--epoch-mod", type=int, default=None)
+    ap.add_argument("--epoch-rem", type=int, default=0)
+    ap.add_argument("--shared-base", default=None)
     ap.add_argument("--bulk", action="store_true",
                     help="backfill super-batch instead of per-epoch batches")
     args = ap.parse_args()
     if args.events:
         BENCH_EVENTS = args.events
-        EVENTS_CACHE = f"/tmp/spark_graft_bench_events_{BENCH_EVENTS}"
+        EVENTS_CACHE = os.path.join(
+            BENCH_DIR, f"spark_graft_bench_events_{BENCH_EVENTS}"
+        )
     if args.cdc_worker:
-        run_cdc_worker(args.master, args.out, bulk=args.bulk)
+        run_cdc_worker(
+            args.master, args.out, bulk=args.bulk,
+            epoch_mod=args.epoch_mod, epoch_rem=args.epoch_rem,
+            shared_base=args.shared_base,
+        )
+    elif args.fleet:
+        run_cdc_fleet(args.fleet, args.out)
     elif args.scaling:
         run_scaling([int(x) for x in args.levels.split(",")], repeats=args.repeats)
     else:

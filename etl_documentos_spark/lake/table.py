@@ -262,8 +262,11 @@ class LakeTable:
         return files
 
     def _write_data_direct(
-        self, df: DataFrame, target_tasks: int | None = None
-    ) -> dict[str, list[str]]:
+        self,
+        df: DataFrame,
+        target_tasks: int | None = None,
+        stats: bool = False,
+    ):
         """Shuffle-free Arrow-native append writer (Hudi ``bulk_insert`` /
         Iceberg unsorted-write shape).
 
@@ -290,9 +293,19 @@ class LakeTable:
 
         Python touches data only as Arrow batches (vectorized C++ filter +
         parquet encode); no per-row Python.
-        """
-        import pyarrow as pa
 
+        ``stats``: single-pass mode for the exactly-once bookkeeping. The
+        caller adds three sidecar columns — ``_h`` (64-bit row hash computed
+        JVM-side), ``epoch``, ``source_partition`` — which are NOT written
+        to parquet; instead the writer aggregates, per (epoch,
+        source_partition) and fully in Arrow C++ (group_by), the fingerprint
+        chunk sums (h0/h1/h2, same split as
+        ``commitlog.hash_chunk_exprs``), event/delete counts and max LSN,
+        and yields them alongside the file manifest. One scan of the input
+        instead of a stats pass + an append pass — the scan/decode/hash is
+        the dominant memory traffic at scale, so halving passes directly
+        buys scaling headroom.
+        """
         rel = f"data/w-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, rel)
         os.makedirs(out, exist_ok=True)
@@ -302,7 +315,8 @@ class LakeTable:
             "_bucket", self.bucket_expr().cast("int")
         ).coalesce(target)
 
-        data_cols = [c for c in df.columns]
+        sidecar = ["_h", "epoch", "source_partition"] if stats else []
+        data_cols = [c for c in df.columns if c not in sidecar]
 
         def write_partition(batches):
             import os as _os
@@ -312,58 +326,205 @@ class LakeTable:
             import pyarrow.compute as _pc
             import pyarrow.parquet as _pq
 
+            # Buffer each bucket's slices and flush a row group only once
+            # ~FLUSH_ROWS have accumulated: one ParquetWriter.write_table
+            # call per incoming Arrow batch would emit a few-hundred-row row
+            # group each time (32 buckets x 10k-row batches), and per-group
+            # metadata/stats overhead then dominates the write (measured 4x
+            # throughput collapse on large per-task inputs).
+            FLUSH_ROWS = 48_000
             writers: dict[int, _pq.ParquetWriter] = {}
             names: dict[int, str] = {}
             counts: dict[int, int] = {}
+            buf: dict[int, list] = {}
+            buf_rows: dict[int, int] = {}
+            stat_parts: list = []
+
+            def flush(b: int) -> None:
+                parts = buf.get(b)
+                if not parts:
+                    return
+                tbl = _pa.concat_tables(parts)
+                w = writers.get(b)
+                if w is None:
+                    name = f"b{b:05d}-{_uuid.uuid4().hex[:16]}.parquet"
+                    names[b] = name
+                    writers[b] = w = _pq.ParquetWriter(
+                        _os.path.join(out, name),
+                        tbl.schema,
+                        compression="snappy",
+                    )
+                    counts[b] = 0
+                w.write_table(tbl)
+                counts[b] += tbl.num_rows
+                buf[b] = []
+                buf_rows[b] = 0
+
             for batch in batches:
                 tbl = _pa.Table.from_batches([batch])
                 bcol = tbl.column("_bucket")
                 data = tbl.select(data_cols)
+                if stats:
+                    # fingerprint chunks from the JVM row hash. Arithmetic
+                    # shift + mask on signed int64 == Spark's
+                    # shiftrightunsigned + mask: the mask keeps only bits
+                    # below the sign-extension, so the chunk values agree
+                    # bit-for-bit with commitlog.hash_chunk_exprs.
+                    h = tbl.column("_h")
+                    m22 = _pa.scalar(0x3FFFFF, _pa.int64())
+                    m20 = _pa.scalar(0xFFFFF, _pa.int64())
+                    part = _pa.table(
+                        {
+                            "epoch": tbl.column("epoch"),
+                            "sp": tbl.column("source_partition"),
+                            "h0": _pc.bit_wise_and(h, m22),
+                            "h1": _pc.bit_wise_and(
+                                _pc.shift_right(h, 22), m22
+                            ),
+                            "h2": _pc.bit_wise_and(
+                                _pc.shift_right(h, 44), m20
+                            ),
+                            "ndel": _pc.cast(
+                                tbl.column("_deleted"), _pa.int64()
+                            ),
+                            "lsn": tbl.column("_lsn"),
+                        }
+                    )
+                    stat_parts.append(
+                        part.group_by(["epoch", "sp"]).aggregate(
+                            [
+                                ("h0", "sum"),
+                                ("h1", "sum"),
+                                ("h2", "sum"),
+                                ("ndel", "sum"),
+                                ("lsn", "max"),
+                                ("lsn", "count"),
+                            ]
+                        )
+                    )
                 for b in _pc.unique(bcol).to_pylist():
                     sub = data.filter(_pc.equal(bcol, b))
-                    w = writers.get(b)
-                    if w is None:
-                        name = f"b{b:05d}-{_uuid.uuid4().hex[:16]}.parquet"
-                        names[b] = name
-                        writers[b] = w = _pq.ParquetWriter(
-                            _os.path.join(out, name),
-                            sub.schema,
-                            compression="snappy",
-                        )
-                        counts[b] = 0
-                    w.write_table(sub)
-                    counts[b] += sub.num_rows
+                    buf.setdefault(b, []).append(sub)
+                    buf_rows[b] = buf_rows.get(b, 0) + sub.num_rows
+                    if buf_rows[b] >= FLUSH_ROWS:
+                        flush(b)
+            for b in list(buf):
+                flush(b)
             for w in writers.values():
                 w.close()
+
+            out_schema = _pa.schema(
+                [
+                    ("kind", _pa.string()),
+                    ("bucket", _pa.int32()),
+                    ("path", _pa.string()),
+                    ("nrows", _pa.int64()),
+                    ("epoch", _pa.int32()),
+                    ("sp", _pa.int32()),
+                    ("h0", _pa.int64()),
+                    ("h1", _pa.int64()),
+                    ("h2", _pa.int64()),
+                    ("n", _pa.int64()),
+                    ("ndel", _pa.int64()),
+                    ("max_lsn", _pa.int64()),
+                ]
+            )
+            nil = [None] * len(names)
             if writers:
                 yield _pa.RecordBatch.from_pydict(
                     {
+                        "kind": ["f"] * len(names),
                         "bucket": list(names.keys()),
                         "path": list(names.values()),
                         "nrows": [counts[b] for b in names],
+                        "epoch": nil,
+                        "sp": nil,
+                        "h0": nil,
+                        "h1": nil,
+                        "h2": nil,
+                        "n": nil,
+                        "ndel": nil,
+                        "max_lsn": nil,
                     },
-                    schema=_pa.schema(
+                    schema=out_schema,
+                )
+            if stat_parts:
+                merged = (
+                    _pa.concat_tables(stat_parts)
+                    .group_by(["epoch", "sp"])
+                    .aggregate(
                         [
-                            ("bucket", _pa.int32()),
-                            ("path", _pa.string()),
-                            ("nrows", _pa.int64()),
+                            ("h0_sum", "sum"),
+                            ("h1_sum", "sum"),
+                            ("h2_sum", "sum"),
+                            ("ndel_sum", "sum"),
+                            ("lsn_max", "max"),
+                            ("lsn_count", "sum"),
                         ]
-                    ),
+                    )
+                )
+                k = merged.num_rows
+                none_s = [None] * k
+                yield _pa.RecordBatch.from_pydict(
+                    {
+                        "kind": ["s"] * k,
+                        "bucket": _pa.nulls(k, _pa.int32()),
+                        "path": none_s,
+                        "nrows": none_s,
+                        "epoch": _pc.cast(
+                            merged.column("epoch"), _pa.int32(), safe=False
+                        ).combine_chunks(),
+                        "sp": _pc.cast(
+                            merged.column("sp"), _pa.int32(), safe=False
+                        ).combine_chunks(),
+                        "h0": _pc.cast(
+                            merged.column("h0_sum_sum"), _pa.int64()
+                        ).combine_chunks(),
+                        "h1": _pc.cast(
+                            merged.column("h1_sum_sum"), _pa.int64()
+                        ).combine_chunks(),
+                        "h2": _pc.cast(
+                            merged.column("h2_sum_sum"), _pa.int64()
+                        ).combine_chunks(),
+                        "n": merged.column("lsn_count_sum").combine_chunks(),
+                        "ndel": merged.column("ndel_sum_sum").combine_chunks(),
+                        "max_lsn": merged.column("lsn_max_max").combine_chunks(),
+                    },
+                    schema=out_schema,
                 )
 
-        manifest = with_b.mapInArrow(
-            write_partition, "bucket int, path string, nrows long"
+        rows = with_b.mapInArrow(
+            write_partition,
+            "kind string, bucket int, path string, nrows long, epoch int, "
+            "sp int, h0 long, h1 long, h2 long, n long, ndel long, "
+            "max_lsn long",
         ).collect()
         files: dict[str, list[str]] = {}
-        for r in manifest:
-            files.setdefault(str(r["bucket"]), []).append(f"{rel}/{r['path']}")
-        return {b: sorted(fs) for b, fs in files.items()}
+        stat_rows = []
+        for r in rows:
+            if r["kind"] == "f":
+                files.setdefault(str(r["bucket"]), []).append(
+                    f"{rel}/{r['path']}"
+                )
+            else:
+                stat_rows.append(r)
+        files = {b: sorted(fs) for b, fs in files.items()}
+        if stats:
+            return files, stat_rows
+        return files
 
     def write_data_files_direct(
-        self, df: DataFrame, target_tasks: int | None = None
-    ) -> dict[str, list[str]]:
-        """Stage files via the shuffle-free Arrow writer (no commit)."""
-        return self._write_data_direct(df, target_tasks)
+        self,
+        df: DataFrame,
+        target_tasks: int | None = None,
+        stats: bool = False,
+    ):
+        """Stage files via the shuffle-free Arrow writer (no commit).
+
+        ``stats=True``: df carries ``_h``/``epoch``/``source_partition``
+        sidecar columns; returns ``(files, stats_rows)`` (see
+        ``_write_data_direct``)."""
+        return self._write_data_direct(df, target_tasks, stats=stats)
 
     def append_direct(
         self, df: DataFrame, target_tasks: int | None = None
@@ -383,27 +544,80 @@ class LakeTable:
         """
         return self._write_data(df, salts=salts)
 
+    def _process_commit_lock(self):
+        """Cross-process commit mutex (flock on <root>/.commit.lock).
+
+        Data-file staging is lock-free (files land under unique uuid dirs);
+        only the metadata read-merge-write serializes. This is the
+        pessimistic variant of Iceberg's optimistic commit protocol — on a
+        filesystem, a short exclusive lock beats retry loops. It makes
+        MULTIPLE OS PROCESSES (separate executors/JVMs, e.g. one writer per
+        epoch shard of a backfill) safe concurrent appenders to one table.
+        """
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            fd = os.open(
+                os.path.join(self.root, ".commit.lock"),
+                os.O_CREAT | os.O_RDWR,
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return lock()
+
+    def _refresh(self) -> None:
+        """Re-read current metadata from disk (another process may have
+        committed since this handle loaded)."""
+        self._meta = LakeTable.load(self.root)._meta
+
     def commit_append(self, new_files: dict[str, list[str]]) -> None:
-        """Commit previously staged files as an append snapshot."""
-        merged = {b: list(fs) for b, fs in self.current_snapshot.files.items()}
-        for b, fs in new_files.items():
-            merged.setdefault(b, []).extend(fs)
-        self._next_snapshot("append", {"buckets_written": len(new_files)}, merged)
+        """Commit previously staged files as an append snapshot.
+
+        Safe under concurrent committers (in-process threads AND separate
+        processes): the merge against the current snapshot happens after
+        re-reading metadata under the commit flock.
+        """
+        with self._process_commit_lock():
+            self._refresh()
+            merged = {
+                b: list(fs) for b, fs in self.current_snapshot.files.items()
+            }
+            for b, fs in new_files.items():
+                merged.setdefault(b, []).extend(fs)
+            self._next_snapshot(
+                "append", {"buckets_written": len(new_files)}, merged
+            )
 
     def commit_overwrite(
         self, new_files: dict[str, list[str]], buckets: list[int]
     ) -> None:
-        """Commit previously staged files as a bucket-replacing snapshot."""
-        merged = {
-            b: list(fs)
-            for b, fs in self.current_snapshot.files.items()
-            if int(b) not in buckets
-        }
-        for b, fs in new_files.items():
-            merged[b] = fs
-        self._next_snapshot(
-            "overwrite", {"buckets_replaced": sorted(buckets)}, merged
-        )
+        """Commit previously staged files as a bucket-replacing snapshot.
+
+        The flock serializes the metadata swap; note an overwrite REPLACES
+        the named buckets' file lists, so the caller must still ensure no
+        concurrent append to those buckets between its scan and this commit
+        (CdcPipeline holds its commit lock across compaction for exactly
+        this reason).
+        """
+        with self._process_commit_lock():
+            self._refresh()
+            merged = {
+                b: list(fs)
+                for b, fs in self.current_snapshot.files.items()
+                if int(b) not in buckets
+            }
+            for b, fs in new_files.items():
+                merged[b] = fs
+            self._next_snapshot(
+                "overwrite", {"buckets_replaced": sorted(buckets)}, merged
+            )
 
     def append(self, df: DataFrame, salts: int | None = None) -> None:
         """Append rows (new files only; existing files untouched)."""
@@ -463,19 +677,23 @@ class LakeTable:
         Alembic autogenerate-upgrade flow,
         ``/root/reference/app/database/migrations.py:49-107``).
         """
-        cur = self.schema
-        existing = {f.name for f in cur.fields}
-        added = [f for f in fields if f.name not in existing]
-        if not added:
-            return
-        for f in added:
-            if not f.nullable:
-                raise ValueError(f"added column {f.name} must be nullable")
-        new_schema = T.StructType(list(cur.fields) + added)
-        self._meta["schema"] = new_schema.jsonValue()
-        self._meta["schema_version"] += 1
-        self._next_snapshot(
-            "add-columns",
-            {"added": [f.name for f in added]},
-            self.current_snapshot.files,
-        )
+        with self._process_commit_lock():
+            self._refresh()
+            cur = self.schema
+            existing = {f.name for f in cur.fields}
+            added = [f for f in fields if f.name not in existing]
+            if not added:
+                return
+            for f in added:
+                if not f.nullable:
+                    raise ValueError(
+                        f"added column {f.name} must be nullable"
+                    )
+            new_schema = T.StructType(list(cur.fields) + added)
+            self._meta["schema"] = new_schema.jsonValue()
+            self._meta["schema_version"] += 1
+            self._next_snapshot(
+                "add-columns",
+                {"added": [f.name for f in added]},
+                self.current_snapshot.files,
+            )

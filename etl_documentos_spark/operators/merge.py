@@ -63,8 +63,8 @@ class MergeStats:
     conv_ids_touched: int
 
 
-def changes_to_physical(changes: DataFrame, table_schema: T.StructType) -> DataFrame:
-    """Project a change batch (op/.../lsn) onto the physical table shape."""
+def physical_exprs(changes: DataFrame, table_schema: T.StructType) -> list:
+    """Column expressions projecting a change batch onto the physical shape."""
     cols = []
     change_cols = set(changes.columns)
     for f in table_schema.fields:
@@ -76,7 +76,12 @@ def changes_to_physical(changes: DataFrame, table_schema: T.StructType) -> DataF
             cols.append(F.col(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return changes.select(*cols)
+    return cols
+
+
+def changes_to_physical(changes: DataFrame, table_schema: T.StructType) -> DataFrame:
+    """Project a change batch (op/.../lsn) onto the physical table shape."""
+    return changes.select(*physical_exprs(changes, table_schema))
 
 
 def merge_into(

@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # larger Arrow batches for mapInArrow: the direct writer pays a
+        # fixed per-batch cost (IPC framing + 1 filter per bucket present);
+        # 10k-row default batches make that cost ~6x the necessary rate
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

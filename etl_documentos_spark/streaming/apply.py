@@ -160,32 +160,53 @@ class CdcPipeline:
             table = self.table
             added = evolve_if_needed(batch, table)
 
-            # one pass: per-(epoch, source_partition) stats (chunked long
-            # sums — see commitlog.hash_chunk_exprs for why not decimal)
+            from etl_documentos_spark.operators.merge import physical_exprs
+
+            # SINGLE heavy pass: the Arrow writer aggregates fingerprint
+            # chunks + lineage counters per (epoch, source_partition) inline
+            # (lake.table._write_data_direct stats mode). The row hash is
+            # computed JVM-side over the same non-epoch column set the
+            # per-epoch path fingerprints, so cross-path fingerprints agree.
             data_cols = [F.col(c) for c in batch.columns if c != "epoch"]
-            rows = (
-                batch.groupBy("epoch", "source_partition")
-                .agg(
-                    *hash_chunk_exprs(data_cols),
-                    F.count("*").alias("n"),
-                    F.max("lsn").alias("max_lsn"),
-                    F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias(
-                        "up"
-                    ),
-                    F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias(
-                        "del"
-                    ),
-                    F.approx_count_distinct("conv_id").alias("convs"),
-                )
-                .collect()
+            aug = batch.select(
+                *physical_exprs(batch, table.schema),
+                F.xxhash64(*data_cols).alias("_h"),
+                F.col("epoch").cast("int").alias("epoch"),
+                F.col("source_partition").cast("int").alias(
+                    "source_partition"
+                ),
             )
 
-            # one shuffle-free append job for the whole super-batch
-            merge_mor(self.spark, table, batch.drop("epoch"))
-            self._maybe_compact(table)
+            # conv-distinct lineage counter: needs a real distinct, which
+            # per-task partials can't merge — but it reads only 3 columns
+            # (pruned scan), so run it CONCURRENTLY with the write job; each
+            # fills the other's scheduling gaps.
+            def collect_convs():
+                return (
+                    batch.groupBy("epoch", "source_partition")
+                    .agg(F.approx_count_distinct("conv_id").alias("convs"))
+                    .collect()
+                )
 
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                convs_future = pool.submit(collect_convs)
+                files, stat_rows = table.write_data_files_direct(
+                    aug, stats=True
+                )
+                conv_rows = convs_future.result()
+            if files:
+                with self._commit_lock:
+                    self.table.commit_append(files)
+            self._maybe_compact(self.table)
+
+            convs = {
+                (int(r["epoch"]), int(r["source_partition"])): int(r["convs"])
+                for r in conv_rows
+            }
             per_epoch: dict[int, list] = {}
-            for r in rows:
+            for r in stat_rows:
                 per_epoch.setdefault(int(r["epoch"]), []).append(r)
             results = list(skipped)
             duration = time.monotonic() - t0
@@ -195,13 +216,14 @@ class CdcPipeline:
                 fp = combine_chunks(
                     [(int(r["h0"]), int(r["h1"]), int(r["h2"])) for r in ers]
                 ) + f":{n}"
-                offsets = {
-                    int(r["source_partition"]): int(r["max_lsn"]) for r in ers
-                }
+                offsets = {int(r["sp"]): int(r["max_lsn"]) for r in ers}
                 lineage = [
                     (
-                        int(r["source_partition"]), int(r["n"]), int(r["up"]),
-                        int(r["del"]), int(r["convs"]),
+                        int(r["sp"]),
+                        int(r["n"]),
+                        int(r["n"]) - int(r["ndel"]),
+                        int(r["ndel"]),
+                        convs.get((e, int(r["sp"])), 0),
                     )
                     for r in ers
                 ]

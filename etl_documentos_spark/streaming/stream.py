@@ -78,14 +78,17 @@ def replay_bulk(
     pipeline: CdcPipeline,
     events_path: str,
     schema: T.StructType | None = None,
+    epochs: list[int] | None = None,
 ) -> list[EpochResult]:
-    """Backfill replay: all epochs in one super-batch (see
-    ``CdcPipeline.apply_epochs_bulk``). Per-epoch exactly-once records are
-    preserved; the per-epoch driver overhead is paid once. The input is
-    immutable on-disk parquet, so the stats pass and the append pass can
-    each scan it directly (``persist=False``) — no cache materialization."""
+    """Backfill replay: all epochs (or an explicit subset — e.g. one
+    executor process's shard of a partitioned backfill) in one super-batch
+    (see ``CdcPipeline.apply_epochs_bulk``). Per-epoch exactly-once records
+    are preserved; the per-epoch driver overhead is paid once. The input is
+    immutable on-disk parquet, so the single-pass apply can scan it directly
+    (``persist=False``) — no cache materialization."""
     spark = pipeline.spark
-    epochs = list_epochs(events_path)
+    if epochs is None:
+        epochs = list_epochs(events_path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
