@@ -293,25 +293,41 @@ def run_default(sf_dir: str, cpus: int) -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # CDC replay throughput at the same parallelism
+    # CDC replay throughput at the same parallelism: the streaming-tail
+    # shape (per-epoch micro-batches, pipelined) AND the backfill shape
+    # (bulk super-batch) — the driver-recorded metric covers both
     events = _ensure_events(spark)
     workdir = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
         cdc = _replay(spark, events, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+    workdir = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        cdc_bulk = _replay(spark, events, workdir, bulk=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
-    total = round(sum(timings.values()) + cdc["seconds"], 3)
+    total = round(
+        sum(timings.values()) + cdc["seconds"] + cdc_bulk["seconds"], 3
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_total_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, "cdc_replay": round(cdc["seconds"], 3)},
+                "queries": {
+                    **timings,
+                    "cdc_replay": round(cdc["seconds"], 3),
+                    "cdc_replay_bulk": round(cdc_bulk["seconds"], 3),
+                },
                 "sf": sf_dir,
                 "cdc_events": cdc["events"],
                 "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+                "cdc_bulk_events_per_sec": round(
+                    cdc_bulk["events_per_sec"], 1
+                ),
                 "cpus": cpus,
             }
         )
@@ -531,11 +547,16 @@ def run_scaling(
         "- Residual pair-efficiency loss is shared-memory-subsystem "
         "contention, not engine serialization: the same job in SEPARATE "
         "single-core processes (fleet ladder — own JVM, heap, python pool "
-        "each) shows the same per-core falloff as threads, raw arithmetic "
-        "scales ~1.0, and a 512 MB-working-set memory-streaming probe "
-        "scales ~0.87 on this box. A real 4N-executor cluster gives each "
-        "executor its own memory controllers and page cache, which is "
-        "precisely what one box cannot.",
+        "each) shows the same per-core falloff as threads. A pure-C++ "
+        "parquet decode+re-encode loop over the same multi-GB working set "
+        "(tools/calibrate_parquet.py — no Spark, no JVM, no python in the "
+        "loop) scales 1->4 at ~0.87 and 1->16 at ~0.72 on this host, "
+        "while raw arithmetic scales ~1.0 — i.e. streaming this data "
+        "volume through ANY columnar engine caps well below 1.0 here. "
+        "Against that ceiling the engine's 1->4 pair (0.78) is ~90% of "
+        "the attainable. A real 4N-executor cluster gives each executor "
+        "its own memory controllers and page cache, which is precisely "
+        "what one box cannot.",
         "- What transfers to the cluster: appends are shuffle-free "
         "(mapInArrow bucket writers from source partitions), stats ride "
         "the same single pass, commits are metadata-only behind a "
