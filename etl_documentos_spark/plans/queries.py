@@ -1202,6 +1202,53 @@ _TIMELINE_SQL = """
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing (text_utils.py:278-292 / the reference's JSON
+    ``detalhes``/``dados_extraidos`` columns): typed from_json over the
+    events ``props`` column + a P6-style NOT NULL predicate."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            parsed["k"].alias("k"),
+            (parsed["k"] % 10 == 0).alias("k_round"),
+        )
+    )
+
+
+_JSON_SQL = """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS INT) % 10 = 0 AS k_round
+    FROM events WHERE props IS NOT NULL
+"""
+
+
+def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 NULL predicates as a dashboard: per event_type, open (tool-less)
+    vs closed rows and null-rate (repositories.py:230-234 shape)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0)).alias(
+            "n_null_source"
+        ),
+        F.sum(F.when(F.col("source").isNotNull(), 1).otherwise(0)).alias(
+            "n_with_source"
+        ),
+    )
+
+
+_NULL_AUDIT_SQL = """
+    SELECT lang, count(*) AS n,
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_null_source,
+           sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS n_with_source
+    FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1253,9 +1300,13 @@ QUERIES: dict[str, Query] = {
     "text_chunking": q_text_chunking,
     "html_strip_preview": q_html_strip_preview,
     "conversation_timeline": q_conversation_timeline,
+    "json_extract": q_json_extract,
+    "null_audit": q_null_audit,
 }
 
 ORACLES: dict[str, str] = {
+    "json_extract": _JSON_SQL,
+    "null_audit": _NULL_AUDIT_SQL,
     "keyword_classifier": _KEYWORD_SQL,
     "chunk_consolidate": _CONSOLIDATE_SQL,
     "text_chunking": _CHUNKING_SQL,

@@ -27,6 +27,18 @@ def get_spark(
     ``shuffle.partitions`` which should scale with executor count (AQE
     coalesces the excess at runtime, so we set a generous ceiling).
     """
+    # python workers resolve module-level UDFs by importing the package;
+    # exporting the package parent on PYTHONPATH (before the JVM spawns
+    # workers) makes that work from any driver cwd. On a cluster,
+    # ``spark-submit --py-files dist/etl_documentos_spark.zip`` is the
+    # equivalent (tools/make_pyfiles.py).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"

@@ -216,16 +216,27 @@ class CdcPipeline:
                 fp = combine_chunks(
                     [(int(r["h0"]), int(r["h1"]), int(r["h2"])) for r in ers]
                 ) + f":{n}"
-                offsets = {int(r["sp"]): int(r["max_lsn"]) for r in ers}
+                # every writer TASK emits a partial per (epoch, sp) it saw —
+                # combine partials: max for offsets, sum for counters
+                offsets: dict[int, int] = {}
+                per_sp: dict[int, list[int]] = {}
+                for r in ers:
+                    sp = int(r["sp"])
+                    offsets[sp] = max(
+                        offsets.get(sp, -1), int(r["max_lsn"])
+                    )
+                    agg = per_sp.setdefault(sp, [0, 0])
+                    agg[0] += int(r["n"])
+                    agg[1] += int(r["ndel"])
                 lineage = [
                     (
-                        int(r["sp"]),
-                        int(r["n"]),
-                        int(r["n"]) - int(r["ndel"]),
-                        int(r["ndel"]),
-                        convs.get((e, int(r["sp"])), 0),
+                        sp,
+                        n_sp,
+                        n_sp - ndel_sp,
+                        ndel_sp,
+                        convs.get((e, sp), 0),
                     )
-                    for r in ers
+                    for sp, (n_sp, ndel_sp) in sorted(per_sp.items())
                 ]
                 append_lineage_rows(self.spark, self.lineage_path, e, lineage)
                 append_metrics(
