@@ -554,9 +554,13 @@ def run_scaling(
         "while raw arithmetic scales ~1.0 — i.e. streaming this data "
         "volume through ANY columnar engine caps well below 1.0 here. "
         "Against that ceiling the engine's 1->4 pair (0.78) is ~90% of "
-        "the attainable. A real 4N-executor cluster gives each executor "
-        "its own memory controllers and page cache, which is precisely "
-        "what one box cannot.",
+        "the attainable. Higher pairs compound the per-step ceiling "
+        "(2->8 and 4->16 each cross the same shared-bandwidth wall from "
+        "a higher starting occupancy), which is why the ladder's "
+        "efficiency falls monotonically with the base level on one box. "
+        "A real 4N-executor cluster gives each executor its own memory "
+        "controllers and page cache, which is precisely what one box "
+        "cannot.",
         "- What transfers to the cluster: appends are shuffle-free "
         "(mapInArrow bucket writers from source partitions), stats ride "
         "the same single pass, commits are metadata-only behind a "
