@@ -1249,6 +1249,59 @@ _NULL_AUDIT_SQL = """
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time as-of join (operators/asof.py): for each purchase, the
+    most recent click by the same user at-or-before the purchase time.
+    Beyond-reference operator (SURVEY §2.3 has only FK equi-joins)."""
+    from etl_documentos_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_cols=["click_id"], tiebreak="click_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        F.col("click_id_right").alias("click_id"),
+    )
+
+
+_ASOF_SQL = """
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, ts FROM events
+      WHERE event_type = 'click'),
+    tagged AS (
+      SELECT user_id, ts, 1 AS is_left, 0 AS tb, event_id,
+             NULL::BIGINT AS click_id, NULL::TIMESTAMP AS click_ts
+      FROM purchases
+      UNION ALL
+      SELECT user_id, ts, 0 AS is_left, click_id AS tb,
+             NULL::BIGINT AS event_id, click_id, ts AS click_ts
+      FROM clicks),
+    carried AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER w AS m_click_id,
+             last_value(click_ts IGNORE NULLS) OVER w AS m_click_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts, m_click_ts AS click_ts,
+           m_click_id AS click_id
+    FROM carried WHERE is_left = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1302,9 +1355,11 @@ QUERIES: dict[str, Query] = {
     "conversation_timeline": q_conversation_timeline,
     "json_extract": q_json_extract,
     "null_audit": q_null_audit,
+    "asof_join": q_asof_join,
 }
 
 ORACLES: dict[str, str] = {
+    "asof_join": _ASOF_SQL,
     "json_extract": _JSON_SQL,
     "null_audit": _NULL_AUDIT_SQL,
     "keyword_classifier": _KEYWORD_SQL,
