@@ -52,6 +52,8 @@ HEADLINE = [
     "simhash",
     "knn_cosine",
     "tumbling_windows",
+    "asof_join",
+    "conversation_timeline",
 ]
 
 #: default bench replay size; the scaling ladder uses a larger input
