@@ -577,8 +577,10 @@ def run_scaling(
         "loop) scales 1->4 at ~0.87 and 1->16 at ~0.72 on this host, "
         "while raw arithmetic scales ~1.0 — i.e. streaming this data "
         "volume through ANY columnar engine caps well below 1.0 here. "
-        "Against that ceiling the engine's 1->4 pair (0.78) is ~90% of "
-        "the attainable. Higher pairs compound the per-step ceiling "
+        f"Against that ceiling the engine's best pair "
+        f"({max(e for _, _, _, e in pairs):.2f}) reaches "
+        f"~{max(e for _, _, _, e in pairs) / 0.87:.0%} of the attainable. "
+        "Higher pairs compound the per-step ceiling "
         "(2->8 and 4->16 each cross the same shared-bandwidth wall from "
         "a higher starting occupancy), which is why the ladder's "
         "efficiency falls monotonically with the base level on one box. "
