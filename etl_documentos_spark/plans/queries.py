@@ -439,7 +439,8 @@ _SESSIONIZE_SQL = """
     per_sess AS (
       SELECT user_id, session_id, count(*) AS n_events
       FROM sess GROUP BY 1, 2)
-    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
            max(n_events) AS max_session_events
     FROM per_sess GROUP BY user_id
 """
@@ -953,9 +954,43 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_LSH_SQL = """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    p AS (SELECT vec_id AS pid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+          FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          FROM embeddings WHERE vec_id <> 0),
+    sig AS (
+      SELECT v.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(
+                    generate_series(1, len(vv)), i -> vv[i] * pv[i])) > 0
+                  THEN CAST(pow(2, pid - 1) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v, p GROUP BY v.vec_id),
+    qsig AS (
+      SELECT CAST(sum(CASE WHEN list_sum(list_transform(
+                    generate_series(1, len(qv)), i -> qv[i] * pv[i])) > 0
+                  THEN CAST(pow(2, pid - 1) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS qb
+      FROM q, p),
+    scored AS (
+      SELECT v.vec_id,
+             list_sum(list_transform(generate_series(1, len(vv)),
+                                     i -> vv[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(vv, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS s
+      FROM v JOIN sig ON v.vec_id = sig.vec_id, q, qsig
+      WHERE sig.bucket = qsig.qb)
+    SELECT vec_id, round(s, 4) AS cosine_sim
+    FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+
 def q_cpf_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CPF check-digit validation via vectorized pandas UDF (mod-11 math,
-    validators.py:20-58; rows-only — the UDF is the point)."""
+    validators.py:20-58; oracle = the same digit arithmetic in SQL)."""
     d = load(spark, sf_dir, "documents")
     cpf = F.concat(
         F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
@@ -969,6 +1004,33 @@ def q_cpf_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", cpf.alias("cpf"), tx.cpf_valid(cpf).alias("is_valid")
     )
+
+
+_CPF_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '.' ||
+             lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '.' ||
+             lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS cpf
+      FROM documents),
+    d AS (
+      SELECT doc_id, cpf,
+             list_transform(regexp_extract_all(cpf, '[0-9]'),
+                            x -> CAST(x AS INT)) AS ds
+      FROM t)
+    SELECT doc_id, cpf,
+      CASE WHEN len(list_distinct(ds)) = 1 THEN FALSE ELSE (
+        (list_sum(list_transform(generate_series(1, 9),
+                                 i -> ds[i] * (11 - i))) * 10) % 11 % 10
+          = ds[10]
+        AND
+        (list_sum(list_transform(generate_series(1, 10),
+                                 i -> ds[i] * (12 - i))) * 10) % 11 % 10
+          = ds[11]
+      ) END AS is_valid
+    FROM d
+"""
 
 
 def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,8 +1305,10 @@ def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NULL_AUDIT_SQL = """
     SELECT lang, count(*) AS n,
-           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_null_source,
-           sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS n_with_source
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_source,
+           CAST(sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_source
     FROM documents GROUP BY lang
 """
 
@@ -1378,8 +1442,10 @@ ORACLES: dict[str, str] = {
         WITH ch AS ({_DERIVE_SQL})
         SELECT CAST(floor(lsn / 1000.0) AS BIGINT) AS epoch,
                count(*) AS events_read,
-               sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS rows_upserted,
-               sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS rows_deleted,
+               CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rows_upserted,
+               CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rows_deleted,
                count(DISTINCT conv_id) AS conv_ids_touched
         FROM ch GROUP BY 1
     """,
@@ -1389,8 +1455,10 @@ ORACLES: dict[str, str] = {
     "tpch_q6": _TPCH_Q6_SQL,
     "dashboard_counts": """
         SELECT count(*) AS total,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_success,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_error
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_success,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error
         FROM orders
     """,
     "usage_report": _USAGE_SQL,
@@ -1447,8 +1515,10 @@ ORACLES: dict[str, str] = {
     "simhash": _simhash_sql(),
     "extract_patterns": _EXTRACT_SQL,
     "multimodal_meta": _MULTIMODAL_SQL,
-    # multimodal_decode / frame_sample / ann_lsh / cpf_validation: rows-only
-    # (stub decoders + pandas UDF internals are not SQL-expressible)
+    # multimodal_decode / frame_sample: rows-only (stub decoders are
+    # engine-internal fakes, not SQL-expressible)
+    "ann_lsh": _ANN_LSH_SQL,
+    "cpf_validation": _CPF_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,
     "tumbling_windows": _TUMBLING_SQL,
     "cube_orders": _CUBE_SQL,
