@@ -48,22 +48,27 @@ def near_dup_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    max_doc_frequency: float | None = None,
+    max_doc_frequency: float | None = 0.05,
 ) -> DataFrame:
     """Pairs of documents with token-set Jaccard >= threshold.
 
     Inverted-index candidate join: explode distinct tokens, self-join on the
     token, count shared tokens per pair, then jaccard = inter/(|a|+|b|-inter).
     Shuffles on the token key — ultra-frequent tokens are the O(n^2) hazard at
-    scale; ``max_doc_frequency`` drops tokens present in more than that
-    fraction of documents before the join (the standard near-dup df-cap; it
-    makes the result approximate, so the oracle-checked query leaves it off).
+    scale: one token present in k docs makes k^2 candidate rows, so on a
+    skewed corpus the hottest token IS the job. ``max_doc_frequency`` (ON by
+    default) drops tokens present in more than that fraction of documents
+    before the join — the standard near-dup df-cap. High-df tokens carry
+    almost no set-similarity signal, but the result is technically
+    approximate: pass ``max_doc_frequency=None`` for the exact (and
+    scale-unsafe) form, as the oracle-checked query does.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     docs = _doc_words(df, text_col, id_col).withColumn("_n", F.size("_ws"))
     tokens = docs.select("_id", "_n", F.explode("_ws").alias("w"))
     if max_doc_frequency is not None:
-        n_docs = docs.count()
+        # count the raw rows (no tokenization pass) for the df-cap threshold
+        n_docs = df.count()
         cap = int(max_doc_frequency * n_docs)
         common = (
             tokens.groupBy("w").count().filter(F.col("count") > cap).select("w")
@@ -186,13 +191,36 @@ def simhash(
         F.array_distinct(ws),
         lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
     )
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        vote = F.aggregate(
-            tok_hash,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+
+    # single pass over the token-hash array: fold a bits-wide vote vector
+    # (+1/-1 per bit per token), then weigh positive votes by 2^i. The old
+    # shape ran one F.aggregate per bit — `bits` traversals re-evaluating the
+    # md5-derived hash array each time (no CSE across aggregates).
+    def bitvec(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(bits)
+            ]
         )
-        sim = sim + F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(0)
+
+    votes = F.aggregate(
+        tok_hash,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b),
+    )
+    powers = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(F.col(id_col).alias("_id"), sim.alias("simhash"))

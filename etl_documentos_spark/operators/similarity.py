@@ -112,6 +112,125 @@ def ann_lsh_topk(
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
+def allpairs_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine pairs ≥ threshold — no cartesian join.
+
+    Replaces the naive ``a.join(b, id_a < id_b)`` (a driver-planned
+    BroadcastNestedLoopJoin, O(n²) *rows* materialized) with the standard
+    blocked scheme: each vector gets a block ``g = id % n_blocks`` and is
+    replicated to every unordered block pair containing ``g`` (replication
+    factor = n_blocks). A shuffle on the block-pair key co-locates each
+    pair-of-blocks on one task; inside the task a single numpy/BLAS matmul
+    scores the block-cross product and only surviving pairs are emitted.
+
+    The O(n²) FLOPs are inherent to *exact* all-pairs; what this buys at
+    scale is (a) the work is spread evenly over n_blocks·(n_blocks+1)/2
+    independent tasks (set n_blocks ≈ sqrt(2·parallelism)), (b) compute is
+    one BLAS call per task instead of per-row expression evaluation, and
+    (c) output stays sparse — only ≥-threshold pairs ever become rows.
+    For corpus-scale (10^9+) use the approximate ``near_dup_pairs_lsh``.
+
+    Output contract matches the previous operator: (id_a, id_b, cosine_sim)
+    with id_a < id_b and cosine_sim rounded to 4 decimals, filtered on the
+    rounded value.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = int(n_blocks)
+    g = F.pmod(F.col(id_col).cast("long"), F.lit(b))
+    # every unordered block pair (i, j) with i <= j that contains g
+    pair_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda h: F.struct(
+            F.least(g, h).alias("bi"), F.greatest(g, h).alias("bj")
+        ),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            _to_double(vec_col).alias("_v"),
+            g.alias("_g"),
+            F.explode(F.array_distinct(pair_keys)).alias("_bp"),
+        )
+        .select("_id", "_v", "_g", F.col("_bp.bi").alias("_bi"),
+                F.col("_bp.bj").alias("_bj"))
+    )
+
+    thr = float(threshold)
+
+    def score(key, pdf):
+        bi, bj = key
+        m = np.vstack(pdf["_v"].map(np.asarray).values).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["_id"].to_numpy()
+        if bi == bj:
+            sims = m @ m.T
+            ia, ib = np.nonzero(np.round(sims, 4) >= thr)
+            keep = ids[ia] < ids[ib]
+            ia, ib = ia[keep], ib[keep]
+            return pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib],
+                 "cosine_sim": np.round(sims[ia, ib], 4)}
+            )
+        left = pdf["_g"].to_numpy() == bi
+        la, lb = ids[left], ids[~left]
+        sims = m[left] @ m[~left].T
+        ia, ib = np.nonzero(np.round(sims, 4) >= thr)
+        id_a = np.minimum(la[ia], lb[ib])
+        id_b = np.maximum(la[ia], lb[ib])
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b,
+             "cosine_sim": np.round(sims[ia, ib], 4)}
+        )
+
+    return exploded.groupBy("_bi", "_bj").applyInPandas(
+        score, schema="id_a long, id_b long, cosine_sim double"
+    )
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate near-dup pairs: hyperplane-LSH bucket candidates + exact
+    in-bucket cosine verify.
+
+    The bucket id is an equi-join key, so candidate generation is a shuffle
+    (linear), never a cross join; pair work is quadratic only *within* a
+    bucket (expected n/2^planes rows). Standard LSH recall tradeoff — add
+    planes to prune harder, or union several plane sets (bands) to boost
+    recall. This is the 10^9-vector path; ``allpairs_cosine_pairs`` is the
+    exact (quadratic-FLOP) fallback.
+    """
+    sig = hyperplane_signature(df, planes, vec_col)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        _to_double(vec_col).alias("va"),
+        sig.alias("_bucket"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        _to_double(vec_col).alias("vb"),
+        sig.alias("_bucket"),
+    )
+    pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= float(threshold))
+    )
+
+
 def cosine_topk_pandas(
     df: DataFrame,
     query_vec: list[float],

@@ -655,8 +655,10 @@ _QUALITY_SQL = f"""
 # dedup / similarity family
 # ---------------------------------------------------------------------------
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact form (df-cap off) so the all-pairs DuckDB oracle matches; the
+    # library default keeps the cap ON for skew safety at scale
     return dedup.near_dup_jaccard(
-        load(spark, sf_dir, "documents"), threshold=0.9
+        load(spark, sf_dir, "documents"), threshold=0.9, max_doc_frequency=None
     )
 
 
@@ -904,25 +906,13 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.4; exact double math)."""
+    """Embedding-cosine near-dup pairs (threshold 0.4; exact double math).
+
+    Blocked all-pairs (block-pair shuffle + per-task BLAS matmul) — same
+    output as the naive cross join, but no BroadcastNestedLoopJoin in the
+    plan and the quadratic FLOPs spread evenly across tasks."""
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        similarity._to_double("embedding").alias("va"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        similarity._to_double("embedding").alias("vb"),
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = similarity.dot(F.col("va"), F.col("vb")) / (
-        similarity.norm(F.col("va")) * similarity.norm(F.col("vb"))
-    )
-    return (
-        pairs.select("id_a", "id_b", sim.alias("_s"))
-        .filter(F.round(F.col("_s"), 4) >= 0.4)
-        .select("id_a", "id_b", F.round("_s", 4).alias("cosine_sim"))
-    )
+    return similarity.allpairs_cosine_pairs(emb, threshold=0.4, n_blocks=8)
 
 
 _NEAR_DUP_EMB_SQL = """

@@ -71,6 +71,33 @@ def test_dedup_exact_groups(spark):
     assert rows == {1: 2, 3: 1}
 
 
+def test_jaccard_df_cap_defuses_hot_token(spark):
+    """A token present in every doc must not create O(n^2) candidate pairs
+    when the default df-cap is on; with the cap disabled it does."""
+    n = 30
+    rows = [(i, f"common unique{i}a unique{i}b unique{i}c") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold 0 surfaces every candidate pair the join generates
+    capped = dedup.near_dup_jaccard(df, threshold=0.0).count()
+    uncapped = dedup.near_dup_jaccard(
+        df, threshold=0.0, max_doc_frequency=None
+    ).count()
+    assert uncapped == n * (n - 1) // 2  # hot token pairs everything
+    assert capped == 0  # cap drops the all-docs token before the join
+    # real near-dups (sharing rare tokens) still pair up under the cap
+    df2 = spark.createDataFrame(
+        rows + [(n, "common unique0a unique0b unique0c")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_jaccard(
+            df2, threshold=0.5, max_doc_frequency=0.2
+        ).collect()
+    }
+    assert (0, n) in pairs
+
+
 def test_minhash_identical_docs_collide(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),

@@ -33,6 +33,64 @@ def test_dim_joins_broadcast(spark):
     assert inspect.uses_broadcast_join(df), inspect.physical_plan(df)
 
 
+def test_near_dup_embedding_has_no_nested_loop_join(spark):
+    """The exact all-pairs operator must be the blocked shuffle+BLAS shape,
+    never a BroadcastNestedLoopJoin cartesian (the round-1 scale-killer)."""
+    from etl_documentos_spark.plans.queries import q_near_dup_embedding
+
+    df = q_near_dup_embedding(spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_allpairs_blocked_equals_naive(spark):
+    """Blocked all-pairs == brute-force pairs on a small corpus, any
+    n_blocks (including n_blocks > distinct ids and 1)."""
+    from pyspark.sql import functions as F
+
+    from etl_documentos_spark.operators import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    naive_a = emb.select(F.col("vec_id").alias("id_a"),
+                         similarity._to_double("embedding").alias("va"))
+    naive_b = emb.select(F.col("vec_id").alias("id_b"),
+                         similarity._to_double("embedding").alias("vb"))
+    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    naive = (
+        naive_a.join(naive_b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.3)
+    )
+    expected = sorted(map(tuple, naive.collect()))
+    for nb in (1, 3, 8, 64):
+        got = sorted(map(tuple, similarity.allpairs_cosine_pairs(
+            emb, threshold=0.3, n_blocks=nb
+        ).collect()))
+        assert got == expected, f"n_blocks={nb}"
+
+
+def test_near_dup_lsh_pairs_subset_of_exact(spark):
+    """LSH candidate pairs are a subset of the exact pairs (in-bucket exact
+    verify -> no false positives; recall loss only)."""
+    from etl_documentos_spark.operators import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    planes = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (1,2,3)").orderBy("vec_id").collect()
+    ]
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in similarity.allpairs_cosine_pairs(
+            emb, threshold=0.3, n_blocks=4
+        ).collect()
+    )
+    lsh = similarity.near_dup_pairs_lsh(emb, 0.3, planes).collect()
+    assert len(lsh) > 0
+    assert set((r["id_a"], r["id_b"]) for r in lsh) <= exact
+
+
 def test_merge_scan_prunes_buckets(spark, tmp_path):
     """The MERGE reads only touched buckets' files (partition pruning at the
     manifest level, not the planner level — assert the file count)."""
