@@ -373,6 +373,7 @@ class LakeTable:
                     h = tbl.column("_h")
                     m22 = _pa.scalar(0x3FFFFF, _pa.int64())
                     m20 = _pa.scalar(0xFFFFF, _pa.int64())
+                    has_ts = "ts" in tbl.schema.names
                     part = _pa.table(
                         {
                             "epoch": tbl.column("epoch"),
@@ -388,6 +389,17 @@ class LakeTable:
                                 tbl.column("_deleted"), _pa.int64()
                             ),
                             "lsn": tbl.column("_lsn"),
+                            "ts": (
+                                _pc.cast(
+                                    tbl.column("ts"),
+                                    _pa.timestamp("us"),
+                                    safe=False,
+                                )
+                                if has_ts
+                                else _pa.nulls(
+                                    tbl.num_rows, _pa.timestamp("us")
+                                )
+                            ),
                         }
                     )
                     stat_parts.append(
@@ -399,6 +411,7 @@ class LakeTable:
                                 ("ndel", "sum"),
                                 ("lsn", "max"),
                                 ("lsn", "count"),
+                                ("ts", "max"),
                             ]
                         )
                     )
@@ -427,6 +440,7 @@ class LakeTable:
                     ("n", _pa.int64()),
                     ("ndel", _pa.int64()),
                     ("max_lsn", _pa.int64()),
+                    ("max_ts", _pa.timestamp("us")),
                 ]
             )
             nil = [None] * len(names)
@@ -445,6 +459,7 @@ class LakeTable:
                         "n": nil,
                         "ndel": nil,
                         "max_lsn": nil,
+                        "max_ts": nil,
                     },
                     schema=out_schema,
                 )
@@ -460,6 +475,7 @@ class LakeTable:
                             ("ndel_sum", "sum"),
                             ("lsn_max", "max"),
                             ("lsn_count", "sum"),
+                            ("ts_max", "max"),
                         ]
                     )
                 )
@@ -489,6 +505,9 @@ class LakeTable:
                         "n": merged.column("lsn_count_sum").combine_chunks(),
                         "ndel": merged.column("ndel_sum_sum").combine_chunks(),
                         "max_lsn": merged.column("lsn_max_max").combine_chunks(),
+                        "max_ts": _pc.cast(
+                            merged.column("ts_max_max"), _pa.timestamp("us")
+                        ).combine_chunks(),
                     },
                     schema=out_schema,
                 )
@@ -497,7 +516,7 @@ class LakeTable:
             write_partition,
             "kind string, bucket int, path string, nrows long, epoch int, "
             "sp int, h0 long, h1 long, h2 long, n long, ndel long, "
-            "max_lsn long",
+            "max_lsn long, max_ts timestamp_ntz",
         ).collect()
         files: dict[str, list[str]] = {}
         stat_rows = []
@@ -596,15 +615,22 @@ class LakeTable:
             )
 
     def commit_overwrite(
-        self, new_files: dict[str, list[str]], buckets: list[int]
+        self,
+        new_files: dict[str, list[str]],
+        buckets: list[int],
+        expected: dict[str, list[str]] | None = None,
     ) -> None:
         """Commit previously staged files as a bucket-replacing snapshot.
 
-        The flock serializes the metadata swap; note an overwrite REPLACES
-        the named buckets' file lists, so the caller must still ensure no
-        concurrent append to those buckets between its scan and this commit
-        (CdcPipeline holds its commit lock across compaction for exactly
-        this reason).
+        ``expected``: the per-bucket file lists the caller's read (scan) was
+        based on. Under the commit flock, files that appeared in an
+        overwritten bucket AFTER that scan (a concurrent appender in another
+        thread/process) are carried over into the new snapshot instead of
+        being silently dropped: the replacement covers exactly the scanned
+        files, the survivors stay as delta files and the LWW read reduction
+        absorbs them. Without ``expected`` the named buckets' file lists are
+        replaced wholesale — only safe when the caller serializes against all
+        other writers itself.
         """
         with self._process_commit_lock():
             self._refresh()
@@ -613,8 +639,18 @@ class LakeTable:
                 for b, fs in self.current_snapshot.files.items()
                 if int(b) not in buckets
             }
+            if expected is not None:
+                for b in (str(x) for x in buckets):
+                    scanned = set(expected.get(b, []))
+                    survivors = [
+                        f
+                        for f in self.current_snapshot.files.get(b, [])
+                        if f not in scanned
+                    ]
+                    if survivors:
+                        merged[b] = survivors
             for b, fs in new_files.items():
-                merged[b] = fs
+                merged[b] = fs + merged.get(b, [])
             self._next_snapshot(
                 "overwrite", {"buckets_replaced": sorted(buckets)}, merged
             )
@@ -624,16 +660,23 @@ class LakeTable:
         self.commit_append(self.write_data_files(df, salts=salts))
 
     def overwrite_buckets(
-        self, df: DataFrame, buckets: list[int], salts: int | None = None
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        salts: int | None = None,
+        expected: dict[str, list[str]] | None = None,
     ) -> None:
         """Copy-on-write replace of the named buckets with df's rows.
 
         df must contain only rows belonging to ``buckets`` (caller guarantees
         it — merge_into does). Untouched buckets keep their existing files;
         this is what keeps a MERGE that hits 1% of conversations from
-        rewriting 100 TB.
+        rewriting 100 TB. ``expected`` (the file lists df was computed from)
+        makes the commit concurrency-safe — see ``commit_overwrite``.
         """
-        self.commit_overwrite(self.write_data_files(df, salts=salts), buckets)
+        self.commit_overwrite(
+            self.write_data_files(df, salts=salts), buckets, expected=expected
+        )
 
     # ------------------------------------------------------------------- gc
     def expire_snapshots(self, keep_last: int = 2) -> int:
@@ -641,9 +684,16 @@ class LakeTable:
 
         Keeps the most recent ``keep_last`` snapshots (time travel window);
         deletes every data file referenced only by expired snapshots.
-        Returns the number of files deleted. Single-writer assumption: call
-        from the owner of the commit lock.
+        Returns the number of files deleted. Runs under the cross-process
+        commit flock on fresh metadata, so it can neither delete a file a
+        concurrent committer just referenced nor clobber that commit's
+        metadata.
         """
+        with self._process_commit_lock():
+            self._refresh()
+            return self._expire_snapshots_locked(keep_last)
+
+    def _expire_snapshots_locked(self, keep_last: int) -> int:
         snaps = sorted(self.snapshots, key=lambda s: s.snapshot_id)
         if len(snaps) <= keep_last:
             return 0

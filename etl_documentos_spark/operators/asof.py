@@ -57,11 +57,17 @@ def asof_join(
         ]
     )
 
+    # order by the tiebreak column's NATIVE type: casting (e.g. a string id)
+    # to long would silently null it out and collapse the deterministic
+    # equal-ts ordering. Only right rows ever compare on _tb (left rows sort
+    # after all right rows at equal ts via _is_left), so the left side just
+    # carries a typed null.
+    tb_type = right.schema[tiebreak].dataType if tiebreak else T.IntegerType()
     l_tag = left.select(
         F.col(on),
         F.col(ts),
         F.lit(1).alias("_is_left"),
-        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
         F.lit(None).cast(r_type).alias("_r"),
     )
@@ -70,7 +76,7 @@ def asof_join(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_is_left"),
-        tb.cast("long").alias("_tb"),
+        tb.cast(tb_type).alias("_tb"),
         F.lit(None).cast(l_type).alias("_l"),
         F.struct(
             F.col(ts).alias(f"{ts}{suffix}"),

@@ -121,6 +121,11 @@ def merge_into(
     if not touched:
         return MergeStats(0, 0, 0, 0, 0) if compute_stats else None
 
+    expected = {
+        b: fs
+        for b, fs in table.current_snapshot.files.items()
+        if int(b) in touched
+    }
     target_slice = table.scan(spark, buckets=touched)
 
     # ---- version-checked combine: LWW over (existing ∪ incoming)
@@ -149,7 +154,7 @@ def merge_into(
 
     # COW output is deduped (<=1 row/key) — no hot-key skew left, so a small
     # salt keeps the per-snapshot file count low
-    table.overwrite_buckets(merged, touched, salts=2)
+    table.overwrite_buckets(merged, touched, salts=2, expected=expected)
     return stats
 
 
@@ -193,6 +198,14 @@ def compact(
     than the lateness watermark (they exist only to fence late updates).
     """
     target = list(range(table.num_buckets)) if buckets is None else buckets
+    # capture the exact file lists this rewrite reads: the commit replaces
+    # only these, so an append landing concurrently (another process) in a
+    # target bucket survives as a delta file instead of being dropped
+    expected = {
+        b: fs
+        for b, fs in table.current_snapshot.files.items()
+        if int(b) in target
+    }
     merged = lww_dedup(
         table.scan(spark, buckets=target),
         key_cols=KEY_COLS,
@@ -203,7 +216,7 @@ def compact(
             (~F.coalesce(F.col("_deleted"), F.lit(False)))
             | (F.col("ts") >= F.lit(expire_tombstones_before))
         )
-    table.overwrite_buckets(merged, target, salts=2)
+    table.overwrite_buckets(merged, target, salts=2, expected=expected)
 
 
 def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:

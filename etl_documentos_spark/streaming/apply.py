@@ -79,6 +79,8 @@ class CdcPipeline:
         mode: str = "mor",
         compact_at_files: int = 64,
         n_source_partitions: int | None = 8,
+        lateness_seconds: float | None = None,
+        commitlog_keep_last: int = 4096,
     ):
         assert mode in ("mor", "cow")
         self.spark = spark
@@ -87,6 +89,17 @@ class CdcPipeline:
         self.mode = mode
         self.compact_at_files = compact_at_files
         self.n_source_partitions = n_source_partitions
+        #: bounded lateness: events older than (max event-time seen) -
+        #: lateness are final. Compaction then expires delete tombstones
+        #: past the watermark (they only exist to fence late updates), so
+        #: tombstone volume is bounded by the lateness window instead of
+        #: growing forever. None = keep tombstones indefinitely.
+        self.lateness_seconds = lateness_seconds
+        self.commitlog_keep_last = commitlog_keep_last
+        #: max event-time observed across applied epochs (watermark source);
+        #: resets on restart and re-advances with the next batches — expiry
+        #: simply pauses until data flows, never expires too early
+        self._max_event_ts = None
         self.commitlog = CommitLog(os.path.join(workdir, "commits"))
         self.lineage_path = os.path.join(workdir, "lineage")
         self.metrics_path = os.path.join(workdir, "metrics")
@@ -199,6 +212,8 @@ class CdcPipeline:
             if files:
                 with self._commit_lock:
                     self.table.commit_append(files)
+            for r in stat_rows:
+                self._advance_watermark(r["max_ts"])
             self._maybe_compact(self.table)
 
             convs = {
@@ -246,19 +261,39 @@ class CdcPipeline:
                 )
                 self.commitlog.commit(e, fp, offsets)
                 results.append(EpochResult(e, False, n, duration, added))
+            self.commitlog.compact_log(self.commitlog_keep_last)
             return results
         finally:
             if persist:
                 batch.unpersist()
 
+    def _advance_watermark(self, max_ts) -> None:
+        if max_ts is None:
+            return
+        if self._max_event_ts is None or max_ts > self._max_event_ts:
+            self._max_event_ts = max_ts
+
+    @property
+    def tombstone_expiry(self):
+        """Event-time bound below which delete tombstones are final and may
+        be dropped at compaction: watermark (max ts seen) - lateness."""
+        if self.lateness_seconds is None or self._max_event_ts is None:
+            return None
+        import datetime
+
+        return self._max_event_ts - datetime.timedelta(
+            seconds=self.lateness_seconds
+        )
+
     def _maybe_compact(self, table: LakeTable) -> None:
         """Compact buckets whose delta-file count exceeds the threshold —
         bounds MOR read amplification; amortized O(table/epochs) instead of
-        COW's O(table) per epoch.
+        COW's O(table) per epoch. Tombstones older than the lateness
+        watermark are expired in the same rewrite.
 
-        Holds the commit lock for the whole read-reduce-rewrite: a concurrent
-        append between the compaction's scan and its commit would otherwise
-        be dropped by the bucket overwrite.
+        The in-process commit lock avoids duplicate compaction work between
+        threads; cross-process safety comes from ``commit_overwrite``'s
+        expected-files merge (a racing append survives as a delta file).
         """
         files = table.current_snapshot.files
         hot = [int(b) for b, fs in files.items() if len(fs) > self.compact_at_files]
@@ -272,7 +307,12 @@ class CdcPipeline:
                     if len(fs) > self.compact_at_files
                 ]
                 if hot:
-                    compact(self.spark, fresh, buckets=hot)
+                    compact(
+                        self.spark,
+                        fresh,
+                        buckets=hot,
+                        expire_tombstones_before=self.tombstone_expiry,
+                    )
 
     def apply_epoch(self, changes: DataFrame, epoch_id: int) -> EpochResult:
         t0 = time.monotonic()
@@ -304,6 +344,7 @@ class CdcPipeline:
                 with self._commit_lock:
                     self.table.commit_append(files)
             stats = stats_from_observation(obs.get, self.n_source_partitions)
+            self._advance_watermark(stats.max_ts)
             if stats.n_events > 0:
                 self._maybe_compact(self.table)
         else:
@@ -311,6 +352,7 @@ class CdcPipeline:
             changes = changes.persist()
             try:
                 stats = batch_stats(changes)
+                self._advance_watermark(stats.max_ts)
                 if stats.n_events > 0:
                     if self.mode == "mor":
                         with self._commit_lock:
@@ -355,6 +397,10 @@ class CdcPipeline:
         )
 
         self.commitlog.commit(epoch_id, stats.fingerprint, stats.offsets)
+        if epoch_id % 256 == 0:
+            # amortized roll-up keeps the commit dir (and restart-time
+            # max_offsets scans) bounded at millions of epochs
+            self.commitlog.compact_log(self.commitlog_keep_last)
         return EpochResult(
             epoch_id, False, stats.n_events, time.monotonic() - t0, added
         )

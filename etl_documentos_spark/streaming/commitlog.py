@@ -49,6 +49,10 @@ class BatchStats:
     #: per-source-partition (events_read, rows_upserted, rows_deleted,
     #: conv_ids_touched) for the lineage table
     lineage_rows: list[tuple[int, int, int, int, int]]
+    #: max event-time in the batch — the watermark source for bounded
+    #: lateness (tombstone/ state expiry); None when the batch is empty or
+    #: carries no ts column
+    max_ts: datetime.datetime | None = None
 
 
 def hash_chunk_exprs(cols: list) -> list:
@@ -84,12 +88,15 @@ def batch_stats(changes: DataFrame) -> BatchStats:
     insensitive chunked long sums of row hashes — stable under any
     partitioning), per-partition max offsets, and the lineage counters."""
     cols = [F.col(c) for c in changes.columns]
+    has_ts = "ts" in changes.columns
+    ts_expr = F.max("ts") if has_ts else F.max(F.lit(None).cast("timestamp"))
     rows = (
         changes.groupBy("source_partition")
         .agg(
             *hash_chunk_exprs(cols),
             F.count("*").alias("n"),
             F.max("lsn").alias("max_lsn"),
+            ts_expr.alias("max_ts"),
             F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("up"),
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("del"),
             F.approx_count_distinct("conv_id").alias("convs"),
@@ -111,7 +118,11 @@ def batch_stats(changes: DataFrame) -> BatchStats:
         )
         for r in rows
     ]
-    return BatchStats(f"{total_h}:{n}", offsets, n, lineage)
+    ts_vals = [r["max_ts"] for r in rows if r["max_ts"] is not None]
+    return BatchStats(
+        f"{total_h}:{n}", offsets, n, lineage,
+        max_ts=max(ts_vals) if ts_vals else None,
+    )
 
 
 def fingerprint(changes: DataFrame) -> tuple[str, dict[int, int], int]:
@@ -132,10 +143,16 @@ def observe_exprs(columns: list[str], n_source_partitions: int) -> list:
     """
     cols = [F.col(c) for c in columns]
     sp = F.col("source_partition")
+    ts_expr = (
+        F.max(F.col("ts"))
+        if "ts" in columns
+        else F.max(F.lit(None).cast("timestamp"))
+    )
     exprs = [
         F.count(F.lit(1)).alias("n"),
         *hash_chunk_exprs(cols),
         F.max(sp).alias("max_sp"),
+        ts_expr.alias("max_ts"),
     ]
     for p in range(n_source_partitions):
         is_p = sp == p
@@ -160,6 +177,7 @@ def stats_from_observation(m: dict, n_source_partitions: int) -> BatchStats:
     n = int(m["n"] or 0)
     if n == 0:
         return BatchStats("0:0:0:0", {}, 0, [])
+    max_ts = m.get("max_ts")
     if int(m["max_sp"]) >= n_source_partitions:
         raise ValueError(
             f"source_partition {m['max_sp']} >= declared n_source_partitions "
@@ -174,10 +192,21 @@ def stats_from_observation(m: dict, n_source_partitions: int) -> BatchStats:
                  int(m[f"convs_{p}"]))
             )
     fp = combine_chunks([(int(m["h0"]), int(m["h1"]), int(m["h2"]))])
-    return BatchStats(f"{fp}:{n}", offsets, n, lineage)
+    return BatchStats(f"{fp}:{n}", offsets, n, lineage, max_ts=max_ts)
 
 
 class CommitLog:
+    """One JSON record per epoch, plus an optional rolled-up high-water-mark
+    record (``hwm.json``) that summarizes a CONTIGUOUS prefix of committed
+    epochs. At 10^6+ epochs, reading every per-epoch file on the driver is
+    the wrong shape — ``compact_log`` folds old records into the HWM (min/max
+    epoch + per-partition max offsets) and deletes them; only the recent tail
+    stays as individual files. Contiguity is what keeps the roll-up safe: an
+    epoch id inside [hwm.min, hwm.max] is provably committed, and ids outside
+    the range still go through the per-file check."""
+
+    _HWM = "hwm.json"
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -185,8 +214,71 @@ class CommitLog:
     def _path(self, epoch_id: int) -> str:
         return os.path.join(self.root, f"commit-{epoch_id:012d}.json")
 
+    def _hwm(self) -> dict | None:
+        p = os.path.join(self.root, self._HWM)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def is_committed(self, epoch_id: int) -> bool:
+        hwm = self._hwm()
+        if hwm is not None and hwm["min_epoch"] <= epoch_id <= hwm["max_epoch"]:
+            return True
         return os.path.exists(self._path(epoch_id))
+
+    def compact_log(self, keep_last: int = 256) -> int:
+        """Roll all but the newest ``keep_last`` per-epoch records into the
+        high-water-mark record; returns how many files were removed.
+
+        Only the contiguous run starting at the oldest rollable epoch (or
+        extending the existing HWM) is folded — a gap stops the roll-up, so
+        a never-committed epoch id can never be claimed as committed.
+        """
+        ids = sorted(
+            int(fn[len("commit-"):-len(".json")])
+            for fn in os.listdir(self.root)
+            if fn.startswith("commit-") and fn.endswith(".json")
+        )
+        if len(ids) <= keep_last:
+            return 0
+        rollable = ids[:-keep_last]
+        hwm = self._hwm()
+        if hwm is None:
+            hwm = {
+                "min_epoch": rollable[0],
+                "max_epoch": rollable[0] - 1,
+                "offsets": {},
+                "n_epochs": 0,
+            }
+        rolled = 0
+        offsets = {int(k): v for k, v in hwm["offsets"].items()}
+        for e in rollable:
+            if e <= hwm["max_epoch"]:
+                # already covered (crash between delete and rewrite)
+                pass
+            elif e == hwm["max_epoch"] + 1:
+                rec = self.get(e)
+                for k, v in rec.source_partition_offsets.items():
+                    offsets[k] = max(offsets.get(k, -1), v)
+                hwm["max_epoch"] = e
+                hwm["n_epochs"] += 1
+            else:
+                break  # gap: stop, later ids stay as files
+        hwm["offsets"] = {str(k): v for k, v in offsets.items()}
+        tmp = os.path.join(self.root, self._HWM + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(hwm, f)
+        os.replace(tmp, os.path.join(self.root, self._HWM))
+        # delete only after the HWM durably covers them
+        for e in rollable:
+            if e <= hwm["max_epoch"]:
+                try:
+                    os.remove(self._path(e))
+                    rolled += 1
+                except FileNotFoundError:
+                    pass
+        return rolled
 
     def get(self, epoch_id: int) -> CommitRecord | None:
         if not self.is_committed(epoch_id):
@@ -218,8 +310,12 @@ class CommitLog:
         os.replace(tmp, self._path(epoch_id))
 
     def max_offsets(self) -> dict[int, int]:
-        """High-water mark per source partition across all committed epochs."""
+        """High-water mark per source partition across all committed epochs
+        (seeded from the rolled-up HWM record, then the recent tail files)."""
         out: dict[int, int] = {}
+        hwm = self._hwm()
+        if hwm is not None:
+            out = {int(k): v for k, v in hwm["offsets"].items()}
         for fn in os.listdir(self.root):
             if not (fn.startswith("commit-") and fn.endswith(".json")):
                 continue

@@ -49,3 +49,19 @@ def test_asof_tiebreak_deterministic(spark):
         left, right, on="k", right_cols=["rid"], tiebreak="rid"
     ).collect()
     assert row["rid_right"] == 9  # max tiebreak wins deterministically
+
+
+def test_asof_string_tiebreak_not_nulled(spark):
+    """A non-numeric tiebreak (string id) must order natively — the old cast
+    to long nulled it and made equal-ts ordering nondeterministic."""
+    left = spark.createDataFrame(
+        [("u1", 1, _ts(10))], "k string, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", "a", _ts(10)), ("u1", "c", _ts(10)), ("u1", "b", _ts(10))],
+        "k string, rid string, ts timestamp",
+    )
+    [row] = asof_join(
+        left, right, on="k", right_cols=["rid"], tiebreak="rid"
+    ).collect()
+    assert row["rid_right"] == "c"  # lexicographically-last string wins

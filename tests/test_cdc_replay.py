@@ -192,6 +192,89 @@ def test_delete_then_late_update_does_not_resurrect(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["text"] == "back"
 
 
+def test_tombstone_expiry_respects_lateness_watermark(spark, tmp_path):
+    """With lateness configured, compaction drops tombstones older than
+    (max event ts - lateness) but keeps in-bound ones, so a late-but-in-bound
+    update is still fenced while expired tombstones stop accumulating."""
+    import datetime
+
+    from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def ev(op, conv, turn, ts_s, lsn, text=None):
+        return (
+            op, conv, turn,
+            "user" if op != "delete" else None,
+            text, None, T0 + datetime.timedelta(seconds=ts_s), lsn, 0,
+        )
+
+    table_root = str(tmp_path / "t")
+    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=2)
+    pipe = CdcPipeline(
+        spark, table_root, str(tmp_path / "w"),
+        mode="mor", compact_at_files=0, lateness_seconds=100,
+    )
+
+    # epoch 0: insert two keys; epoch 1: delete both (tombstones at ts 20/30)
+    pipe.apply_epoch(
+        spark.createDataFrame(
+            [ev("insert", "a", 0, 10, 1, "x"), ev("insert", "b", 0, 11, 2, "y")],
+            CHANGE_EVENTS,
+        ), 0,
+    )
+    pipe.apply_epoch(
+        spark.createDataFrame(
+            [ev("delete", "a", 0, 20, 3), ev("delete", "b", 0, 30, 4)],
+            CHANGE_EVENTS,
+        ), 1,
+    )
+    # epoch 2 advances the watermark to ts=125 -> expiry bound 25:
+    # tombstone a (ts=20) expires, tombstone b (ts=30) must stay
+    pipe.apply_epoch(
+        spark.createDataFrame([ev("insert", "c", 0, 125, 5, "z")], CHANGE_EVENTS), 2,
+    )
+    table = LakeTable.load(table_root)
+    phys = table.scan(spark).filter("_deleted").collect()
+    assert {r["conv_id"] for r in phys} == {"b"}, phys
+
+    # the surviving tombstone still fences a late-but-in-bound older update
+    pipe.apply_epoch(
+        spark.createDataFrame(
+            [ev("update", "b", 0, 28, 6, "late")], CHANGE_EVENTS
+        ), 3,
+    )
+    live = read_current(spark, LakeTable.load(table_root))
+    assert {r["conv_id"] for r in live.collect()} == {"c"}
+
+
+def test_commitlog_compaction_preserves_exactly_once(tmp_path):
+    """Rolling old epoch records into the high-water-mark keeps is_committed
+    and max_offsets exact, stops at gaps, and bounds the file count."""
+    import os
+
+    from etl_documentos_spark.streaming.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "c"))
+    for e in range(20):
+        if e == 15:
+            continue  # a gap: epoch 15 never committed
+        log.commit(e, f"fp{e}", {0: e * 10, 1: e * 10 + 5})
+
+    rolled = log.compact_log(keep_last=3)
+    assert rolled > 0
+    files = [f for f in os.listdir(log.root) if f.startswith("commit-")]
+    # contiguous prefix 0..14 rolled; 16 cannot roll past the gap
+    assert len(files) <= 5
+    for e in range(20):
+        assert log.is_committed(e) == (e != 15), e
+    assert log.max_offsets() == {0: 190, 1: 195}
+    # idempotent re-compaction
+    log.compact_log(keep_last=3)
+    for e in range(20):
+        assert log.is_committed(e) == (e != 15), e
+
+
 def test_schema_evolution_mid_stream(spark, tmp_path):
     """Additive columns appear after the evolution tranche; pre-evolution rows
     read back null; no data files are rewritten by the evolution itself."""

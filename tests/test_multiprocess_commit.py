@@ -43,6 +43,40 @@ def test_concurrent_process_commits_all_survive(tmp_path):
     assert final.current_snapshot.snapshot_id == 1 + workers * commits
 
 
+def test_overwrite_with_expected_keeps_racing_append(tmp_path):
+    """Compaction shape: a file appended to a bucket AFTER the compactor's
+    scan (simulated by committing between scan-capture and overwrite) must
+    survive the overwrite commit as a delta file."""
+    root = str(tmp_path / "t3")
+    t = LakeTable.create(root, SCHEMA, num_buckets=2)
+    t.commit_append({"0": ["data/base-1.parquet", "data/base-2.parquet"]})
+
+    compactor = LakeTable.load(root)
+    expected = dict(compactor.current_snapshot.files)  # the scan's view
+
+    # another writer lands an append before the compactor commits
+    other = LakeTable.load(root)
+    other.commit_append({"0": ["data/late.parquet"]})
+
+    compactor.commit_overwrite(
+        {"0": ["data/compacted.parquet"]}, buckets=[0], expected=expected
+    )
+    final = LakeTable.load(root)
+    assert sorted(final.current_snapshot.files["0"]) == [
+        "data/compacted.parquet",
+        "data/late.parquet",
+    ], "racing append was dropped by the overwrite"
+
+
+def test_overwrite_without_expected_replaces_wholesale(tmp_path):
+    root = str(tmp_path / "t4")
+    t = LakeTable.create(root, SCHEMA, num_buckets=2)
+    t.commit_append({"0": ["data/base.parquet"]})
+    t.commit_overwrite({"0": ["data/new.parquet"]}, buckets=[0])
+    final = LakeTable.load(root)
+    assert final.current_snapshot.files["0"] == ["data/new.parquet"]
+
+
 def test_refresh_sees_other_handles_commit(tmp_path):
     root = str(tmp_path / "t2")
     t1 = LakeTable.create(root, SCHEMA, num_buckets=2)
