@@ -155,6 +155,23 @@ def _proc_stat() -> list[int]:
         return list(map(int, f.readline().split()[1:9]))
 
 
+def _git_commit() -> str:
+    """Engine version stamp for ladder-log lines: best-of summaries must not
+    mix runs from different engine versions."""
+    try:
+        return (
+            subprocess.check_output(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stderr=subprocess.DEVNULL,
+            )
+            .decode()
+            .strip()
+        )
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def run_cdc_worker(
     master: str,
     out_path: str | None,
@@ -200,6 +217,7 @@ def run_cdc_worker(
     res["host_steal_frac"] = round(d[7] / total, 3)
     res["host_idle_frac"] = round(d[3] / total, 3)
     res["master"] = master
+    res["commit"] = _git_commit()
     if out_path:
         with open(out_path, "w") as f:
             json.dump(res, f)
@@ -270,6 +288,7 @@ def run_cdc_fleet(k: int, out_path: str | None = None) -> dict:
         "mode": "fleet-bulk", "master": f"fleet[{k}x1]",
         "host_steal_frac": round(d[7] / total, 3),
         "host_idle_frac": round(d[3] / total, 3),
+        "commit": _git_commit(),
     }
     shutil.rmtree(base, ignore_errors=True)
     if out_path:
@@ -418,14 +437,19 @@ def run_scaling(
             )
             with open(out) as f, open(ladder_log, "a") as lg:
                 lg.write(f.read().strip() + "\n")
-    # summarize over ALL recorded runs for this input (including earlier
-    # sweeps appended to the same log — interleaving across invocations is
-    # equivalent to interleaving within one)
+    # summarize over all recorded runs for this input FROM THE CURRENT
+    # ENGINE COMMIT (earlier sweeps of the same commit accumulate —
+    # interleaving across invocations is equivalent to interleaving within
+    # one — but runs from older code versions are excluded so the best-of
+    # evidence is reproducible with the code as committed)
+    cur_commit = _git_commit()
     runs: dict[int, list[dict]] = {n: [] for n in levels}
     fruns: dict[int, list[dict]] = {k: [] for k in fleet_levels}
     with open(ladder_log) as lg:
         for line in lg:
             r = json.loads(line)
+            if r.get("commit", "unknown") != cur_commit:
+                continue
             if r["master"].startswith("fleet["):
                 lvl = int(r["master"].split("[", 1)[1].split("x", 1)[0])
                 if lvl in fruns:

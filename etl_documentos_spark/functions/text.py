@@ -37,14 +37,24 @@ def extract_all(col: Column | str, pattern: str) -> Column:
     return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
 
 
-def normalize_text(col: Column | str) -> Column:
-    """lower + non-alnum -> space + squeeze spaces (text_utils.py:11-29).
+#: Latin-1/Latin-Extended accent fold map (applied after lowercasing, so the
+#: lowercase forms suffice). Covers the Portuguese/Spanish/French/German
+#: corpus the reference processes; full-Unicode NFD folding lives in
+#: ``normalize_text_unicode`` for anything beyond Latin scripts.
+ACCENTS = "áàâãäåéèêëíìîïóòôõöúùûüçñýÿ"
+ACCENTS_FOLDED = "aaaaaaeeeeiiiiooooouuuucnyy"
 
-    Accent stripping is in ``normalize_text_unicode`` (pandas UDF) — this
-    pure-builtin form is the hot-path default.
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + accent fold + non-alnum -> space + squeeze spaces
+    (text_utils.py:11-29: the reference strips accents via unicodedata NFD
+    before normalizing, so ``atenção`` and ``atencao`` must fingerprint the
+    same). Pure builtins (F.translate) — the JVM hot path; the pandas-UDF
+    ``normalize_text_unicode`` handles non-Latin scripts when needed.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
+    c = F.translate(c, ACCENTS, ACCENTS_FOLDED)
     c = F.regexp_replace(c, "[^a-z0-9]+", " ")
     return F.trim(c)
 
@@ -235,6 +245,30 @@ def cpf_valid(s: pd.Series) -> pd.Series:
             w = np.arange(pos + 1, 1, -1)
             r = (np.dot(d[:pos], w) * 10) % 11 % 10
             if r != d[pos]:
+                return False
+        return True
+
+    return s.map(check)
+
+
+@F.pandas_udf(T.BooleanType())
+def cnpj_valid(s: pd.Series) -> pd.Series:
+    """CNPJ check-digit validation (validators.py:20-57): 14 digits, two
+    mod-11 check digits with the 5..2,9..2 / 6..2,9..2 weight ladders;
+    all-equal-digit strings rejected. Vectorized pandas UDF like
+    ``cpf_valid``."""
+    W1 = [5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+    W2 = [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+
+    def check(x):
+        if x is None:
+            return None
+        d = [int(ch) for ch in x if ch.isdigit()]
+        if len(d) != 14 or len(set(d)) == 1:
+            return False
+        for w, pos in ((W1, 12), (W2, 13)):
+            r = sum(di * wi for di, wi in zip(d, w)) % 11
+            if d[pos] != (0 if r < 2 else 11 - r):
                 return False
         return True
 

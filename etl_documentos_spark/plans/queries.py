@@ -545,8 +545,15 @@ _PRIORITY_SQL = """
 # ---------------------------------------------------------------------------
 # text-analysis family (documents)
 # ---------------------------------------------------------------------------
+# mirror functions.text.normalize_text exactly: lower -> accent fold ->
+# non-alnum collapse (keep both sides in lockstep or every words-derived
+# oracle diverges on accented corpora)
+_FOLD_SQL = (
+    "translate(lower(text), 'áàâãäåéèêëíìîïóòôõöúùûüçñýÿ', "
+    "'aaaaaaeeeeiiiiooooouuuucnyy')"
+)
 _WORDS_SQL = (
-    "list_filter(string_split(trim(regexp_replace(lower(text), "
+    f"list_filter(string_split(trim(regexp_replace({_FOLD_SQL}, "
     "'[^a-z0-9]+', ' ', 'g')), ' '), w -> len(w) > 0)"
 )
 
@@ -590,8 +597,8 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(load(spark, sf_dir, "documents"))
 
 
-_FP_SQL = """
-    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+_FP_SQL = f"""
+    SELECT md5(trim(regexp_replace({_FOLD_SQL}, '[^a-z0-9]+', ' ', 'g'))) AS fp,
            min(doc_id) AS canonical_id, count(*) AS n_dupes
     FROM documents GROUP BY 1
 """
@@ -1023,6 +1030,112 @@ _CPF_SQL = """
 """
 
 
+def q_cnpj_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNPJ check-digit validation via vectorized pandas UDF (mod-11 math
+    with the 5..2/6..2 weight ladders, validators.py:20-57)."""
+    d = load(spark, sf_dir, "documents")
+    cnpj = F.concat(
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad(((F.col("doc_id") * 3) % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("/"),
+        F.lpad(((F.col("doc_id") * 11) % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return d.select(
+        "doc_id", cnpj.alias("cnpj"), tx.cnpj_valid(cnpj).alias("is_valid")
+    )
+
+
+_CNPJ_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.' ||
+             lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0') || '.' ||
+             lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '/' ||
+             lpad(CAST((doc_id * 11) % 10000 AS VARCHAR), 4, '0') || '-' ||
+             lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS cnpj
+      FROM documents),
+    d AS (
+      SELECT doc_id, cnpj,
+             list_transform(regexp_extract_all(cnpj, '[0-9]'),
+                            x -> CAST(x AS INT)) AS ds
+      FROM t),
+    s AS (
+      SELECT doc_id, cnpj, ds,
+             list_sum(list_transform(generate_series(1, 12),
+               i -> ds[i] * ([5,4,3,2,9,8,7,6,5,4,3,2])[i])) % 11 AS r1,
+             list_sum(list_transform(generate_series(1, 13),
+               i -> ds[i] * ([6,5,4,3,2,9,8,7,6,5,4,3,2])[i])) % 11 AS r2
+      FROM d)
+    SELECT doc_id, cnpj,
+      CASE WHEN len(list_distinct(ds)) = 1 THEN FALSE ELSE (
+        ds[13] = (CASE WHEN r1 < 2 THEN 0 ELSE 11 - r1 END)
+        AND ds[14] = (CASE WHEN r2 < 2 THEN 0 ELSE 11 - r2 END)
+      ) END AS is_valid
+    FROM s
+"""
+
+
+def q_quality_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated N-level provider fallback
+    (extraction_service.py:409-496): first provider clearing quality >= 0.7
+    in priority order, else the best-quality result. Three synthetic
+    'provider' outputs derived deterministically from each document."""
+    from etl_documentos_spark.operators.fallback import quality_gated_fallback
+
+    d = load(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 20)
+    cands = [
+        ("docling", F.upper(head), ((F.col("doc_id") * 7) % 100) / 100.0),
+        ("azure", head, ((F.col("doc_id") * 13) % 100) / 100.0),
+        ("textract", F.lower(head), ((F.col("doc_id") * 29) % 100) / 100.0),
+    ]
+    chosen = quality_gated_fallback(cands, threshold=0.7)
+    return d.select(
+        "doc_id",
+        chosen.getField("result").alias("result"),
+        chosen.getField("provider").alias("provider"),
+        chosen.getField("quality").alias("quality"),
+    )
+
+
+_QUALITY_FALLBACK_SQL = """
+    WITH c AS (
+      SELECT doc_id,
+             upper(substring(text, 1, 20)) AS r_docling,
+             substring(text, 1, 20) AS r_azure,
+             lower(substring(text, 1, 20)) AS r_textract,
+             ((doc_id * 7) % 100) / 100.0 AS q_docling,
+             ((doc_id * 13) % 100) / 100.0 AS q_azure,
+             ((doc_id * 29) % 100) / 100.0 AS q_textract
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN q_docling >= 0.7 THEN r_docling
+           WHEN q_azure >= 0.7 THEN r_azure
+           WHEN q_textract >= 0.7 THEN r_textract
+           WHEN q_docling >= q_azure AND q_docling >= q_textract THEN r_docling
+           WHEN q_azure >= q_textract THEN r_azure
+           ELSE r_textract END AS result,
+      CASE WHEN q_docling >= 0.7 THEN 'docling'
+           WHEN q_azure >= 0.7 THEN 'azure'
+           WHEN q_textract >= 0.7 THEN 'textract'
+           WHEN q_docling >= q_azure AND q_docling >= q_textract THEN 'docling'
+           WHEN q_azure >= q_textract THEN 'azure'
+           ELSE 'textract' END AS provider,
+      CASE WHEN q_docling >= 0.7 THEN q_docling
+           WHEN q_azure >= 0.7 THEN q_azure
+           WHEN q_textract >= 0.7 THEN q_textract
+           WHEN q_docling >= q_azure AND q_docling >= q_textract THEN q_docling
+           WHEN q_azure >= q_textract THEN q_azure
+           ELSE q_textract END AS quality
+    FROM c
+"""
+
+
 def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute event-time windows (the batch shape of the
     streaming rate-limit / metrics aggregation, middleware.py:73-97)."""
@@ -1400,6 +1513,8 @@ QUERIES: dict[str, Query] = {
     "near_dup_embedding": q_near_dup_embedding,
     "ann_lsh": q_ann_lsh,
     "cpf_validation": q_cpf_validation,
+    "cnpj_validation": q_cnpj_validation,
+    "quality_fallback": q_quality_fallback,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
     "keyword_classifier": q_keyword_classifier,
@@ -1509,6 +1624,8 @@ ORACLES: dict[str, str] = {
     # engine-internal fakes, not SQL-expressible)
     "ann_lsh": _ANN_LSH_SQL,
     "cpf_validation": _CPF_SQL,
+    "cnpj_validation": _CNPJ_SQL,
+    "quality_fallback": _QUALITY_FALLBACK_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,
     "tumbling_windows": _TUMBLING_SQL,
     "cube_orders": _CUBE_SQL,

@@ -15,13 +15,52 @@ def _one(spark, col):
 
 def test_normalize_and_counts(spark):
     s = F.lit("  Olá, MUNDO!! 123  ")
-    assert _one(spark, tx.normalize_text(s)) == "ol mundo 123"
+    # builtin normalizer folds accents (reference NFD semantics)
+    assert _one(spark, tx.normalize_text(s)) == "ola mundo 123"
     assert _one(spark, tx.word_count(s)) == 3
     # accent-strip UDF folds the accent instead of dropping the letter
     df = spark.createDataFrame([("Olá, MUNDO",)], "t string")
     assert df.select(tx.normalize_text_unicode("t").alias("v")).first()["v"] == (
         "ola, mundo"
     )
+
+
+def test_builtin_normalizer_parity_with_unicode_udf(spark):
+    """On the Latin corpus the builtin F.translate fold must equal the
+    unicodedata NFD path: same normalized text, same fingerprints, so dedup
+    groups are identical whichever normalizer produced them."""
+    samples = [
+        "Atenção: ÓBITO às 12h, São Paulo!",
+        "pagamento em atraso — valor R$ 1.500,00 (muito útil)",
+        "Ação judicial: côndominio, João & María",
+        "no accents at all 42",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    out = df.select(
+        tx.normalize_text("t").alias("builtin"),
+        F.trim(
+            F.regexp_replace(tx.normalize_text_unicode("t"), "[^a-z0-9]+", " ")
+        ).alias("via_udf"),
+        tx.fingerprint("t").alias("fp_builtin"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    tx.normalize_text_unicode("t"), "[^a-z0-9]+", " "
+                )
+            )
+        ).alias("fp_udf"),
+    ).collect()
+    for r in out:
+        assert r["builtin"] == r["via_udf"], r
+        assert r["fp_builtin"] == r["fp_udf"], r
+    # the semantic point: accented and folded spellings fingerprint the same
+    pair = spark.createDataFrame(
+        [(1, "atenção"), (2, "atencao")], "doc_id long, text string"
+    )
+    from etl_documentos_spark.operators import dedup
+
+    groups = dedup.dedup_exact(pair).collect()
+    assert len(groups) == 1 and groups[0]["n_dupes"] == 2
 
 
 def test_regex_extractors(spark):
@@ -60,6 +99,48 @@ def test_cpf_check_digits(spark):
     )
     got = [r["v"] for r in df.select(tx.cpf_valid("cpf").alias("v")).collect()]
     assert got == [True, False, False]
+
+
+def test_cnpj_check_digits(spark):
+    df = spark.createDataFrame(
+        [("11.222.333/0001-81",),   # textbook valid CNPJ
+         ("11.222.333/0001-80",),   # wrong check digit
+         ("11.111.111/1111-11",),   # all-equal digits rejected
+         ("12.345/678",),           # wrong length
+         (None,)],
+        "c string",
+    )
+    got = [r["v"] for r in df.select(tx.cnpj_valid("c").alias("v")).collect()]
+    assert got == [True, False, False, False, None]
+
+
+def test_quality_gated_fallback_semantics(spark):
+    from etl_documentos_spark.operators.fallback import quality_gated_fallback
+
+    df = spark.createDataFrame(
+        [
+            # (a_q, b_q, c_q): gate at 0.7
+            (1, 0.9, 0.8, 0.1),   # first clears -> a
+            (2, 0.2, 0.8, 0.9),   # a fails, b clears (priority over c) -> b
+            (3, 0.3, 0.2, 0.1),   # none clear -> best quality -> a
+            (4, 0.2, 0.5, 0.5),   # none clear, tie b/c -> earlier (b)
+            (5, None, 0.1, None), # null qualities never gate nor win -> b
+        ],
+        "id long, qa double, qb double, qc double",
+    )
+    chosen = quality_gated_fallback(
+        [
+            ("a", F.lit("ra"), F.col("qa")),
+            ("b", F.lit("rb"), F.col("qb")),
+            ("c", F.lit("rc"), F.col("qc")),
+        ],
+        threshold=0.7,
+    )
+    out = {
+        r["id"]: r["p"]
+        for r in df.select("id", chosen.getField("provider").alias("p")).collect()
+    }
+    assert out == {1: "a", 2: "b", 3: "a", 4: "b", 5: "b"}
 
 
 def test_dedup_exact_groups(spark):
