@@ -155,6 +155,50 @@ def _proc_stat() -> list[int]:
         return list(map(int, f.readline().split()[1:9]))
 
 
+def _tree_cpu() -> dict[str, float]:
+    """Cumulative CPU seconds by process name over this process's tree
+    (self + live descendants): splits a worker's CPU between the JVM
+    ("java") and the python Arrow writers ("python*"). Children that
+    already exited are folded into the parent's cutime/cstime ("reaped").
+    Sampled at end-of-run, so long-lived JVM/daemon processes are captured.
+    """
+    import glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    # build pid -> (ppid, comm, utime+stime, cutime+cstime)
+    procs = {}
+    for p in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(p) as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces: split around the parens
+        pid = int(raw.split(" ", 1)[0])
+        comm = raw[raw.index("(") + 1 : raw.rindex(")")]
+        rest = raw[raw.rindex(")") + 2 :].split()
+        ppid = int(rest[1])
+        own = (int(rest[11]) + int(rest[12])) / hz
+        reaped = (int(rest[13]) + int(rest[14])) / hz
+        procs[pid] = (ppid, comm, own, reaped)
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, *_rest) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    out: dict[str, float] = {}
+    stack = [me]
+    while stack:
+        pid = stack.pop()
+        if pid not in procs:
+            continue
+        _, comm, own, reaped = procs[pid]
+        out[comm] = out.get(comm, 0.0) + own
+        if reaped:
+            out["reaped"] = out.get("reaped", 0.0) + reaped
+        stack.extend(kids.get(pid, []))
+    return {k: round(v, 1) for k, v in out.items()}
+
+
 def _git_commit() -> str:
     """Engine version stamp for ladder-log lines: best-of summaries must not
     mix runs from different engine versions."""
@@ -172,6 +216,38 @@ def _git_commit() -> str:
         return "unknown"
 
 
+def _warmup_replay(spark) -> None:
+    """Small untimed replay: JIT-compiles the hot JVM paths (measured ~19
+    CPU-s of C1/C2 compilation otherwise lands INSIDE the timed window at
+    local[8]) and spawns+imports every python Arrow worker (~1 CPU-s each).
+    Steady-state throughput is the honest ladder metric — a 10^10-event
+    replay amortizes warmup to zero."""
+    import tempfile
+
+    from etl_documentos_spark import datagen
+
+    warm_events = int(os.environ.get("SPARK_GRAFT_WARMUP_EVENTS", "150000"))
+    warm_dir = os.path.join(
+        BENCH_DIR, f"spark_graft_bench_warmup_{warm_events}"
+    )
+    if not os.path.exists(os.path.join(warm_dir, "_SUCCESS_MARKER")):
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        datagen.write_epochs(
+            datagen.change_stream(
+                spark, n_events=warm_events, n_convs=500,
+                events_per_epoch=max(75_000, warm_events // 2),
+            ),
+            warm_dir,
+        )
+        open(os.path.join(warm_dir, "_SUCCESS_MARKER"), "w").close()
+    for warm_bulk in (False, True):
+        wd = tempfile.mkdtemp(prefix="cdc_warm_")
+        try:
+            _replay(spark, warm_dir, wd, bulk=warm_bulk)
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+
+
 def run_cdc_worker(
     master: str,
     out_path: str | None,
@@ -179,6 +255,7 @@ def run_cdc_worker(
     epoch_mod: int | None = None,
     epoch_rem: int = 0,
     shared_base: str | None = None,
+    warmup: bool = True,
 ) -> dict:
     import tempfile
 
@@ -189,6 +266,8 @@ def run_cdc_worker(
         f"bench-{master}-{epoch_rem}", master=master, shuffle_partitions=int(n)
     )
     events = _ensure_events(spark)
+    if warmup:
+        _warmup_replay(spark)
     if shared_base is not None:
         workdir = shared_base  # fleet mode: table pre-created by the parent
         cleanup = False
@@ -199,6 +278,7 @@ def run_cdc_worker(
     # epochs suffice to hide the per-epoch driver-serial time
     conc = 3
     s0 = _proc_stat()
+    cpu0 = _tree_cpu()
     try:
         res = _replay(
             spark, events, workdir, bulk=bulk, concurrency=conc,
@@ -208,6 +288,12 @@ def run_cdc_worker(
     finally:
         if cleanup:
             shutil.rmtree(workdir, ignore_errors=True)
+    cpu1 = _tree_cpu()
+    # replay-window CPU by process name (JVM vs python writers), excluding
+    # session startup/JIT that happened before the timed span
+    res["cpu_by_comm"] = {
+        k: round(v - cpu0.get(k, 0.0), 1) for k, v in cpu1.items()
+    }
     s1 = _proc_stat()
     d = [b - a for a, b in zip(s0, s1)]
     total = max(sum(d), 1)
@@ -261,11 +347,13 @@ def run_cdc_fleet(k: int, out_path: str | None = None) -> dict:
     )
     s0 = _proc_stat()
     t0 = time.monotonic()
+    # fleet wall time deliberately includes executor startup (cluster
+    # semantics) — so no warmup replay inside fleet workers
     procs = [
         subprocess.Popen(
             ["taskset", "-c", str(i),
              sys.executable, os.path.abspath(__file__), "--cdc-worker",
-             "--bulk", "--master", "local[1]",
+             "--bulk", "--master", "local[1]", "--no-warmup",
              "--epoch-mod", str(k), "--epoch-rem", str(i),
              "--shared-base", base, "--events", str(BENCH_EVENTS),
              "--out", os.path.join(base, f"w{i}.json")],
@@ -320,24 +408,7 @@ def run_default(sf_dir: str, cpus: int) -> None:
     # A small untimed replay first: the first replay in a JVM pays JIT +
     # python-worker spawn (~8-15s once); steady-state is what a long
     # replay sustains, so measure that.
-    from etl_documentos_spark import datagen
-
-    warm_dir = os.path.join(BENCH_DIR, "spark_graft_bench_warmup")
-    if not os.path.exists(os.path.join(warm_dir, "_SUCCESS_MARKER")):
-        shutil.rmtree(warm_dir, ignore_errors=True)
-        datagen.write_epochs(
-            datagen.change_stream(
-                spark, n_events=150_000, n_convs=500, events_per_epoch=75_000
-            ),
-            warm_dir,
-        )
-        open(os.path.join(warm_dir, "_SUCCESS_MARKER"), "w").close()
-    for warm_bulk in (False, True):
-        wd = tempfile.mkdtemp(prefix="cdc_warm_")
-        try:
-            _replay(spark, warm_dir, wd, bulk=warm_bulk)
-        finally:
-            shutil.rmtree(wd, ignore_errors=True)
+    _warmup_replay(spark)
 
     events = _ensure_events(spark)
     workdir = tempfile.mkdtemp(prefix="cdc_bench_")
@@ -651,6 +722,8 @@ if __name__ == "__main__":
     ap.add_argument("--shared-base", default=None)
     ap.add_argument("--bulk", action="store_true",
                     help="backfill super-batch instead of per-epoch batches")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the untimed JIT/worker warmup replay")
     args = ap.parse_args()
     if args.events:
         BENCH_EVENTS = args.events
@@ -661,7 +734,7 @@ if __name__ == "__main__":
         run_cdc_worker(
             args.master, args.out, bulk=args.bulk,
             epoch_mod=args.epoch_mod, epoch_rem=args.epoch_rem,
-            shared_base=args.shared_base,
+            shared_base=args.shared_base, warmup=not args.no_warmup,
         )
     elif args.fleet:
         run_cdc_fleet(args.fleet, args.out)

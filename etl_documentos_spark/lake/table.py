@@ -678,6 +678,54 @@ class LakeTable:
             self.write_data_files(df, salts=salts), buckets, expected=expected
         )
 
+    # ------------------------------------------------------------ rebucket
+    def rebucket(
+        self, spark: SparkSession, new_num_buckets: int, salts: int | None = 2
+    ) -> None:
+        """Change the bucket count with one snapshot-atomic rewrite.
+
+        A table created at 16 buckets is not stuck there at 100 TB: this
+        reads the current snapshot, rewrites every row under
+        ``pmod(xxhash64(key), new_n)``, and commits a single ``rebucket``
+        snapshot that swaps both the file manifest and the partition spec.
+        Readers see either the old bucketing or the new — never a mix — and
+        time travel to pre-rebucket snapshots still works (each snapshot's
+        files were written under the spec current at its commit; scans read
+        file lists, not the spec).
+
+        Physical rows (MOR deltas, tombstones, ``_lsn``) are carried
+        verbatim — no LWW reduction happens here, so rebucket commutes with
+        compaction. The rewrite runs under the cross-process commit flock:
+        unlike compaction (which merges concurrent appends via
+        ``expected``), an append staged under the OLD bucket function would
+        be misplaced under the new spec, so writers must be fenced for the
+        duration. It is an admin operation — at very large scale, run it as
+        a scheduled window or implement power-of-two bucket SPLITS (each old
+        bucket maps to exactly 2 new ones, enabling per-bucket incremental
+        rewrite with the same fencing per bucket).
+        """
+        if new_num_buckets == self.num_buckets:
+            return
+        import copy
+
+        with self._process_commit_lock():
+            self._refresh()
+            old_n = self.num_buckets
+            df = self.scan(spark)
+            staged_meta = copy.deepcopy(self._meta)
+            staged_meta["partition_spec"]["num_buckets"] = int(new_num_buckets)
+            staged = LakeTable(self.root, staged_meta)
+            files = staged._write_data(df, salts=salts)
+            self._meta["partition_spec"]["num_buckets"] = int(new_num_buckets)
+            self._next_snapshot(
+                "rebucket",
+                {
+                    "num_buckets": int(new_num_buckets),
+                    "previous_num_buckets": old_n,
+                },
+                files,
+            )
+
     # ------------------------------------------------------------------- gc
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Expire old snapshots and delete data files no longer referenced.

@@ -248,6 +248,62 @@ def test_tombstone_expiry_respects_lateness_watermark(spark, tmp_path):
     assert {r["conv_id"] for r in live.collect()} == {"c"}
 
 
+def test_rebucket_preserves_state_and_pruning(spark, tmp_path):
+    """Rebucket 4 -> 16: read_current equality, spec updated, old snapshots
+    still readable, and a post-rebucket merge prunes under the new spec."""
+    import datetime
+
+    from etl_documentos_spark.operators.merge import merge_into
+    from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+    def ev(op, conv, turn, ts_s, lsn, text=None):
+        return (
+            op, conv, turn, "user", text, None,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ts_s),
+            lsn, 0,
+        )
+
+    root = str(tmp_path / "t")
+    table = LakeTable.create(root, physical_schema(TRANSCRIPTS), num_buckets=4)
+    batch = spark.createDataFrame(
+        [ev("insert", f"c{i}", 0, i, i, f"t{i}") for i in range(200)],
+        CHANGE_EVENTS,
+    )
+    merge_into(spark, table, batch)
+    before = sorted(
+        map(tuple, read_current(spark, LakeTable.load(root)).collect())
+    )
+    pre_rebucket_snap = LakeTable.load(root).current_snapshot.snapshot_id
+
+    LakeTable.load(root).rebucket(spark, 16)
+    table = LakeTable.load(root)
+    assert table.num_buckets == 16
+    assert len(table.current_snapshot.files) == 16
+    after = sorted(map(tuple, read_current(spark, table).collect()))
+    assert after == before
+    # time travel to the pre-rebucket snapshot still reads the old layout
+    assert table.scan(spark, snapshot_id=pre_rebucket_snap).count() == 200
+
+    # a touched-key merge under the new spec rewrites only its new bucket
+    upd = spark.createDataFrame(
+        [ev("update", "c7", 0, 10_000, 10_000, "updated")], CHANGE_EVENTS
+    )
+    files_before = dict(table.current_snapshot.files)
+    merge_into(spark, table, upd)
+    fresh = LakeTable.load(root)
+    changed = [
+        b
+        for b in fresh.current_snapshot.files
+        if fresh.current_snapshot.files[b] != files_before.get(b)
+    ]
+    assert len(changed) == 1  # exactly the bucket owning c7 under N=16
+    rows = {
+        r["conv_id"]: r["text"]
+        for r in read_current(spark, fresh).collect()
+    }
+    assert rows["c7"] == "updated" and len(rows) == 200
+
+
 def test_commitlog_compaction_preserves_exactly_once(tmp_path):
     """Rolling old epoch records into the high-water-mark keeps is_committed
     and max_offsets exact, stops at gaps, and bounds the file count."""

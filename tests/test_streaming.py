@@ -48,6 +48,96 @@ def test_streaming_tail_matches_oracle(spark, tmp_path):
     assert pipeline.table.current_snapshot.snapshot_id == snap
 
 
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """session_window over a stream (append mode + watermark): every emitted
+    session equals the batch session_window computation — the declarative
+    open/close session lifecycle (SURVEY §2.9 S-sessions, A11 sibling)."""
+    from etl_documentos_spark.streaming.windows import session_counts
+
+    stream = datagen.change_stream(spark, n_events=2000, events_per_epoch=500)
+    path = str(tmp_path / "ev")
+    datagen.write_epochs(stream, path, files_per_epoch=2)
+
+    src = (
+        spark.readStream.schema(stream.drop("epoch").schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        session_counts(src, "conv_id", gap="2 minutes", watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        (r["conv_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    truth = {
+        (r["conv_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in session_counts(stream, "conv_id", gap="2 minutes").collect()
+    }
+    assert emitted  # watermark closed and emitted sessions
+    for k, v in emitted.items():
+        assert truth[k] == v
+
+
+def test_streaming_running_mean_matches_batch(spark, tmp_path):
+    """A11: groupBy(day, key) running mean/success-rate as a streaming agg
+    (complete mode) — final state equals the batch aggregation."""
+    from pyspark.sql import functions as SF
+
+    from etl_documentos_spark.streaming.windows import running_daily_metrics
+
+    stream = datagen.change_stream(spark, n_events=1500, events_per_epoch=500)
+    path = str(tmp_path / "ev")
+    datagen.write_epochs(stream, path, files_per_epoch=2)
+
+    src = (
+        spark.readStream.schema(stream.drop("epoch").schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+
+    def metrics(df):
+        return running_daily_metrics(
+            df, "source_partition", "lsn",
+            is_success=SF.col("op") != "delete", window="1 hour",
+        )
+
+    q = (
+        metrics(src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("runmean")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["source_partition"], r["day_start"]): (
+            r["n"], round(r["mean_value"], 6), round(r["success_rate"], 6)
+        )
+        for r in spark.sql("SELECT * FROM runmean").collect()
+    }
+    want = {
+        (r["source_partition"], r["day_start"]): (
+            r["n"], round(r["mean_value"], 6), round(r["success_rate"], 6)
+        )
+        for r in metrics(stream.drop("epoch")).collect()
+    }
+    assert got == want
+
+
 def test_watermarked_window_agg(spark, tmp_path):
     """Event-time tumbling windows with a watermark over a streamed source —
     the streaming form of the rate-limit/metrics aggregation (reference:
