@@ -453,6 +453,12 @@ def run_scaling(
 ) -> None:
     """Identical replay at each level; efficiency from best-of-``repeats``.
 
+    ``repeats=0`` re-summarizes the accumulated ladder log (current commit
+    only) without running new workers — use after editing report text.
+    Workers run a warmup replay first, so the timed window measures
+    steady-state (JIT compiled, python workers spawned): the honest metric
+    for a 10^10-event replay, where warmup amortizes to zero.
+
     Two ladders: ``local[N]`` (one JVM, N task threads, pinned to N CPUs
     with taskset) and ``fleet[Kx1]`` (K separate single-core executor
     PROCESSES sharing one table through the cross-process commit lock — the
@@ -658,8 +664,19 @@ def run_scaling(
         "CPU budget (local[n] alone bounds only JVM task slots; the python "
         "Arrow writers would otherwise spill onto extra host cores and "
         "flatter low levels). Per-run host steal/idle deltas are recorded; "
-        "compare best-of rows, which land in near-zero-steal windows.",
-        "- The engine's absolute single-box throughput tops ~1.2M "
+        "compare best-of rows, which land in near-zero-steal windows. "
+        "Every run line carries the engine git commit; this summary "
+        "aggregates only the current commit's runs.",
+        "- Workers replay a small untimed warmup first, so the timed "
+        "window is steady-state: per-JVM-thread profiling showed ~19 CPU-s "
+        "of C1/C2 JIT compilation plus ~1 CPU-s per python worker of "
+        "import cost landing inside the timed window otherwise (local[8] "
+        "measured 503k -> 871k events/s once warmed at 6M events). A "
+        "10^10-event replay amortizes warmup to zero, so steady-state is "
+        "the honest ladder metric; the fleet ladder keeps cold-start "
+        "semantics (wall spans process spawn to exit).",
+        f"- The engine's absolute single-box throughput tops "
+        f"{max(b['events_per_sec'] for b in best.values()) / 1e6:.1f}M "
         "events/sec applied end-to-end (fingerprinted, exactly-once, "
         "lineage emitted) — against a per-row reference path that is "
         "O(seconds/document).",

@@ -446,6 +446,36 @@ _SESSIONIZE_SQL = """
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (streaming/windows.py builder
+    in batch form): per-user gap-based sessions with start/end bounds —
+    the open/close session lifecycle (repositories.py:230-234) as one
+    declarative aggregation."""
+    from etl_documentos_spark.streaming.windows import session_counts
+
+    e = load(spark, sf_dir, "events")
+    return session_counts(e, "user_id", gap="30 minutes")
+
+
+_SESSION_WINDOWS_SQL = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        -- session_window is half-open [start, last+gap): an event exactly
+        -- gap seconds after the last one starts a NEW session (>=, not >)
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return analytics.rate_limit_violations(e, "user_id", "ts", 1)
@@ -1515,6 +1545,7 @@ QUERIES: dict[str, Query] = {
     "cpf_validation": q_cpf_validation,
     "cnpj_validation": q_cnpj_validation,
     "quality_fallback": q_quality_fallback,
+    "session_windows": q_session_windows,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
     "keyword_classifier": q_keyword_classifier,
@@ -1626,6 +1657,7 @@ ORACLES: dict[str, str] = {
     "cpf_validation": _CPF_SQL,
     "cnpj_validation": _CNPJ_SQL,
     "quality_fallback": _QUALITY_FALLBACK_SQL,
+    "session_windows": _SESSION_WINDOWS_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,
     "tumbling_windows": _TUMBLING_SQL,
     "cube_orders": _CUBE_SQL,

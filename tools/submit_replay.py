@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--stream", action="store_true",
                     help="tail via Structured Streaming (else batch replay)")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--lateness-seconds", type=float, default=None,
+                    help="bounded lateness: expire delete tombstones older "
+                    "than (max event ts - this) at compaction")
+    ap.add_argument("--bulk", action="store_true",
+                    help="backfill: apply all epochs as one super-batch")
     ap.add_argument("--master", default=None,
                     help="override master (defaults to spark-submit's)")
     args = ap.parse_args()
@@ -67,10 +72,29 @@ def main() -> None:
         args.workdir,
         mode=args.mode,
         n_source_partitions=args.n_source_partitions,
+        lateness_seconds=args.lateness_seconds,
     )
 
     t0 = time.monotonic()
-    if args.stream:
+    if args.bulk:
+        from etl_documentos_spark.streaming.stream import replay_bulk
+
+        results = replay_bulk(pipeline, args.events)
+        dt = time.monotonic() - t0
+        n = sum(r.events for r in results)
+        print(
+            json.dumps(
+                {
+                    "mode": "bulk",
+                    "epochs": len(results),
+                    "skipped": sum(r.skipped for r in results),
+                    "events": n,
+                    "seconds": round(dt, 2),
+                    "events_per_sec": round(n / dt, 1) if dt > 0 else 0.0,
+                }
+            )
+        )
+    elif args.stream:
         ckpt = args.checkpoint or os.path.join(args.workdir, "checkpoint")
         run_stream_until_drained(pipeline, args.events, ckpt)
         # per-epoch throughput lives in the metrics table (workdir/metrics)
