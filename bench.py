@@ -520,21 +520,42 @@ def run_scaling(
     # one — but runs from older code versions are excluded so the best-of
     # evidence is reproducible with the code as committed)
     cur_commit = _git_commit()
+    all_lines = [json.loads(line) for line in open(ladder_log)]
+    have_current = any(
+        r.get("commit", "unknown") == cur_commit for r in all_lines
+    )
+    if not have_current and all_lines:
+        # docs-only commits move HEAD without changing the engine; rather
+        # than crash on an empty filter, summarize the newest stamped
+        # engine version in the log and say so
+        stamped = [r for r in all_lines if r.get("commit")]
+        cur_commit = stamped[-1]["commit"] if stamped else "unknown"
+        print(
+            f"note: no runs stamped with HEAD; summarizing commit "
+            f"{cur_commit} (newest in {ladder_log})",
+            file=sys.stderr,
+        )
     runs: dict[int, list[dict]] = {n: [] for n in levels}
     fruns: dict[int, list[dict]] = {k: [] for k in fleet_levels}
-    with open(ladder_log) as lg:
-        for line in lg:
-            r = json.loads(line)
-            if r.get("commit", "unknown") != cur_commit:
-                continue
-            if r["master"].startswith("fleet["):
-                lvl = int(r["master"].split("[", 1)[1].split("x", 1)[0])
-                if lvl in fruns:
-                    fruns[lvl].append(r)
-                continue
-            lvl = int(r["master"].split("[", 1)[1].rstrip("]"))
-            if lvl in runs:
-                runs[lvl].append(r)
+    for r in all_lines:
+        if r.get("commit", "unknown") != cur_commit:
+            continue
+        if r["master"].startswith("fleet["):
+            lvl = int(r["master"].split("[", 1)[1].split("x", 1)[0])
+            if lvl in fruns:
+                fruns[lvl].append(r)
+            continue
+        lvl = int(r["master"].split("[", 1)[1].rstrip("]"))
+        if lvl in runs:
+            runs[lvl].append(r)
+    # levels never run at this commit would otherwise crash the best-of
+    levels = [n for n in levels if runs[n]]
+    runs = {n: runs[n] for n in levels}
+    if not levels:
+        raise SystemExit(
+            f"no ladder runs for commit {cur_commit} in {ladder_log}; "
+            "run a sweep first (--repeats 1)"
+        )
     repeats = max(len(rs) for rs in runs.values())
 
     best = {n: max(rs, key=lambda r: r["events_per_sec"]) for n, rs in runs.items()}
@@ -591,7 +612,10 @@ def run_scaling(
         "",
         f"Per level: {repeats} interleaved runs, best shown (co-tenant "
         "steal bursts vary identical runs up to 2x; per-run host "
-        "steal/idle fractions are recorded by the worker).",
+        "steal/idle fractions are recorded by the worker). All runs are "
+        f"stamped with engine commit `{cur_commit}`; re-run "
+        "`python bench.py --scaling --repeats 1 ...` after engine changes "
+        "to refresh the evidence.",
         "",
         "| parallelism | best events/sec | best seconds | steal during best "
         "| all runs (sec) |",

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_documentos_spark.functions.text import fingerprint, shingles, words
+from etl_documentos_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles,
+    words,
+)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -37,9 +42,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _doc_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _doc_words(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int | None = None
+) -> DataFrame:
+    toks = shingles(text_col, shingle_k) if shingle_k else words(text_col)
     return df.select(
-        F.col(id_col).alias("_id"), F.array_distinct(words(text_col)).alias("_ws")
+        F.col(id_col).alias("_id"), F.array_distinct(toks).alias("_ws")
     )
 
 
@@ -49,8 +57,13 @@ def near_dup_jaccard(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_doc_frequency: float | None = 0.05,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """Pairs of documents with token-set Jaccard >= threshold.
+
+    ``shingle_k``: compare word k-SHINGLE sets instead of single tokens
+    (n-gram Jaccard) — order-sensitive, far fewer cross-doc collisions on
+    small vocabularies, same inverted-index join shape.
 
     Inverted-index candidate join: explode distinct tokens, self-join on the
     token, count shared tokens per pair, then jaccard = inter/(|a|+|b|-inter).
@@ -64,7 +77,9 @@ def near_dup_jaccard(
     scale-unsafe) form, as the oracle-checked query does.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    docs = _doc_words(df, text_col, id_col).withColumn("_n", F.size("_ws"))
+    docs = _doc_words(df, text_col, id_col, shingle_k).withColumn(
+        "_n", F.size("_ws")
+    )
     tokens = docs.select("_id", "_n", F.explode("_ws").alias("w"))
     if max_doc_frequency is not None:
         # count the raw rows (no tokenization pass) for the df-cap threshold
@@ -169,6 +184,58 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprints) — winnowing document fingerprints (the MOSS
+    scheme): hash every k-character gram of the normalized text, slide a
+    window of ``window`` consecutive gram hashes, keep each window's
+    minimum, dedupe and sort.
+
+    Guarantees of winnowing: any shared substring of length >= k+window-1
+    between two documents yields at least one shared fingerprint, so
+    near-dup candidate generation can equi-join on exploded fingerprints
+    (like the token inverted index, but robust to word-boundary edits).
+    One narrow pass, per-row O(len) expression work, no shuffle; hashes are
+    md5-derived 32-bit ints so the DuckDB oracle reproduces them exactly.
+    """
+    # materialize intermediates between projections: a lambda body is
+    # re-evaluated per array element with no CSE, so referencing the raw
+    # normalize/hash EXPRESSIONS inside transform() would redo the regex
+    # (or the whole md5 array) once per gram — O(len^2) per row
+    base = df.select(
+        F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t")
+    )
+    c = F.col("_t")
+    n_grams = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: c.substr(i, F.lit(k))
+    )
+    hashed = base.select(
+        "_id",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("_hs"),
+    )
+    hashes = F.col("_hs")
+    n_wins = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return hashed.select(
+        "_id",
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
     )
 
 

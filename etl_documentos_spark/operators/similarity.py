@@ -231,6 +231,77 @@ def near_dup_pairs_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> Column:
+    """IVF coarse quantizer: index of the nearest centroid by cosine.
+
+    Centroids are literals (broadcast); the argmax runs as one array
+    expression per row (struct-max over per-centroid similarity), so
+    assignment is a narrow pass — the write side of an IVF index. At
+    10^9 vectors the assignment column becomes the partition/bucket key:
+    probe-time work shrinks to corpus/C per probed list.
+    """
+    v = _to_double(vec_col)
+    nv = norm(v)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                    / (
+                        nv
+                        * F.lit(
+                            sum(float(x) * float(x) for x in c) ** 0.5
+                        )
+                    )
+                ).alias("sim"),
+                F.lit(-i).alias("rank"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored).getField("idx")
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``n_probe`` nearest
+    centroid lists, exact cosine inside them.
+
+    The standard FAISS-IVF shape re-expressed as DataFrame ops: assignment
+    is an equi-filter (partition-prunable when the table is written
+    bucketed by the assignment), probing more lists trades compute for
+    recall. Deterministic given the centroid set — the showcase derives
+    centroids from corpus rows so the whole query is SQL-reproducible.
+    """
+    import math
+
+    def cos_q(c: list[float]) -> float:
+        d = sum(float(x) * float(y) for x, y in zip(query_vec, c))
+        nq = math.sqrt(sum(float(x) ** 2 for x in query_vec))
+        nc = math.sqrt(sum(float(x) ** 2 for x in c))
+        return d / (nq * nc)
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: (-cos_q(centroids[i]), i)
+    )
+    probed = order[: max(1, n_probe)]
+    assigned = df.withColumn("_list", ivf_assign(df, centroids, vec_col))
+    cand = assigned.filter(F.col("_list").isin(probed))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def cosine_topk_pandas(
     df: DataFrame,
     query_vec: list[float],

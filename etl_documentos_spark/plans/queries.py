@@ -751,6 +751,94 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, k: int = 3) -> str:
     """
 
 
+def q_near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word 3-shingle) Jaccard near-dup pairs — order-sensitive
+    variant of the token-set form; exact (df-cap off) for the oracle."""
+    return dedup.near_dup_jaccard(
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_doc_frequency=None,
+        shingle_k=3,
+    )
+
+
+_NEAR_DUP_SHINGLE_SQL = f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(
+                    CASE WHEN len(ws) >= 3
+                         THEN list_transform(generate_series(1, len(ws) - 2),
+                              i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                         ELSE [] END) AS sset
+           FROM w),
+    t AS (SELECT doc_id, len(sset) AS n, unnest(sset) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS inter
+      FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(inter / (na + nb - inter), 4) AS jaccard
+    FROM p WHERE round(inter / (na + nb - inter), 4) >= 0.5
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize to the nearest of 4 corpus-derived
+    centroids, probe the query's list, exact cosine top-k inside it."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (1,2,3,4)").orderBy("vec_id").collect()
+    ]
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return similarity.ann_ivf_topk(
+        emb.filter("vec_id <> 0"), qvec, centroids, k=10, n_probe=1
+    )
+
+
+_ANN_IVF_SQL = """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          FROM embeddings WHERE vec_id <> 0),
+    sims AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(vv)),
+                                     i -> vv[i] * cv[i]))
+             / (sqrt(list_sum(list_transform(vv, x -> x * x)))
+                * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS s
+      FROM v, c),
+    assigned AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cid ASC) AS rn
+      FROM sims),
+    qsims AS (
+      SELECT c.cid,
+             list_sum(list_transform(generate_series(1, len(qv)),
+                                     i -> qv[i] * cv[i]))
+             / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS s
+      FROM q, c),
+    qbest AS (SELECT cid FROM qsims ORDER BY s DESC, cid LIMIT 1),
+    scored AS (
+      SELECT v.vec_id,
+             list_sum(list_transform(generate_series(1, len(vv)),
+                                     i -> vv[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(vv, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS s
+      FROM v
+      JOIN assigned a ON v.vec_id = a.vec_id AND a.rn = 1
+      JOIN qbest b ON a.cid = b.cid, q)
+    SELECT vec_id, round(s, 4) AS cosine_sim
+    FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around the vec_id=0 embedding."""
     emb = load(spark, sf_dir, "embeddings")
@@ -867,6 +955,41 @@ def _simhash_sql(bits: int = 16) -> str:
                FROM w)
         SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM th
     """
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, window-min sampled) document
+    fingerprints — the substring-robust dedup signature family."""
+    w = dedup.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=8, window=4
+    )
+    return w.select(F.col("_id").alias("doc_id"), "fingerprints")
+
+
+_WINNOW_SQL = f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace({_FOLD_SQL}, '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                            i -> substring(t, CAST(i AS INT), 8)) AS grams
+      FROM norm),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams,
+                            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM g),
+    w AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                            j -> list_min(list_slice(hs, CAST(j AS INT),
+                                                     CAST(j AS INT) + 3)))
+               AS mins
+      FROM h)
+    SELECT doc_id, list_sort(list_distinct(mins)) AS fingerprints FROM w
+"""
 
 
 def q_extract_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,6 +1669,9 @@ QUERIES: dict[str, Query] = {
     "cnpj_validation": q_cnpj_validation,
     "quality_fallback": q_quality_fallback,
     "session_windows": q_session_windows,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "near_dup_shingles": q_near_dup_shingles,
+    "ann_ivf": q_ann_ivf,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
     "keyword_classifier": q_keyword_classifier,
@@ -1658,6 +1784,9 @@ ORACLES: dict[str, str] = {
     "cnpj_validation": _CNPJ_SQL,
     "quality_fallback": _QUALITY_FALLBACK_SQL,
     "session_windows": _SESSION_WINDOWS_SQL,
+    "winnow_fingerprints": _WINNOW_SQL,
+    "near_dup_shingles": _NEAR_DUP_SHINGLE_SQL,
+    "ann_ivf": _ANN_IVF_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,
     "tumbling_windows": _TUMBLING_SQL,
     "cube_orders": _CUBE_SQL,

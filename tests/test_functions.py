@@ -190,6 +190,33 @@ def test_minhash_identical_docs_collide(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length >=
+    k + window - 1 share at least one fingerprint; disjoint texts don't."""
+    shared = "the quick brown fox jumped over the lazy dog today"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared + " suffix alpha"),
+         (2, "other start " + shared + " different tail"),
+         (3, "completely unrelated words about spark catalyst plans")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["_id"]: set(r["fingerprints"])
+        for r in dedup.winnow_fingerprints(df, k=8, window=4).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3] and len(fps[3]) == 0)
+    # identical docs -> identical fingerprint sets
+    df2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    fps2 = {
+        r["_id"]: tuple(r["fingerprints"])
+        for r in dedup.winnow_fingerprints(df2).collect()
+    }
+    assert fps2[1] == fps2[2]
+
+
 def test_simhash_near_duplicates_close(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog near the river"),
@@ -232,6 +259,37 @@ def test_ann_lsh_returns_bucket_subset(spark):
     # the approximate top-1 should be a strong neighbor (recall sanity)
     exact_ids = {r["vec_id"] for r in exact}
     assert any(r["vec_id"] in exact_ids for r in got)
+
+
+def test_ann_ivf_probe_subset_and_full_probe_exact(spark):
+    """IVF with n_probe = #centroids degenerates to exact brute force;
+    single-probe results are a subset of the exact top-k pool."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[0]]
+    cents = [[float(x) for x in vecs[j]] for j in (1, 2, 3)]
+    corpus = df.filter("vec_id <> 0")
+    exact = [r["vec_id"] for r in similarity.cosine_topk(corpus, q, k=39).collect()]
+    full = [
+        r["vec_id"]
+        for r in similarity.ann_ivf_topk(
+            corpus, q, cents, k=39, n_probe=3
+        ).collect()
+    ]
+    assert full == exact  # probing every list == brute force
+    one = [
+        r["vec_id"]
+        for r in similarity.ann_ivf_topk(corpus, q, cents, k=10).collect()
+    ]
+    assert len(one) > 0 and set(one) <= set(exact)
+    # ranking within the probed list preserves exact-cosine order
+    assert one == [v for v in exact if v in set(one)][: len(one)]
 
 
 def test_multimodal_plumbing(spark):
