@@ -39,9 +39,16 @@ def detect_hot_keys(
     )
 
 
-def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from lsn (stable across retries/replays)."""
-    return df.withColumn(salt_col, F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
+def with_salt(
+    df: DataFrame,
+    n_salts: int = 16,
+    salt_col: str = "_salt",
+    src_col: str | None = None,
+) -> DataFrame:
+    """Deterministic salt (stable across retries/replays): hashes the log
+    sequence number when present, else ``src_col`` / the first column."""
+    src = src_col or ("lsn" if "lsn" in df.columns else df.columns[0])
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(src), F.lit(n_salts)))
 
 
 def salted_agg(

@@ -446,6 +446,26 @@ _SESSIONIZE_SQL = """
 """
 
 
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-safe aggregation (operators/skew.salted_agg): reduce
+    within (key, salt) then across salts — identical result to a direct
+    groupBy, but no reducer ever owns a whole hot key."""
+    from etl_documentos_spark.operators import skew
+
+    e = load(spark, sf_dir, "events")
+    return skew.salted_agg(
+        e, ["user_id"],
+        {"n": "count(*)", "min_v": "min(value)", "max_v": "max(value)"},
+        n_salts=8,
+    )
+
+
+_SALTED_ROLLUP_SQL = """
+    SELECT user_id, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY user_id
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window sessionization (streaming/windows.py builder
     in batch form): per-user gap-based sessions with start/end bounds —
@@ -1065,6 +1085,55 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(d, n_frames=4)
 
 
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize bit-valid 24-bit BMPs
+    deterministically from doc_id, parse them back with the numpy decoder
+    (header fields + stride-aware raster sum). The oracle predicts the
+    decoded values from the generation rule — a genuine decode check, no
+    stub anywhere in this path."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_bmp_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_bmp(d)
+
+
+_BMP_SQL = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(3 * list_sum(list_transform(
+                   generate_series(0, (16 + doc_id % 32) * (8 + doc_id % 16) - 1),
+                   i -> (doc_id + (i % (16 + doc_id % 32))
+                         + (i // (16 + doc_id % 32))) % 256))
+                AS BIGINT) AS sum_pixels
+    FROM documents
+"""
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: stdlib wave writer -> stdlib wave
+    reader + numpy sample stats; oracle predicts from the generation rule."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_wav_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_wav(d)
+
+
+_WAV_SQL = """
+    SELECT doc_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(100 + doc_id % 50 AS INT) AS n_samples,
+           CAST(((100 + doc_id % 50) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(
+                   generate_series(0, 100 + doc_id % 50 - 1),
+                   i -> (doc_id * 31 + i * 7) % 2003 - 1001))
+                AS BIGINT) AS sum_samples
+    FROM documents
+"""
+
+
 def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4; exact double math).
 
@@ -1087,6 +1156,48 @@ _NEAR_DUP_EMB_SQL = """
     SELECT id_a, id_b, round(d / (na.nv * nb.nv), 4) AS cosine_sim
     FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
     WHERE round(d / (na.nv * nb.nv), 4) >= 0.4
+"""
+
+
+def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (the 10^9-vector scale path): candidates
+    from hyperplane-signature equality, exact cosine verify in-bucket.
+    Deterministic given the corpus-derived planes, so fully SQL-checkable."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (1,2,3)").orderBy("vec_id").collect()
+    ]
+    return similarity.near_dup_pairs_lsh(emb, threshold=0.3, planes=planes)
+
+
+_NEAR_DUP_LSH_SQL = """
+    WITH p AS (SELECT vec_id AS pid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+               FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          FROM embeddings),
+    sig AS (
+      SELECT v.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(
+                    generate_series(1, len(vv)), i -> vv[i] * pv[i])) > 0
+                  THEN CAST(pow(2, pid - 1) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v, p GROUP BY v.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT id_a, id_b,
+             round(
+               list_sum(list_transform(generate_series(1, len(va.vv)),
+                                       i -> va.vv[i] * vb.vv[i]))
+               / (sqrt(list_sum(list_transform(va.vv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(vb.vv, x -> x * x)))),
+               4) AS cosine_sim
+      FROM pairs JOIN v va ON pairs.id_a = va.vec_id
+                 JOIN v vb ON pairs.id_b = vb.vec_id)
+    SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.3
 """
 
 
@@ -1672,6 +1783,10 @@ QUERIES: dict[str, Query] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "near_dup_shingles": q_near_dup_shingles,
     "ann_ivf": q_ann_ivf,
+    "near_dup_embedding_lsh": q_near_dup_embedding_lsh,
+    "salted_rollup": q_salted_rollup,
+    "bmp_decode": q_bmp_decode,
+    "wav_decode": q_wav_decode,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
     "keyword_classifier": q_keyword_classifier,
@@ -1787,6 +1902,10 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _WINNOW_SQL,
     "near_dup_shingles": _NEAR_DUP_SHINGLE_SQL,
     "ann_ivf": _ANN_IVF_SQL,
+    "near_dup_embedding_lsh": _NEAR_DUP_LSH_SQL,
+    "salted_rollup": _SALTED_ROLLUP_SQL,
+    "bmp_decode": _BMP_SQL,
+    "wav_decode": _WAV_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,
     "tumbling_windows": _TUMBLING_SQL,
     "cube_orders": _CUBE_SQL,

@@ -8,11 +8,18 @@ column plus typed metadata columns, with decode / feature-extraction /
 resize / frame-sampling as Arrow-batched pandas functions over
 ``mapInPandas``.
 
-The image/audio decode libraries are not in this container, so the decode
-step is STUBBED: if PIL/soundfile are importable they are used; otherwise a
-clearly-marked deterministic fake derives metadata from the byte content.
-The Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signatures — is real and tested either way.
+Decoder reality, by format:
+
+- **BMP and WAV are decoded for REAL** (``decode_bmp`` / ``decode_wav``):
+  uncompressed BMP is a fixed little-endian header + raster (numpy parses
+  it stride/padding-aware) and WAV ships with stdlib ``wave`` — so two
+  genuine byte-level decode paths run end-to-end in this container, with
+  synthesizers (``synth_bmp_payload`` / ``synth_wav_payload``) producing
+  bit-valid payloads whose decoded values a SQL oracle can predict.
+- JPEG/PNG/WebP decode libraries (PIL) are not in this container, so
+  ``decode_images`` uses PIL when importable and otherwise a clearly-marked
+  deterministic fake. The Spark-side plumbing — schema, batch iteration,
+  partitioning, UDF signatures — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -105,6 +112,159 @@ def decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+#: real-decode output schemas (see synth_*/decode_* below)
+BMP_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, sum_pixels long"
+)
+WAV_META_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_samples int, "
+    "duration_ms long, sum_samples long"
+)
+
+
+def synth_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (bit-valid) 24-bit uncompressed BMP per row, generated
+    deterministically from the id: width = 16 + id%32, height = 8 + id%16,
+    pixel(x, y) = (id + x + y) % 256 on all three channels. This gives the
+    decode stage genuine bytes to parse end-to-end — no image libraries
+    needed on either side (BMP is a fixed little-endian header + raster).
+    """
+    import struct
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 16 + i % 32, 8 + i % 16
+            row_len = (3 * w + 3) & ~3  # rows padded to 4 bytes
+            x = np.arange(w)
+            rows = []
+            # BMP rasters are bottom-up
+            for y in range(h - 1, -1, -1):
+                vals = ((i + x + y) % 256).astype(np.uint8)
+                row = np.repeat(vals, 3)  # B=G=R
+                rows.append(
+                    np.pad(row, (0, row_len - 3 * w)).tobytes()
+                )
+            raster = b"".join(rows)
+            header = struct.pack(
+                "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                2835, 2835, 0, 0,
+            )
+            out.append(header + raster)
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def decode_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL BMP decode over mapInPandas: parse the header, reconstruct the
+    pixel raster with numpy (stride/padding-aware), emit dimensions and the
+    exact integer pixel sum (cross-engine-stable, unlike rounded float means). No stub — wrong bytes raise."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(data)
+                if data[:2] != b"BM":
+                    raise ValueError(f"not a BMP payload for id {doc_id}")
+                off = int.from_bytes(data[10:14], "little")
+                w = int.from_bytes(data[18:22], "little", signed=True)
+                h = int.from_bytes(data[22:26], "little", signed=True)
+                bpp = int.from_bytes(data[28:30], "little")
+                ch = bpp // 8
+                row_len = (ch * w + 3) & ~3
+                raster = np.frombuffer(
+                    data, np.uint8, count=row_len * abs(h), offset=off
+                ).reshape(abs(h), row_len)
+                pixels = raster[:, : ch * w]
+                rows.append(
+                    (doc_id, w, abs(h), ch, int(pixels.sum(dtype="int64")))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "sum_pixels"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, BMP_META_SCHEMA)
+
+
+def synth_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL RIFF/WAVE payload per row (stdlib ``wave`` writer):
+    mono, 16-bit, 8 kHz, n = 100 + id%50 samples with
+    sample(i) = ((id*31 + i*7) % 2003) - 1001."""
+    import io
+    import wave
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in ids:
+            i = int(i)
+            n = 100 + i % 50
+            samples = (
+                (i * 31 + np.arange(n) * 7) % 2003 - 1001
+            ).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(8000)
+                wv.writeframes(samples.tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WAV decode over mapInPandas (stdlib ``wave`` + numpy): channel
+    count, sample rate, frame count, duration and the exact sample sum."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(data)), "rb") as wv:
+                    nch = wv.getnchannels()
+                    rate = wv.getframerate()
+                    n = wv.getnframes()
+                    samples = np.frombuffer(
+                        wv.readframes(n), dtype="<i2"
+                    )
+                rows.append(
+                    (doc_id, nch, rate, n, (n * 1000) // rate,
+                     int(samples.sum(dtype="int64")))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_channels", "sample_rate", "n_samples",
+                         "duration_ms", "sum_samples"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, WAV_META_SCHEMA)
 
 
 def sample_frames(

@@ -242,7 +242,10 @@ class CommitLog:
         )
         if len(ids) <= keep_last:
             return 0
-        rollable = ids[:-keep_last]
+        # keep_last=0 rolls everything (ids[:-0] would be empty, not all)
+        rollable = ids[:-keep_last] if keep_last > 0 else ids
+        if not rollable:
+            return 0
         hwm = self._hwm()
         if hwm is None:
             hwm = {

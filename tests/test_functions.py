@@ -261,6 +261,36 @@ def test_ann_lsh_returns_bucket_subset(spark):
     assert any(r["vec_id"] in exact_ids for r in got)
 
 
+def test_real_bmp_and_wav_decode_roundtrip(spark):
+    """The BMP/WAV paths are genuine byte-level codecs: synthesize, decode,
+    and check the decoded values against the generation rule."""
+    df = spark.createDataFrame([(7,), (40,), (123,)], "doc_id long")
+    bmp = {
+        r["doc_id"]: r
+        for r in multimodal.decode_bmp(
+            multimodal.synth_bmp_payload(df)
+        ).collect()
+    }
+    for i, r in bmp.items():
+        w, h = 16 + i % 32, 8 + i % 16
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        want = 3 * sum(
+            (i + x + y) % 256 for x in range(w) for y in range(h)
+        )
+        assert r["sum_pixels"] == want, (i, r)
+    wav = {
+        r["doc_id"]: r
+        for r in multimodal.decode_wav(
+            multimodal.synth_wav_payload(df)
+        ).collect()
+    }
+    for i, r in wav.items():
+        n = 100 + i % 50
+        assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == (1, 8000, n)
+        want = sum((i * 31 + j * 7) % 2003 - 1001 for j in range(n))
+        assert r["sum_samples"] == want, (i, r)
+
+
 def test_ann_ivf_probe_subset_and_full_probe_exact(spark):
     """IVF with n_probe = #centroids degenerates to exact brute force;
     single-probe results are a subset of the exact top-k pool."""

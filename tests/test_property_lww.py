@@ -60,3 +60,39 @@ def test_lww_matches_oracle_on_arbitrary_streams(spark, events):
         for w in oracle.reduce_events(rows)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# commit-log roll-up properties (pure python, no Spark)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    committed=st.sets(st.integers(min_value=0, max_value=60), max_size=40),
+    keep_last=st.integers(min_value=0, max_value=10),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+def test_commitlog_rollup_never_lies(tmp_path_factory, committed, keep_last, rounds):
+    """After any number of compactions with any keep_last, is_committed
+    answers exactly the ground-truth membership and max_offsets is exact."""
+    import uuid
+
+    from etl_documentos_spark.streaming.commitlog import CommitLog
+
+    root = tmp_path_factory.mktemp("cl") / uuid.uuid4().hex
+    log = CommitLog(str(root))
+    truth_offsets = {}
+    for e in sorted(committed):
+        off = {0: e * 3, 1: e * 5 + 1}
+        log.commit(e, f"fp{e}", off)
+        for k, v in off.items():
+            truth_offsets[k] = max(truth_offsets.get(k, -1), v)
+    for _ in range(rounds):
+        log.compact_log(keep_last=keep_last)
+    for e in range(62):
+        assert log.is_committed(e) == (e in committed), (e, committed, keep_last)
+    if committed:
+        assert log.max_offsets() == truth_offsets
