@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -91,16 +92,38 @@ def _ensure_events(spark) -> str:
     return EVENTS_CACHE
 
 
+def _shard_files(events_path: str, k: int, rem: int) -> list[tuple[int, str]]:
+    """Round-robin (epoch, parquet-file) pairs across K fleet workers.
+
+    Event-sized sharding: whole-epoch shards (epoch % K) go imbalanced as K
+    approaches the epoch count; file-level round-robin keeps worker loads
+    within one file of each other at any K up to the total file count."""
+    from etl_documentos_spark.streaming.stream import list_epochs
+
+    files = []
+    for e in list_epochs(events_path):
+        d = os.path.join(events_path, f"epoch={e}")
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                files.append((e, os.path.join(d, fn)))
+    return [fp for j, fp in enumerate(files) if j % k == rem]
+
+
 def _replay(
     spark, events_path: str, workdir: str, bulk: bool = False,
     concurrency: int = 3, epoch_mod: int | None = None, epoch_rem: int = 0,
-    create_table: bool = True,
+    create_table: bool = True, file_shard: bool = False,
 ) -> dict:
     """One full replay into a fresh lake table; returns throughput.
 
     ``bulk=False``: per-epoch micro-batches with ``concurrency`` overlapped
     epoch applies (the streaming-tail shape with async batch pipelining).
     ``bulk=True``: one super-batch backfill (the 10^10-replay shape).
+    ``file_shard=True``: interpret (epoch_mod, epoch_rem) as a file-level
+    round-robin shard instead of whole epochs; each worker's slice of epoch
+    e becomes its own exactly-once unit with synthetic id ``e*K + rem``
+    (the WAL re-partitioned into more, smaller epochs — the LWW reduction
+    is order-insensitive, so the final table state is unchanged).
     """
     from pyspark.sql import types as T
 
@@ -131,12 +154,31 @@ def _replay(
     from etl_documentos_spark.streaming.stream import list_epochs
 
     epochs = None
-    if epoch_mod is not None:
+    if epoch_mod is not None and not file_shard:
         epochs = [
             e for e in list_epochs(events_path) if e % epoch_mod == epoch_rem
         ]
     t0 = time.monotonic()
-    if bulk:
+    if file_shard:
+        from pyspark.sql import functions as F
+
+        assert bulk and epoch_mod is not None
+        k = epoch_mod
+        mine = _shard_files(events_path, k, epoch_rem)
+        if not mine:
+            return {"events": 0, "seconds": time.monotonic() - t0,
+                    "events_per_sec": 0.0, "mode": "bulk-shard(empty)"}
+        changes = (
+            spark.read.schema(bulk_schema)
+            .option("basePath", events_path)
+            .parquet(*[p for _, p in mine])
+            .withColumn(
+                "epoch", (F.col("epoch") * k + F.lit(epoch_rem)).cast("int")
+            )
+        )
+        sids = sorted({e * k + epoch_rem for e, _ in mine})
+        results = pipeline.apply_epochs_bulk(changes, sids, persist=False)
+    elif bulk:
         results = replay_bulk(
             pipeline, events_path, schema=bulk_schema, epochs=epochs
         )
@@ -217,14 +259,10 @@ def _git_commit() -> str:
         return "unknown"
 
 
-def _warmup_replay(spark) -> None:
-    """Small untimed replay: JIT-compiles the hot JVM paths (measured ~19
-    CPU-s of C1/C2 compilation otherwise lands INSIDE the timed window at
-    local[8]) and spawns+imports every python Arrow worker (~1 CPU-s each).
-    Steady-state throughput is the honest ladder metric — a 10^10-event
-    replay amortizes warmup to zero."""
-    import tempfile
-
+def _ensure_warmup_events(spark) -> str:
+    """Generate (once) the small warmup change stream. Call from a single
+    process before spawning concurrent workers — the generate path is not
+    safe against two processes racing on the marker."""
     from etl_documentos_spark import datagen
 
     warm_events = int(os.environ.get("SPARK_GRAFT_WARMUP_EVENTS", "150000"))
@@ -241,6 +279,18 @@ def _warmup_replay(spark) -> None:
             warm_dir,
         )
         open(os.path.join(warm_dir, "_SUCCESS_MARKER"), "w").close()
+    return warm_dir
+
+
+def _warmup_replay(spark) -> None:
+    """Small untimed replay: JIT-compiles the hot JVM paths (measured ~19
+    CPU-s of C1/C2 compilation otherwise lands INSIDE the timed window at
+    local[8]) and spawns+imports every python Arrow worker (~1 CPU-s each).
+    Steady-state throughput is the honest ladder metric — a 10^10-event
+    replay amortizes warmup to zero."""
+    import tempfile
+
+    warm_dir = _ensure_warmup_events(spark)
     for warm_bulk in (False, True):
         wd = tempfile.mkdtemp(prefix="cdc_warm_")
         try:
@@ -257,6 +307,8 @@ def run_cdc_worker(
     epoch_rem: int = 0,
     shared_base: str | None = None,
     warmup: bool = True,
+    file_shard: bool = False,
+    barrier_dir: str | None = None,
 ) -> dict:
     import tempfile
 
@@ -269,6 +321,17 @@ def run_cdc_worker(
     events = _ensure_events(spark)
     if warmup:
         _warmup_replay(spark)
+    if barrier_dir is not None:
+        # steady-state fleet rendezvous: signal readiness (session up, JIT
+        # warmed), then wait for the coordinator's release so every
+        # executor's timed window starts together. CLOCK_MONOTONIC is
+        # system-wide, so worker-reported t_start/t_end spans are
+        # comparable across processes.
+        open(os.path.join(barrier_dir, f"ready_{epoch_rem}"), "w").close()
+        go = os.path.join(barrier_dir, "go")
+        deadline = time.monotonic() + 900
+        while not os.path.exists(go) and time.monotonic() < deadline:
+            time.sleep(0.05)
     if shared_base is not None:
         workdir = shared_base  # fleet mode: table pre-created by the parent
         cleanup = False
@@ -280,15 +343,18 @@ def run_cdc_worker(
     conc = 3
     s0 = _proc_stat()
     cpu0 = _tree_cpu()
+    t_start = time.monotonic()
     try:
         res = _replay(
             spark, events, workdir, bulk=bulk, concurrency=conc,
             epoch_mod=epoch_mod, epoch_rem=epoch_rem,
-            create_table=shared_base is None,
+            create_table=shared_base is None, file_shard=file_shard,
         )
     finally:
         if cleanup:
             shutil.rmtree(workdir, ignore_errors=True)
+    res["t_start"] = t_start
+    res["t_end"] = time.monotonic()
     cpu1 = _tree_cpu()
     # replay-window CPU by process name (JVM vs python writers), excluding
     # session startup/JIT that happened before the timed span
@@ -312,15 +378,30 @@ def run_cdc_worker(
     return res
 
 
-def run_cdc_fleet(k: int, out_path: str | None = None) -> dict:
-    """K single-core executor PROCESSES applying disjoint epoch shards of
-    the same backfill to ONE shared lake table (cross-process commit flock).
+def run_cdc_fleet(
+    k: int, out_path: str | None = None, warm: bool = False, cores: int = 1
+) -> dict:
+    """K single-core executor PROCESSES applying disjoint file-level shards
+    of the same backfill to ONE shared lake table (cross-process commit
+    flock).
 
     This is the cluster-faithful scaling unit: separate JVMs/heaps/python
     pools per executor, shared storage — exactly the spark-submit topology —
-    whereas local[N] shares one JVM across all "executors". Wall time spans
-    process spawn to last exit (executor startup included, as on a real
-    cluster).
+    whereas local[N] shares one JVM across all "executors".
+
+    ``warm=False`` (cold): wall time spans process spawn to last exit —
+    executor startup (JVM boot, session init, JIT) is inside the window, as
+    for a short job on a real cluster.
+    ``warm=True`` (steady-state): every worker boots, runs the untimed
+    warmup replay, then parks at a file barrier; the coordinator releases
+    all workers at once and the reported span is max(t_end) - min(t_start)
+    over worker-local CLOCK_MONOTONIC stamps — the 10^10-event shape, where
+    startup amortizes to zero. Master is recorded as ``fleetw[KxC]``.
+
+    ``cores``: CPUs per executor (worker i pinned to cores [i*C, (i+1)*C),
+    master local[C]) — real clusters run multi-core executors, and a
+    C=4 series keeps k*C within the box's 16 PHYSICAL cores, so the N ->
+    4N executor comparison is not confounded by SMT sibling contention.
     """
     import tempfile
 
@@ -333,6 +414,8 @@ def run_cdc_fleet(k: int, out_path: str | None = None) -> dict:
 
     spark = get_spark("fleet-gen", master=f"local[{DEFAULT_CPUS}]")
     _ensure_events(spark)
+    if warm:
+        _ensure_warmup_events(spark)
     spark.stop()
 
     base = tempfile.mkdtemp(prefix="cdc_fleet_", dir=BENCH_DIR)
@@ -346,35 +429,62 @@ def run_cdc_fleet(k: int, out_path: str | None = None) -> dict:
         SPARK_GRAFT_CDC_EVENTS=str(BENCH_EVENTS),
         SPARK_DRIVER_MEM="4g",
     )
+    warm_args = (
+        ["--barrier-dir", base] if warm else ["--no-warmup"]
+    )
     s0 = _proc_stat()
     t0 = time.monotonic()
-    # fleet wall time deliberately includes executor startup (cluster
-    # semantics) — so no warmup replay inside fleet workers
     procs = [
         subprocess.Popen(
-            ["taskset", "-c", str(i),
+            ["taskset", "-c", f"{i * cores}-{(i + 1) * cores - 1}",
              sys.executable, os.path.abspath(__file__), "--cdc-worker",
-             "--bulk", "--master", "local[1]", "--no-warmup",
-             "--epoch-mod", str(k), "--epoch-rem", str(i),
+             "--bulk", "--master", f"local[{cores}]", *warm_args,
+             "--epoch-mod", str(k), "--epoch-rem", str(i), "--file-shard",
              "--shared-base", base, "--events", str(BENCH_EVENTS),
              "--out", os.path.join(base, f"w{i}.json")],
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         for i in range(k)
     ]
+    if warm:
+        # wait for every worker to finish warmup, then release the barrier
+        # and restart the host-CPU accounting at the release instant
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            if all(
+                os.path.exists(os.path.join(base, f"ready_{i}"))
+                for i in range(k)
+            ):
+                break
+            if any(p.poll() not in (None, 0) for p in procs):
+                break
+            time.sleep(0.2)
+        s0 = _proc_stat()
+        open(os.path.join(base, "go"), "w").close()
     rcs = [p.wait() for p in procs]
     dt = time.monotonic() - t0
     s1 = _proc_stat()
     assert all(rc == 0 for rc in rcs), rcs
     events = 0
+    spans = []
     for i in range(k):
         with open(os.path.join(base, f"w{i}.json")) as f:
-            events += json.load(f)["events"]
+            w = json.load(f)
+        events += w["events"]
+        if "t_start" in w:
+            spans.append((w["t_start"], w["t_end"]))
+    if warm:
+        # steady-state span over the shared monotonic clock: first worker
+        # start (= barrier release) to last worker finish
+        dt = max(t1 for _, t1 in spans) - min(t0_ for t0_, _ in spans)
     d = [b - a for a, b in zip(s0, s1)]
     total = max(sum(d), 1)
     res = {
         "events": events, "seconds": dt, "events_per_sec": events / dt,
-        "mode": "fleet-bulk", "master": f"fleet[{k}x1]",
+        "mode": "fleet-bulk-warm" if warm else "fleet-bulk",
+        "master": (
+            f"fleetw[{k}x{cores}]" if warm else f"fleet[{k}x{cores}]"
+        ),
         "host_steal_frac": round(d[7] / total, 3),
         "host_idle_frac": round(d[3] / total, 3),
         "commit": _git_commit(),
@@ -450,7 +560,9 @@ def run_default(sf_dir: str, cpus: int) -> None:
 
 
 def run_scaling(
-    levels: list[int], repeats: int = 3, fleet_levels: list[int] | None = None
+    levels: list[int], repeats: int = 3,
+    fleet_series: list[tuple[int, int]] | None = None,
+    commits: str | None = None, fleet_only: bool = False,
 ) -> None:
     """Identical replay at each level; efficiency from best-of-``repeats``.
 
@@ -470,8 +582,14 @@ def run_scaling(
     runs up to 2x; per-run steal/idle deltas are recorded).
     Writes ``BENCH/BASELINE.md``.
     """
-    if fleet_levels is None:
-        fleet_levels = [x for x in (1, 4, 16) if x <= max(levels)]
+    if fleet_series is None:
+        # two executor shapes: single-core (1 -> 4 -> 16 executors) and
+        # 4-core (1 -> 4 executors, 16 CPUs total — stays within the box's
+        # 16 PHYSICAL cores, so the 4x-executor comparison dodges the SMT
+        # wall that caps every 32-CPU configuration on this host)
+        fleet_series = [
+            (k, 1) for k in (1, 4, 16) if k <= max(levels)
+        ] + [(1, 4), (4, 4)]
     # hardware ceiling calibration (fast, no Spark)
     calib = json.loads(
         subprocess.check_output(
@@ -490,7 +608,7 @@ def run_scaling(
 
     ladder_log = f"/tmp/cdc_ladder_{BENCH_EVENTS}.jsonl"
     for _ in range(repeats):
-        for n in levels:
+        for n in ([] if fleet_only else levels):
             out = f"/tmp/cdc_scale_{n}.json"
             env = dict(os.environ, SPARK_GRAFT_CDC_EVENTS=str(BENCH_EVENTS))
             # pin the whole worker tree (JVM task threads, GC, python Arrow
@@ -505,46 +623,60 @@ def run_scaling(
             )
             with open(out) as f, open(ladder_log, "a") as lg:
                 lg.write(f.read().strip() + "\n")
-        for k in fleet_levels:
-            out = f"/tmp/cdc_fleet_{k}.json"
-            env = dict(os.environ, SPARK_GRAFT_CDC_EVENTS=str(BENCH_EVENTS))
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--fleet",
-                 str(k), "--events", str(BENCH_EVENTS), "--out", out],
-                check=True, env=env,
-            )
-            with open(out) as f, open(ladder_log, "a") as lg:
-                lg.write(f.read().strip() + "\n")
+        for k, c in fleet_series:
+            for warm_flag in ([], ["--fleet-warm"]):
+                out = (
+                    f"/tmp/cdc_fleet_{k}x{c}"
+                    f"{'w' if warm_flag else ''}.json"
+                )
+                env = dict(
+                    os.environ, SPARK_GRAFT_CDC_EVENTS=str(BENCH_EVENTS)
+                )
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--fleet",
+                     str(k), "--fleet-cores", str(c), *warm_flag,
+                     "--events", str(BENCH_EVENTS), "--out", out],
+                    check=True, env=env,
+                )
+                with open(out) as f, open(ladder_log, "a") as lg:
+                    lg.write(f.read().strip() + "\n")
     # summarize over all recorded runs for this input FROM THE CURRENT
     # ENGINE COMMIT (earlier sweeps of the same commit accumulate —
     # interleaving across invocations is equivalent to interleaving within
     # one — but runs from older code versions are excluded so the best-of
     # evidence is reproducible with the code as committed)
     cur_commit = _git_commit()
+    allowed = (
+        {c.strip() for c in commits.split(",")} if commits else {cur_commit}
+    )
     all_lines = [json.loads(line) for line in open(ladder_log)]
     have_current = any(
-        r.get("commit", "unknown") == cur_commit for r in all_lines
+        r.get("commit", "unknown") in allowed for r in all_lines
     )
     if not have_current and all_lines:
         # docs-only commits move HEAD without changing the engine; rather
         # than crash on an empty filter, summarize the newest stamped
         # engine version in the log and say so
         stamped = [r for r in all_lines if r.get("commit")]
-        cur_commit = stamped[-1]["commit"] if stamped else "unknown"
+        allowed = {stamped[-1]["commit"]} if stamped else {"unknown"}
         print(
             f"note: no runs stamped with HEAD; summarizing commit "
-            f"{cur_commit} (newest in {ladder_log})",
+            f"{sorted(allowed)} (newest in {ladder_log})",
             file=sys.stderr,
         )
+    commit_label = "`" + "` + `".join(sorted(allowed)) + "`"
     runs: dict[int, list[dict]] = {n: [] for n in levels}
-    fruns: dict[int, list[dict]] = {k: [] for k in fleet_levels}
+    fruns: dict[tuple[int, int], list[dict]] = {s: [] for s in fleet_series}
+    wruns: dict[tuple[int, int], list[dict]] = {s: [] for s in fleet_series}
+    fleet_re = re.compile(r"^(fleetw?)\[(\d+)x(\d+)\]$")
     for r in all_lines:
-        if r.get("commit", "unknown") != cur_commit:
+        if r.get("commit", "unknown") not in allowed:
             continue
-        if r["master"].startswith("fleet["):
-            lvl = int(r["master"].split("[", 1)[1].split("x", 1)[0])
-            if lvl in fruns:
-                fruns[lvl].append(r)
+        m = fleet_re.match(r["master"])
+        if m:
+            key = (int(m.group(2)), int(m.group(3)))
+            tgt = wruns if m.group(1) == "fleetw" else fruns
+            tgt.setdefault(key, []).append(r)
             continue
         lvl = int(r["master"].split("[", 1)[1].rstrip("]"))
         if lvl in runs:
@@ -554,8 +686,8 @@ def run_scaling(
     runs = {n: runs[n] for n in levels}
     if not levels:
         raise SystemExit(
-            f"no ladder runs for commit {cur_commit} in {ladder_log}; "
-            "run a sweep first (--repeats 1)"
+            f"no ladder runs for commit(s) {sorted(allowed)} in "
+            f"{ladder_log}; run a sweep first (--repeats 1)"
         )
     repeats = max(len(rs) for rs in runs.values())
 
@@ -636,9 +768,11 @@ def run_scaling(
         f"Per level: {repeats} interleaved runs, best shown (co-tenant "
         "steal bursts vary identical runs up to 2x; per-run host "
         "steal/idle fractions are recorded by the worker). All runs are "
-        f"stamped with engine commit `{cur_commit}`; re-run "
-        "`python bench.py --scaling --repeats 1 ...` after engine changes "
-        "to refresh the evidence.",
+        f"stamped with engine commit {commit_label} (when several commits "
+        "are merged via `--commits`, the replay path is byte-identical "
+        "across them — only bench/report or non-replay query code moved); "
+        "re-run `python bench.py --scaling --repeats 1 ...` after engine "
+        "changes to refresh the evidence.",
         "",
         "| parallelism | best events/sec | best seconds | steal during best "
         "| all runs (sec) |",
@@ -669,7 +803,7 @@ def run_scaling(
             f"**{ratio:.2f}x**, scaling efficiency **{eff:.2f}**{hw_note}"
             f"{sp_note}"
         )
-    if any(fruns.values()):
+    if any(fruns.values()) or any(wruns.values()):
         fbest = {
             k: max(rs, key=lambda r: r["events_per_sec"])
             for k, rs in fruns.items() if rs
@@ -679,36 +813,86 @@ def run_scaling(
             "## Executor-process ladder (fleet[Kx1])",
             "",
             "K separate single-core executor PROCESSES (own JVM + python "
-            "pool each, pinned to distinct CPUs) bulk-apply disjoint epoch "
-            "shards of the same input into ONE shared table through the "
+            "pool each, pinned to distinct CPUs) bulk-apply disjoint "
+            "FILE-LEVEL shards of the same input (round-robin parquet "
+            "files; each worker's slice of epoch e is its own exactly-once "
+            "unit with synthetic id e*K+rem — the WAL re-partitioned into "
+            "more, smaller epochs) into ONE shared table through the "
             "cross-process commit flock — the spark-submit multi-executor "
-            "topology, minus the network. Wall time includes executor "
-            "startup, as on a real cluster. NOTE: shards are whole epochs "
-            f"(this input has {BENCH_EVENTS // BENCH_EPOCH + 1}), so K "
-            "near or above the epoch count is shard-imbalanced and "
-            "startup-bound — size shards to events, not epochs, for "
-            "larger fleets.",
+            "topology, minus the network. Worker loads stay within one "
+            "file of each other at any K. Cold rows: wall spans process "
+            "spawn to last exit (executor startup + JIT inside the "
+            "window — the short-job shape). Steady-state rows (fleetw): "
+            "every worker boots and warms up first, parks at a barrier, "
+            "and the span is max(t_end)-min(t_start) over worker "
+            "CLOCK_MONOTONIC stamps from the coordinated release — the "
+            "10^10-event shape, where startup amortizes to zero.",
             "",
             "| executors | best events/sec | best seconds | all runs (sec) |",
             "|---|---|---|---|",
         ]
-        for k in sorted(fbest):
-            alls = ", ".join(f"{r['seconds']:.1f}" for r in fruns[k])
+        for kc in sorted(fbest, key=lambda s: (s[1], s[0])):
+            k, c = kc
+            alls = ", ".join(f"{r['seconds']:.1f}" for r in fruns[kc])
             lines.append(
-                f"| fleet[{k}x1] | {fbest[k]['events_per_sec']:,.0f} | "
-                f"{fbest[k]['seconds']:.1f} | {alls} |"
+                f"| fleet[{k}x{c}] cold | "
+                f"{fbest[kc]['events_per_sec']:,.0f} | "
+                f"{fbest[kc]['seconds']:.1f} | {alls} |"
+            )
+        wbest = {
+            kc: max(rs, key=lambda r: r["events_per_sec"])
+            for kc, rs in wruns.items() if rs
+        }
+        for kc in sorted(wbest, key=lambda s: (s[1], s[0])):
+            k, c = kc
+            alls = ", ".join(f"{r['seconds']:.1f}" for r in wruns[kc])
+            lines.append(
+                f"| fleetw[{k}x{c}] steady-state | "
+                f"{wbest[kc]['events_per_sec']:,.0f} | "
+                f"{wbest[kc]['seconds']:.1f} | {alls} |"
             )
         lines.append("")
-        for a in sorted(fbest):
-            b = a * 4
+        for kc in sorted(fbest, key=lambda s: (s[1], s[0])):
+            a, c = kc
+            b = (a * 4, c)
             if b in fbest:
                 ratio = (
-                    fbest[b]["events_per_sec"] / fbest[a]["events_per_sec"]
+                    fbest[b]["events_per_sec"] / fbest[kc]["events_per_sec"]
                 )
                 lines.append(
-                    f"- fleet[{a}x1] -> fleet[{b}x1] (4x executors): "
-                    f"speedup **{ratio:.2f}x**, scaling efficiency "
-                    f"**{ratio / 4:.2f}**"
+                    f"- fleet[{a}x{c}] -> fleet[{a * 4}x{c}] cold (4x "
+                    f"executors): speedup **{ratio:.2f}x**, scaling "
+                    f"efficiency **{ratio / 4:.2f}**"
+                )
+        for kc in sorted(wbest, key=lambda s: (s[1], s[0])):
+            a, c = kc
+            b = (a * 4, c)
+            if b in wbest:
+                ratio = (
+                    wbest[b]["events_per_sec"] / wbest[kc]["events_per_sec"]
+                )
+                # hardware ceiling for the equivalent TOTAL-cpu step
+                hw = calib["pairs"].get(f"{a * c}->{a * c * 4}")
+                hw_note = (
+                    f" (hardware ceiling for the {a * c}->{a * c * 4} CPU "
+                    f"step: {hw:.2f}; engine/hardware = "
+                    f"{ratio / 4 / hw:.2f})" if hw else ""
+                )
+                # within-sweep pairing for the warm fleet too
+                weffs = sorted(
+                    rb["events_per_sec"] / ra["events_per_sec"] / 4
+                    for ra, rb in zip(wruns[kc], wruns[b])
+                )
+                sp_note = (
+                    f"; within-sweep median **{weffs[len(weffs) // 2]:.2f}"
+                    f"**, best **{weffs[-1]:.2f}** over {len(weffs)} sweeps"
+                    if weffs else ""
+                )
+                lines.append(
+                    f"- fleetw[{a}x{c}] -> fleetw[{a * 4}x{c}] "
+                    f"steady-state (4x executors): speedup "
+                    f"**{ratio:.2f}x**, scaling efficiency "
+                    f"**{ratio / 4:.2f}**{hw_note}{sp_note}"
                 )
     lines += [
         "",
@@ -727,8 +911,9 @@ def run_scaling(
         "import cost landing inside the timed window otherwise (local[8] "
         "measured 503k -> 871k events/s once warmed at 6M events). A "
         "10^10-event replay amortizes warmup to zero, so steady-state is "
-        "the honest ladder metric; the fleet ladder keeps cold-start "
-        "semantics (wall spans process spawn to exit).",
+        "the honest ladder metric; the fleet ladder reports BOTH cold "
+        "(spawn-to-exit, the short-job shape) and steady-state (barrier-"
+        "released, warmed) rows.",
         f"- The engine's absolute single-box throughput tops "
         f"{max(b['events_per_sec'] for b in best.values()) / 1e6:.1f}M "
         "events/sec applied end-to-end (fingerprinted, exactly-once, "
@@ -768,12 +953,26 @@ def run_scaling(
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
+    wbest_all = {
+        kc: max(rs, key=lambda r: r["events_per_sec"])
+        for kc, rs in wruns.items() if rs
+    }
     print(json.dumps({
         "pair_efficiencies": {f"local[{a}]->local[{b}]": round(e, 3)
                               for a, b, _, e in pairs},
         "within_sweep_pairs": sweep_pairs,
         "throughputs": {f"local[{n}]": round(best[n]["events_per_sec"], 1)
                         for n in levels},
+        "fleet_steady_throughputs": {
+            f"fleetw[{k}x{c}]": round(w["events_per_sec"], 1)
+            for (k, c), w in sorted(wbest_all.items())
+        },
+        "fleet_steady_pairs": {
+            f"{a}x{c}->{a * 4}x{c}": round(
+                wbest_all[(a * 4, c)]["events_per_sec"]
+                / wbest_all[(a, c)]["events_per_sec"] / 4, 3)
+            for (a, c) in sorted(wbest_all) if (a * 4, c) in wbest_all
+        },
     }))
 
 
@@ -789,13 +988,30 @@ if __name__ == "__main__":
                     help="override replay size (scaling mode: also for workers)")
     ap.add_argument("--fleet", type=int, default=None,
                     help="run K single-core executor processes over one table")
+    ap.add_argument("--fleet-cores", type=int, default=1,
+                    help="CPUs per fleet executor (worker i pinned to "
+                         "cores [i*C, (i+1)*C))")
     ap.add_argument("--epoch-mod", type=int, default=None)
     ap.add_argument("--epoch-rem", type=int, default=0)
+    ap.add_argument("--file-shard", action="store_true",
+                    help="shard at file level (epoch-mod/rem = K/rem)")
+    ap.add_argument("--barrier-dir", default=None,
+                    help="warm-fleet rendezvous dir (ready_*/go files)")
+    ap.add_argument("--fleet-warm", action="store_true",
+                    help="steady-state fleet: warmup + barrier, span from "
+                         "worker monotonic stamps")
     ap.add_argument("--shared-base", default=None)
     ap.add_argument("--bulk", action="store_true",
                     help="backfill super-batch instead of per-epoch batches")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the untimed JIT/worker warmup replay")
+    ap.add_argument("--fleet-only", action="store_true",
+                    help="scaling mode: run only the fleet series (thread-"
+                         "ladder evidence accumulates separately)")
+    ap.add_argument("--commits", default=None,
+                    help="comma list of engine commits to merge in the "
+                         "scaling summary (replay path must be identical "
+                         "across them; default: HEAD only)")
     args = ap.parse_args()
     if args.events:
         BENCH_EVENTS = args.events
@@ -807,10 +1023,17 @@ if __name__ == "__main__":
             args.master, args.out, bulk=args.bulk,
             epoch_mod=args.epoch_mod, epoch_rem=args.epoch_rem,
             shared_base=args.shared_base, warmup=not args.no_warmup,
+            file_shard=args.file_shard, barrier_dir=args.barrier_dir,
         )
     elif args.fleet:
-        run_cdc_fleet(args.fleet, args.out)
+        run_cdc_fleet(
+            args.fleet, args.out, warm=args.fleet_warm,
+            cores=args.fleet_cores,
+        )
     elif args.scaling:
-        run_scaling([int(x) for x in args.levels.split(",")], repeats=args.repeats)
+        run_scaling(
+            [int(x) for x in args.levels.split(",")], repeats=args.repeats,
+            commits=args.commits, fleet_only=args.fleet_only,
+        )
     else:
         run_default(DEFAULT_SF_DIR, DEFAULT_CPUS)

@@ -1069,20 +1069,71 @@ _MULTIMODAL_SQL = """
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode stage over mapInPandas (deterministic stub decoder —
-    no oracle: fake dims are engine-internal; rows-only check)."""
+    """Image-decode stage over mapInPandas. Decoder pinned to the
+    deterministic stub (md5-derived dims) so the DuckDB oracle can recompute
+    every output value from the payload bytes — the fake is engine-external
+    and fully specified, not a free pass."""
     from etl_documentos_spark.sources import multimodal
 
     d = multimodal.with_binary_payload(load(spark, sf_dir, "documents"))
-    return multimodal.decode_images(d)
+    return multimodal.decode_images(d, force_stub=True)
+
+
+_HEXPAIR = (
+    "(strpos('0123456789abcdef', substr(h, {a}, 1)) - 1) * 16 + "
+    "strpos('0123456789abcdef', substr(h, {b}, 1)) - 1"
+)
+
+_MULTIMODAL_DECODE_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS h
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_bytes,
+             {_HEXPAIR.format(a=1, b=2)} AS h0,
+             {_HEXPAIR.format(a=3, b=4)} AS h1,
+             {_HEXPAIR.format(a=5, b=6)} AS h2,
+             {_HEXPAIR.format(a=7, b=8)} AS h3
+      FROM t)
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CASE h0 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS format,
+           CAST(64 + h1 % 192 AS INT) AS width,
+           CAST(64 + h2 % 192 AS INT) AS height,
+           CAST(CASE h3 % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                AS INT) AS channels,
+           'stub' AS decoder
+    FROM b
+"""
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stage (video-style explode; stub decoder, rows-only)."""
+    """Frame-sampling stage (video-style explode over byte slices; frame
+    hash in the hex domain so the oracle below recomputes it exactly)."""
     from etl_documentos_spark.sources import multimodal
 
     d = multimodal.with_binary_payload(load(spark, sf_dir, "documents"))
     return multimodal.sample_frames(d, n_frames=4)
+
+
+_FRAME_SAMPLE_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS L
+      FROM documents),
+    f AS (SELECT doc_id, hx, L, unnest(range(4)) AS i FROM t)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST((i * greatest(L, 1)) // 4 AS BIGINT) AS frame_ts_ms,
+           sha256(substr(hx, CAST(2 * ((i * L) // 4) + 1 AS INT),
+                         CAST(2 * (((i + 1) * L) // 4 - (i * L) // 4)
+                              AS INT))) AS frame_sha
+    FROM f
+"""
 
 
 def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,6 +1957,8 @@ ORACLES: dict[str, str] = {
     "salted_rollup": _SALTED_ROLLUP_SQL,
     "bmp_decode": _BMP_SQL,
     "wav_decode": _WAV_SQL,
+    "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "frame_sample": _FRAME_SAMPLE_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,
     "tumbling_windows": _TUMBLING_SQL,
     "cube_orders": _CUBE_SQL,

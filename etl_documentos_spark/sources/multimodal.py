@@ -69,20 +69,28 @@ def _fake_dims(data: bytes) -> tuple[str, int, int, int]:
     )
 
 
-def decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_images(
+    df: DataFrame, id_col: str = "doc_id", force_stub: bool = False
+) -> DataFrame:
     """Decode the binary payload to image metadata via mapInPandas.
 
     Arrow-batched: each pandas batch decodes vectorized-per-row in one Python
     call frame (the per-row work is the decoder itself, as it must be).
     Partitioning: inherits the scan's partitions; for real corpora
     repartition by a size-bucketed key first so huge blobs don't skew tasks.
+    ``force_stub=True`` pins the deterministic fake decoder even when PIL is
+    importable — the oracle-checked query uses it so the expected values
+    don't depend on which decode libraries the container happens to ship.
     """
-    try:  # real decoder when available
-        from PIL import Image  # noqa: F401
-
-        have_pil = True
-    except ImportError:
+    if force_stub:
         have_pil = False
+    else:
+        try:  # real decoder when available
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -275,6 +283,13 @@ def sample_frames(
     STUB decoder — frames are byte slices; the output shape (explode to one
     row per frame, deterministic timestamps, content hash per frame) is the
     real contract a training-data pipeline consumes.
+
+    The per-frame content hash is sha256 over the UPPERCASE HEX of the byte
+    slice (not the raw bytes): DuckDB's sha256 only accepts VARCHAR, and an
+    arbitrary byte slice of utf-8 text can split a multibyte character, so
+    hashing in the hex domain is what lets a SQL oracle recompute the exact
+    value (``sha256(substr(hex(encode(text)), 2*lo+1, 2*(hi-lo)))``) while
+    the engine still slices genuine bytes.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -287,7 +302,9 @@ def sample_frames(
                     ts = (i * dur_ms) // n_frames
                     lo = (i * len(data)) // n_frames
                     hi = ((i + 1) * len(data)) // n_frames
-                    sha = hashlib.sha256(data[lo:hi]).hexdigest()
+                    sha = hashlib.sha256(
+                        data[lo:hi].hex().upper().encode()
+                    ).hexdigest()
                     rows.append((doc_id, i, ts, sha))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_sha"]

@@ -339,3 +339,15 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(withbin, n_frames=3).collect()
     assert len(frames) == 6
     assert {r["frame_idx"] for r in frames} == {0, 1, 2}
+    # frame hash is sha256 over the UPPERCASE HEX of the byte slice (the
+    # hex domain is what makes the DuckDB oracle able to recompute it)
+    import hashlib
+
+    data = b"some text payload"
+    want = hashlib.sha256(
+        data[: len(data) // 3].hex().upper().encode()
+    ).hexdigest()
+    f0 = next(
+        r for r in frames if r["doc_id"] == 1 and r["frame_idx"] == 0
+    )
+    assert f0["frame_sha"] == want
