@@ -803,6 +803,7 @@ def run_scaling(
             f"**{ratio:.2f}x**, scaling efficiency **{eff:.2f}**{hw_note}"
             f"{sp_note}"
         )
+    wbest: dict[tuple[int, int], dict] = {}
     if any(fruns.values()) or any(wruns.values()):
         fbest = {
             k: max(rs, key=lambda r: r["events_per_sec"])
@@ -916,9 +917,37 @@ def run_scaling(
         "released, warmed) rows.",
         f"- The engine's absolute single-box throughput tops "
         f"{max(b['events_per_sec'] for b in best.values()) / 1e6:.1f}M "
-        "events/sec applied end-to-end (fingerprinted, exactly-once, "
+        "events/sec in the thread ladder"
+        + (
+            f" and {max(w['events_per_sec'] for w in wbest.values()) / 1e6:.2f}M "
+            "events/sec in the steady-state executor fleet"
+            if wbest else ""
+        )
+        + " applied end-to-end (fingerprinted, exactly-once, "
         "lineage emitted) — against a per-row reference path that is "
         "O(seconds/document).",
+    ]
+    if (1, 1) in wbest and (4, 1) in wbest:
+        nr = (
+            wbest[(4, 1)]["events_per_sec"]
+            / wbest[(1, 1)]["events_per_sec"] / 4
+        )
+        nweffs = sorted(
+            rb["events_per_sec"] / ra["events_per_sec"] / 4
+            for ra, rb in zip(wruns[(1, 1)], wruns[(4, 1)])
+        )
+        lines.append(
+            "- **North-rule headline (executor-process topology, N -> 4N "
+            "executors, steady-state):** fleetw[1x1] -> fleetw[4x1] "
+            f"best-of efficiency **{nr:.2f}**, within-sweep median "
+            f"**{nweffs[len(nweffs) // 2]:.2f}** / best "
+            f"**{nweffs[-1]:.2f}** over {len(nweffs)} sweeps. This is the "
+            "pair least confounded by the single-box memory wall (4 of 16 "
+            "physical cores occupied at the top level); each executor is "
+            "a separate JVM + python pool sharing only storage and the "
+            "commit flock — exactly what spark-submit adds executors of.",
+        )
+    lines += [
         "- Residual pair-efficiency loss is shared-memory-subsystem "
         "contention, not engine serialization: the same job in SEPARATE "
         "single-core processes (fleet ladder — own JVM, heap, python pool "
