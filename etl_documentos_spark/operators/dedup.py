@@ -203,27 +203,40 @@ def winnow_fingerprints(
     between two documents yields at least one shared fingerprint, so
     near-dup candidate generation can equi-join on exploded fingerprints
     (like the token inverted index, but robust to word-boundary edits).
-    One narrow pass, per-row O(len) expression work, no shuffle; hashes are
-    md5-derived 32-bit ints so the DuckDB oracle reproduces them exactly.
+    One narrow pass, per-row O(len*k) integer expression work, no shuffle.
+
+    Gram hash = Karp-Rabin polynomial over the char codes (Horner, base
+    257, mod 2^31-1) instead of per-gram md5: ~10x less CPU per gram
+    (pure long arithmetic inside codegen vs an md5 digest per position),
+    and still exactly reproducible in the DuckDB oracle — the normalized
+    alphabet is strictly ``[a-z0-9 ]``, so ``ascii()`` agrees across
+    engines, and DuckDB's ``list_reduce`` (seeded with the first element)
+    computes the identical Horner chain, since ``(0*B + c1) % M == c1``.
     """
+    B, M = 257, (1 << 31) - 1
     # materialize intermediates between projections: a lambda body is
     # re-evaluated per array element with no CSE, so referencing the raw
-    # normalize/hash EXPRESSIONS inside transform() would redo the regex
-    # (or the whole md5 array) once per gram — O(len^2) per row
+    # normalize EXPRESSION inside transform() would redo the regex once
+    # per char — O(len^2) per row
     base = df.select(
         F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t")
     )
     c = F.col("_t")
-    n_grams = F.greatest(F.length(c) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: c.substr(i, F.lit(k))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
+        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
     )
-    hashed = base.select(
+    coded = base.select("_id", codes.alias("_cs"))
+    cs = F.col("_cs")
+    n_grams = F.greatest(F.size(cs) - (k - 1), F.lit(1))
+    hashed = coded.select(
         "_id",
         F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
-                "long"
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.aggregate(
+                F.slice(cs, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, ch: (acc * B + ch) % M,
             ),
         ).alias("_hs"),
     )

@@ -991,16 +991,20 @@ _WINNOW_SQL = f"""
       SELECT doc_id,
              trim(regexp_replace({_FOLD_SQL}, '[^a-z0-9]+', ' ', 'g')) AS t
       FROM documents),
-    g AS (
+    c AS (
       SELECT doc_id,
-             list_transform(generate_series(1, greatest(length(t) - 7, 1)),
-                            i -> substring(t, CAST(i AS INT), 8)) AS grams
+             list_transform(generate_series(1, greatest(length(t), 1)),
+                            i -> CAST(ascii(substring(t, CAST(i AS INT), 1))
+                                      AS BIGINT)) AS cs
       FROM norm),
     h AS (
       SELECT doc_id,
-             list_transform(grams,
-                            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
-      FROM g),
+             list_transform(
+               generate_series(1, greatest(len(cs) - 7, 1)),
+               i -> list_reduce(
+                      list_slice(cs, CAST(i AS INT), CAST(i AS INT) + 7),
+                      (acc, ch) -> (acc * 257 + ch) % 2147483647)) AS hs
+      FROM c),
     w AS (
       SELECT doc_id,
              list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
