@@ -505,6 +505,24 @@ def run_default(sf_dir: str, cpus: int) -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
+    # Untimed warmup: run every headline query once at the smallest
+    # available scale factor (falls back to sf_dir). The first execution of
+    # each plan shape in a fresh JVM pays C1/C2 JIT compilation + python
+    # worker spawn inside the timed window otherwise (measured ~19 CPU-s of
+    # JIT; the scaling ladder already warms this way — BENCH/BASELINE.md).
+    # Steady state is the honest number: a long production run amortizes
+    # warmup to zero.
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_sf):
+        warm_sf = sf_dir
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

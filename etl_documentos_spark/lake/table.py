@@ -389,16 +389,22 @@ class LakeTable:
                                 tbl.column("_deleted"), _pa.int64()
                             ),
                             "lsn": tbl.column("_lsn"),
+                            # event-time watermark in EPOCH MICROS (int64):
+                            # a tz-aware Arrow timestamp's storage is UTC
+                            # micros, so the int64 view is independent of the
+                            # Spark session timezone — naive-timestamp stats
+                            # would shift by the session UTC offset instead
                             "ts": (
                                 _pc.cast(
-                                    tbl.column("ts"),
-                                    _pa.timestamp("us"),
-                                    safe=False,
+                                    _pc.cast(
+                                        tbl.column("ts"),
+                                        _pa.timestamp("us"),
+                                        safe=False,
+                                    ),
+                                    _pa.int64(),
                                 )
                                 if has_ts
-                                else _pa.nulls(
-                                    tbl.num_rows, _pa.timestamp("us")
-                                )
+                                else _pa.nulls(tbl.num_rows, _pa.int64())
                             ),
                         }
                     )
@@ -440,7 +446,7 @@ class LakeTable:
                     ("n", _pa.int64()),
                     ("ndel", _pa.int64()),
                     ("max_lsn", _pa.int64()),
-                    ("max_ts", _pa.timestamp("us")),
+                    ("max_ts", _pa.int64()),
                 ]
             )
             nil = [None] * len(names)
@@ -506,7 +512,7 @@ class LakeTable:
                         "ndel": merged.column("ndel_sum_sum").combine_chunks(),
                         "max_lsn": merged.column("lsn_max_max").combine_chunks(),
                         "max_ts": _pc.cast(
-                            merged.column("ts_max_max"), _pa.timestamp("us")
+                            merged.column("ts_max_max"), _pa.int64()
                         ).combine_chunks(),
                     },
                     schema=out_schema,
@@ -516,7 +522,7 @@ class LakeTable:
             write_partition,
             "kind string, bucket int, path string, nrows long, epoch int, "
             "sp int, h0 long, h1 long, h2 long, n long, ndel long, "
-            "max_lsn long, max_ts timestamp_ntz",
+            "max_lsn long, max_ts long",
         ).collect()
         files: dict[str, list[str]] = {}
         stat_rows = []

@@ -28,6 +28,12 @@ from etl_documentos_spark.functions.text import (
     words,
 )
 
+#: df-cap floor: a token must appear in strictly more than this many
+#: documents before `near_dup_jaccard`'s frequency cap may drop it,
+#: regardless of corpus size — keeps small batches exact (int(frac*n)
+#: truncates to 0 under 20 docs and would drop every shared token)
+_DF_CAP_FLOOR = 5
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of identical (normalized) content; keeps the min-id canonical
@@ -74,7 +80,8 @@ def near_dup_jaccard(
     before the join — the standard near-dup df-cap. High-df tokens carry
     almost no set-similarity signal, but the result is technically
     approximate: pass ``max_doc_frequency=None`` for the exact (and
-    scale-unsafe) form, as the oracle-checked query does.
+    scale-unsafe) form, as the oracle-checked query does. The cap is
+    floored at ``_DF_CAP_FLOOR`` docs so small batches stay exact.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     docs = _doc_words(df, text_col, id_col, shingle_k).withColumn(
@@ -84,11 +91,20 @@ def near_dup_jaccard(
     if max_doc_frequency is not None:
         # count the raw rows (no tokenization pass) for the df-cap threshold
         n_docs = df.count()
-        cap = int(max_doc_frequency * n_docs)
-        common = (
-            tokens.groupBy("w").count().filter(F.col("count") > cap).select("w")
-        )
-        tokens = tokens.join(F.broadcast(common), "w", "left_anti")
+        # floor the cap: on a small corpus int(frac*n) truncates toward 0
+        # and a tiny cap would drop exactly the shared tokens that form
+        # pairs — silently returning zero duplicates. Below the floor the
+        # cap is a no-op, so small batches get the exact answer while large
+        # corpora (where the floor is irrelevant) keep the scale guard.
+        cap = max(int(max_doc_frequency * n_docs), _DF_CAP_FLOOR)
+        if cap < n_docs:
+            common = (
+                tokens.groupBy("w")
+                .count()
+                .filter(F.col("count") > cap)
+                .select("w")
+            )
+            tokens = tokens.join(F.broadcast(common), "w", "left_anti")
     a = tokens.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("na"), "w"
     )

@@ -196,6 +196,11 @@ def compact(
     per key over the bucket's base+delta files, then a bucketed rewrite.
     ``expire_tombstones_before``: optionally drop delete tombstones older
     than the lateness watermark (they exist only to fence late updates).
+    The bound is EPOCH MICROSECONDS (int) and is compared against
+    ``unix_micros(ts)`` — both sides live in the UTC-micros domain, so the
+    comparison is independent of ``spark.sql.session.timeZone`` (a naive
+    timestamp literal would be re-interpreted in the session zone and could
+    expire tombstones hours early in a non-UTC session).
     """
     target = list(range(table.num_buckets)) if buckets is None else buckets
     # capture the exact file lists this rewrite reads: the commit replaces
@@ -214,7 +219,7 @@ def compact(
     if expire_tombstones_before is not None:
         merged = merged.filter(
             (~F.coalesce(F.col("_deleted"), F.lit(False)))
-            | (F.col("ts") >= F.lit(expire_tombstones_before))
+            | (F.unix_micros(F.col("ts")) >= F.lit(int(expire_tombstones_before)))
         )
     table.overwrite_buckets(merged, target, salts=2, expected=expected)
 

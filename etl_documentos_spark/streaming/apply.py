@@ -267,23 +267,25 @@ class CdcPipeline:
             if persist:
                 batch.unpersist()
 
-    def _advance_watermark(self, max_ts) -> None:
-        if max_ts is None:
+    def _advance_watermark(self, max_ts_us) -> None:
+        """Advance the event-time watermark; ``max_ts_us`` is epoch
+        MICROSECONDS (int) — the tz-independent domain all stats sources
+        emit (Arrow int64 view / ``unix_micros``), so a non-UTC session
+        timezone cannot shift the bound."""
+        if max_ts_us is None:
             return
-        if self._max_event_ts is None or max_ts > self._max_event_ts:
-            self._max_event_ts = max_ts
+        max_ts_us = int(max_ts_us)
+        if self._max_event_ts is None or max_ts_us > self._max_event_ts:
+            self._max_event_ts = max_ts_us
 
     @property
     def tombstone_expiry(self):
-        """Event-time bound below which delete tombstones are final and may
-        be dropped at compaction: watermark (max ts seen) - lateness."""
+        """Event-time bound (epoch microseconds) below which delete
+        tombstones are final and may be dropped at compaction:
+        watermark (max ts seen) - lateness."""
         if self.lateness_seconds is None or self._max_event_ts is None:
             return None
-        import datetime
-
-        return self._max_event_ts - datetime.timedelta(
-            seconds=self.lateness_seconds
-        )
+        return self._max_event_ts - int(self.lateness_seconds * 1_000_000)
 
     def _maybe_compact(self, table: LakeTable) -> None:
         """Compact buckets whose delta-file count exceeds the threshold —

@@ -49,10 +49,14 @@ class BatchStats:
     #: per-source-partition (events_read, rows_upserted, rows_deleted,
     #: conv_ids_touched) for the lineage table
     lineage_rows: list[tuple[int, int, int, int, int]]
-    #: max event-time in the batch — the watermark source for bounded
-    #: lateness (tombstone/ state expiry); None when the batch is empty or
-    #: carries no ts column
-    max_ts: datetime.datetime | None = None
+    #: max event-time in the batch, as EPOCH MICROSECONDS (int64) — the
+    #: watermark source for bounded lateness (tombstone/state expiry).
+    #: Kept as unix micros end-to-end so the value is independent of the
+    #: Spark session timezone (naive datetimes from ``collect()`` are
+    #: session-local while Arrow-side stats are UTC — mixing the two shifts
+    #: the watermark by the UTC offset). None when the batch is empty or
+    #: carries no ts column.
+    max_ts: int | None = None
 
 
 def hash_chunk_exprs(cols: list) -> list:
@@ -89,7 +93,13 @@ def batch_stats(changes: DataFrame) -> BatchStats:
     partitioning), per-partition max offsets, and the lineage counters."""
     cols = [F.col(c) for c in changes.columns]
     has_ts = "ts" in changes.columns
-    ts_expr = F.max("ts") if has_ts else F.max(F.lit(None).cast("timestamp"))
+    # unix_micros reads the internal UTC-micros value directly — immune to
+    # the session-timezone round trip a timestamp collect() would take
+    ts_expr = (
+        F.max(F.unix_micros("ts"))
+        if has_ts
+        else F.max(F.lit(None).cast("long"))
+    )
     rows = (
         changes.groupBy("source_partition")
         .agg(
@@ -118,7 +128,7 @@ def batch_stats(changes: DataFrame) -> BatchStats:
         )
         for r in rows
     ]
-    ts_vals = [r["max_ts"] for r in rows if r["max_ts"] is not None]
+    ts_vals = [int(r["max_ts"]) for r in rows if r["max_ts"] is not None]
     return BatchStats(
         f"{total_h}:{n}", offsets, n, lineage,
         max_ts=max(ts_vals) if ts_vals else None,
@@ -144,9 +154,9 @@ def observe_exprs(columns: list[str], n_source_partitions: int) -> list:
     cols = [F.col(c) for c in columns]
     sp = F.col("source_partition")
     ts_expr = (
-        F.max(F.col("ts"))
+        F.max(F.unix_micros(F.col("ts")))
         if "ts" in columns
-        else F.max(F.lit(None).cast("timestamp"))
+        else F.max(F.lit(None).cast("long"))
     )
     exprs = [
         F.count(F.lit(1)).alias("n"),
@@ -178,6 +188,8 @@ def stats_from_observation(m: dict, n_source_partitions: int) -> BatchStats:
     if n == 0:
         return BatchStats("0:0:0:0", {}, 0, [])
     max_ts = m.get("max_ts")
+    if max_ts is not None:
+        max_ts = int(max_ts)
     if int(m["max_sp"]) >= n_source_partitions:
         raise ValueError(
             f"source_partition {m['max_sp']} >= declared n_source_partitions "
@@ -211,6 +223,33 @@ class CommitLog:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
+    def _compact_lock(self):
+        """Exclusive cross-process (and cross-thread: each entry opens its
+        own file description) flock serializing the HWM read-modify-write.
+        ``compact_log`` runs from concurrent pipeline threads and from
+        multiple processes sharing one workdir (fleet mode); an unlocked
+        RMW could publish an HWM that has lost another compactor's
+        coverage, making ``is_committed`` return False for epochs whose
+        per-file records that compactor already deleted — an exactly-once
+        break. Same flock pattern as ``LakeTable._process_commit_lock``."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            fd = os.open(
+                os.path.join(self.root, ".compact.lock"),
+                os.O_CREAT | os.O_RDWR,
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return lock()
+
     def _path(self, epoch_id: int) -> str:
         return os.path.join(self.root, f"commit-{epoch_id:012d}.json")
 
@@ -234,7 +273,16 @@ class CommitLog:
         Only the contiguous run starting at the oldest rollable epoch (or
         extending the existing HWM) is folded — a gap stops the roll-up, so
         a never-committed epoch id can never be claimed as committed.
+
+        The whole fold (HWM read → extend → rewrite → delete) runs under an
+        exclusive flock, and the HWM is only ever EXTENDED from the value
+        re-read under that lock — coverage can never go backwards even
+        across processes.
         """
+        with self._compact_lock():
+            return self._compact_log_locked(keep_last)
+
+    def _compact_log_locked(self, keep_last: int) -> int:
         ids = sorted(
             int(fn[len("commit-"):-len(".json")])
             for fn in os.listdir(self.root)
@@ -284,9 +332,26 @@ class CommitLog:
         return rolled
 
     def get(self, epoch_id: int) -> CommitRecord | None:
-        if not self.is_committed(epoch_id):
+        """Per-epoch commit record; None when never committed.
+
+        An epoch whose per-file record has been rolled into the HWM by
+        ``compact_log`` is still committed (``is_committed`` is True via
+        the HWM range) but its per-epoch fingerprint/offsets are gone —
+        for those, return a synthetic record (fingerprint ``"<rolled>"``,
+        offsets ``{}``, committed_at 0.0) instead of crashing on the
+        deleted file. Callers needing offsets should use ``max_offsets``,
+        which folds the HWM in.
+        """
+        p = self._path(epoch_id)
+        if not os.path.exists(p):
+            hwm = self._hwm()
+            if (
+                hwm is not None
+                and hwm["min_epoch"] <= epoch_id <= hwm["max_epoch"]
+            ):
+                return CommitRecord(epoch_id, "<rolled>", {}, 0.0)
             return None
-        with open(self._path(epoch_id)) as f:
+        with open(p) as f:
             d = json.load(f)
         return CommitRecord(
             d["epoch_id"],
@@ -330,7 +395,11 @@ class CommitLog:
         return out
 
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
-        """The commit log as a queryable DataFrame (FIXTURES.md §4 shape)."""
+        """The commit log as a queryable DataFrame (FIXTURES.md §4 shape).
+
+        Covers the per-epoch tail files only: epochs already rolled into
+        the HWM by ``compact_log`` are summarized there (range + max
+        offsets) and no longer appear as individual rows."""
         rows = []
         for fn in sorted(os.listdir(self.root)):
             if fn.startswith("commit-") and fn.endswith(".json"):

@@ -441,3 +441,126 @@ def test_lineage_and_metrics_emitted(spark, stream_df, events_path, tmp_path):
     n_epochs = len(list_epochs(events_path))
     assert met.select("epoch_id").distinct().count() == n_epochs
     assert met.filter("events_per_sec <= 0").count() == 0
+
+
+def test_tombstone_expiry_tz_independent(spark, tmp_path):
+    """The lateness watermark lives in the UTC-micros domain end-to-end, so
+    a non-UTC session timezone must not shift the tombstone expiry bound.
+
+    Regression: with the bound as a naive timestamp literal, a session in
+    e.g. America/Sao_Paulo (UTC-3) re-interpreted it 3h off, expiring
+    tombstones hours before the configured lateness window and letting a
+    late update resurrect a deleted key."""
+    import datetime
+
+    from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def ev(op, conv, turn, ts_s, lsn, text=None):
+        return (
+            op, conv, turn,
+            "user" if op != "delete" else None,
+            text, None, T0 + datetime.timedelta(seconds=ts_s), lsn, 0,
+        )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+    try:
+        table_root = str(tmp_path / "t")
+        LakeTable.create(
+            table_root, physical_schema(TRANSCRIPTS), num_buckets=2
+        )
+        pipe = CdcPipeline(
+            spark, table_root, str(tmp_path / "w"),
+            mode="mor", compact_at_files=0, lateness_seconds=100,
+        )
+        pipe.apply_epoch(
+            spark.createDataFrame(
+                [ev("insert", "a", 0, 10, 1, "x"),
+                 ev("insert", "b", 0, 11, 2, "y")],
+                CHANGE_EVENTS,
+            ), 0,
+        )
+        pipe.apply_epoch(
+            spark.createDataFrame(
+                [ev("delete", "a", 0, 20, 3), ev("delete", "b", 0, 30, 4)],
+                CHANGE_EVENTS,
+            ), 1,
+        )
+        # watermark -> 125, bound = 25: tombstone a (20) expires, b (30)
+        # stays. A UTC-offset bug shifts the bound by ±3h and either keeps
+        # both or (the dangerous side) expires both.
+        pipe.apply_epoch(
+            spark.createDataFrame(
+                [ev("insert", "c", 0, 125, 5, "z")], CHANGE_EVENTS
+            ), 2,
+        )
+        table = LakeTable.load(table_root)
+        phys = table.scan(spark).filter("_deleted").collect()
+        assert {r["conv_id"] for r in phys} == {"b"}, phys
+        # the surviving tombstone still fences a late-but-in-bound update
+        pipe.apply_epoch(
+            spark.createDataFrame(
+                [ev("update", "b", 0, 28, 6, "late")], CHANGE_EVENTS
+            ), 3,
+        )
+        live = read_current(spark, LakeTable.load(table_root))
+        assert {r["conv_id"] for r in live.collect()} == {"c"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_commitlog_get_rolled_epoch_no_crash(tmp_path):
+    """get() on an epoch whose per-file record was folded into the HWM
+    returns a synthetic committed record instead of raising
+    FileNotFoundError (is_committed says True, so get must not crash)."""
+    from etl_documentos_spark.streaming.commitlog import CommitLog
+
+    log = CommitLog(str(tmp_path / "c"))
+    for e in range(10):
+        log.commit(e, f"fp{e}", {0: e})
+    log.compact_log(keep_last=2)
+    assert log.is_committed(0)
+    rec = log.get(0)  # rolled: file deleted, HWM covers it
+    assert rec is not None and rec.epoch_id == 0
+    assert rec.input_fingerprint == "<rolled>"
+    assert log.get(999) is None  # never committed stays None
+    tail = log.get(9)  # tail file still has the real record
+    assert tail is not None and tail.input_fingerprint == "fp9"
+
+
+def test_commitlog_concurrent_compaction_never_loses_coverage(tmp_path):
+    """compact_log from many processes sharing one commit dir (fleet mode /
+    pipelined threads) must never publish an HWM that lost another
+    compactor's coverage: after arbitrary interleaving, every committed
+    epoch still reads as committed and max_offsets is exact."""
+    import multiprocessing as mp
+
+    from etl_documentos_spark.streaming.commitlog import CommitLog
+
+    root = str(tmp_path / "c")
+    log = CommitLog(root)
+    N = 400
+    for e in range(N):
+        log.commit(e, f"fp{e}", {0: e, 1: e + 1})
+
+    def compact_many(root, keep):
+        from etl_documentos_spark.streaming.commitlog import CommitLog
+
+        lg = CommitLog(root)
+        for _ in range(5):
+            lg.compact_log(keep_last=keep)
+
+    procs = [
+        mp.Process(target=compact_many, args=(root, keep))
+        for keep in (3, 7, 11, 3)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    for e in range(N):
+        assert log.is_committed(e), e
+    assert log.max_offsets() == {0: N - 1, 1: N}

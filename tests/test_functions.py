@@ -351,3 +351,24 @@ def test_multimodal_plumbing(spark):
         r for r in frames if r["doc_id"] == 1 and r["frame_idx"] == 0
     )
     assert f0["frame_sha"] == want
+
+
+def test_jaccard_default_cap_exact_on_small_corpus(spark):
+    """Regression (r2 ADVICE): with default args on a corpus under 20 docs,
+    int(0.05*n) truncated the df-cap to 0, every shared token was dropped,
+    and the operator silently returned zero pairs. The cap floor keeps
+    small batches exact."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about spark engines"),
+            (4, "another distinct document with different words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_jaccard(df, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2)}
