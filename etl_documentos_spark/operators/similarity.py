@@ -83,32 +83,59 @@ def hyperplane_signature(
     return sig
 
 
+def multiprobe_buckets(
+    query_vec: list[float],
+    planes: list[list[float]],
+    n_probe: int = 1,
+) -> list[int]:
+    """Multi-probe LSH bucket set: the query's own signature plus
+    ``n_probe - 1`` single-bit flips of the planes the query is CLOSEST to
+    (smallest |dot|) — the classic multi-probe heuristic: a near-zero
+    margin means the true neighbors straddle that hyperplane, so its
+    flipped bucket is the most likely to hold the misses.
+
+    Margins are rounded to 6 decimals before ranking (ties then break on
+    plane index) so a SQL oracle computing the same dots in double
+    arithmetic selects the identical flip set. Driver-side: planes are
+    tiny metadata, never data rows.
+    """
+    qsig = 0
+    margins: list[tuple[float, int]] = []
+    for i, p in enumerate(planes):
+        d = sum(float(x) * float(y) for x, y in zip(query_vec, p))
+        if d > 0:
+            qsig += 2**i
+        margins.append((round(abs(d), 6), i))
+    buckets = [qsig]
+    for _, i in sorted(margins)[: max(0, int(n_probe) - 1)]:
+        buckets.append(qsig ^ (2**i))
+    return buckets
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     planes: list[list[float]],
     k: int = 10,
+    n_probe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: restrict brute force to the query's LSH bucket.
+    """Approximate top-k: restrict brute force to the query's LSH
+    bucket(s).
 
     At 10^9 vectors the bucket predicate prunes ~2^len(planes)×; the bucket
     id is also the natural partition key for a pre-bucketed layout (write
-    once, probe many). Recall tradeoff is the standard LSH one — multi-probe
-    (flipping low-margin bits) raises it without changing the plan shape.
+    once, probe many — the IN-list is partition-prunable). ``n_probe`` > 1
+    applies multi-probe (probe the query bucket plus the single-bit flips
+    of the lowest-margin planes, see `multiprobe_buckets`), raising recall
+    at the cost of scanning proportionally more buckets without changing
+    the plan shape.
     """
-    import math
-
-    qsig = 0
-    for i, p in enumerate(planes):
-        d = sum(float(x) * float(y) for x, y in zip(query_vec, p))
-        if d > 0:
-            qsig += 2**i
-    assert not math.isnan(qsig)
+    probes = multiprobe_buckets(query_vec, planes, n_probe)
     bucketed = df.withColumn(
         "_bucket", hyperplane_signature(df, planes, vec_col)
-    ).filter(F.col("_bucket") == qsig)
+    ).filter(F.col("_bucket").isin(probes))
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
 
 

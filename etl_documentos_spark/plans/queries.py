@@ -1184,6 +1184,34 @@ _BMP_SQL = """
 """
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end, stdlib-only (zlib): synthesize
+    spec-valid 8-bit grayscale PNGs whose scanlines cycle through all five
+    PNG filter types, then parse them back (chunk walk, IDAT inflate, full
+    un-filtering per RFC 2083). The oracle predicts the decoded values
+    from the generation rule — the decoder must undo Sub/Up/Average/Paeth
+    correctly or the pixel sum is wrong. No stub anywhere in this path."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_png_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_png(d)
+
+
+_PNG_SQL = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           CAST(list_sum(list_transform(
+                   generate_series(0, (16 + doc_id % 32) * (8 + doc_id % 16) - 1),
+                   i -> (doc_id + (i % (16 + doc_id % 32))
+                         + (i // (16 + doc_id % 32))) % 256))
+                AS BIGINT) AS sum_pixels
+    FROM documents
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: stdlib wave writer -> stdlib wave
     reader + numpy sample stats; oracle predicts from the generation rule."""
@@ -1317,6 +1345,64 @@ _ANN_LSH_SQL = """
                 * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS s
       FROM v JOIN sig ON v.vec_id = sig.vec_id, q, qsig
       WHERE sig.bucket = qsig.qb)
+    SELECT vec_id, round(s, 4) AS cosine_sim
+    FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: probe the query's LSH bucket PLUS the single-bit
+    flips of the 3 lowest-|margin| hyperplanes (n_probe=4) — the recall
+    lever over `ann_lsh` that keeps the same partition-prunable IN-list
+    plan shape. Planes/query derived from corpus rows as in `ann_lsh`."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (1,2,3,4)").orderBy("vec_id").collect()
+    ]
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return similarity.ann_lsh_topk(
+        emb.filter("vec_id <> 0"), qvec, planes, k=10, n_probe=4
+    )
+
+
+_ANN_LSH_MP_SQL = """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    p AS (SELECT vec_id AS pid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+          FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          FROM embeddings WHERE vec_id <> 0),
+    qdots AS (
+      SELECT pid, list_sum(list_transform(generate_series(1, len(qv)),
+                                          i -> qv[i] * pv[i])) AS d
+      FROM q, p),
+    qsig AS (
+      SELECT CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, pid - 1) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS qb
+      FROM qdots),
+    flips AS (
+      SELECT pid FROM qdots ORDER BY round(abs(d), 6), pid LIMIT 3),
+    probes AS (
+      SELECT qb AS b FROM qsig
+      UNION ALL
+      SELECT xor(qb, CAST(pow(2, pid - 1) AS BIGINT)) FROM qsig, flips),
+    sig AS (
+      SELECT v.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(
+                    generate_series(1, len(vv)), i -> vv[i] * pv[i])) > 0
+                  THEN CAST(pow(2, pid - 1) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v, p GROUP BY v.vec_id),
+    scored AS (
+      SELECT v.vec_id,
+             list_sum(list_transform(generate_series(1, len(vv)),
+                                     i -> vv[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(vv, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS s
+      FROM v JOIN sig ON v.vec_id = sig.vec_id, q
+      WHERE sig.bucket IN (SELECT b FROM probes))
     SELECT vec_id, round(s, 4) AS cosine_sim
     FROM scored ORDER BY s DESC, vec_id LIMIT 10
 """
@@ -1830,9 +1916,7 @@ QUERIES: dict[str, Query] = {
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
     "tpch_q1": q_tpch_q1,
-    "tpch_q6": q_tpch_q6,
     "dashboard_counts": q_dashboard_counts,
-    "usage_report": q_usage_report,
     "top_event_types": q_top_event_types,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
@@ -1854,6 +1938,7 @@ QUERIES: dict[str, Query] = {
     "frame_sample": q_frame_sample,
     "near_dup_embedding": q_near_dup_embedding,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "cpf_validation": q_cpf_validation,
     "cnpj_validation": q_cnpj_validation,
     "quality_fallback": q_quality_fallback,
@@ -1863,8 +1948,11 @@ QUERIES: dict[str, Query] = {
     "near_dup_embedding_lsh": q_near_dup_embedding_lsh,
     "salted_rollup": q_salted_rollup,
     "bmp_decode": q_bmp_decode,
+    "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
+    "usage_report": q_usage_report,
+    "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "daily_activity": q_daily_activity,
@@ -1973,6 +2061,8 @@ ORACLES: dict[str, str] = {
     # multimodal_decode / frame_sample: rows-only (stub decoders are
     # engine-internal fakes, not SQL-expressible)
     "ann_lsh": _ANN_LSH_SQL,
+    "ann_lsh_multiprobe": _ANN_LSH_MP_SQL,
+    "png_decode": _PNG_SQL,
     "cpf_validation": _CPF_SQL,
     "cnpj_validation": _CNPJ_SQL,
     "quality_fallback": _QUALITY_FALLBACK_SQL,

@@ -275,6 +275,177 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode, WAV_META_SCHEMA)
 
 
+PNG_META_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "sum_pixels long"
+)
+
+
+def _paeth(a, b, c):
+    """PNG Paeth predictor (RFC 2083 §6.6), vectorized over numpy arrays."""
+    import numpy as np
+
+    p = a.astype("int32") + b.astype("int32") - c.astype("int32")
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype("uint8")
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (spec-valid) 8-bit grayscale PNG per row, stdlib-only
+    (zlib for IDAT + CRCs, no image libraries): width = 16 + id%32,
+    height = 8 + id%16, pixel(x, y) = (id + x + y) % 256, top-down.
+
+    Each scanline uses filter type (id + y) % 5 — None/Sub/Up/Average/
+    Paeth all appear, so the decoder must implement the full un-filtering
+    algorithm (not just strip a zero byte) to reproduce the pixel sum the
+    oracle predicts. Filtering is lossless and any per-line choice is valid
+    PNG, so the payloads also open in any standard viewer.
+    """
+    import struct
+    import zlib
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 16 + i % 32, 8 + i % 16
+            x = np.arange(w)
+            prior = np.zeros(w, dtype="uint8")
+            lines = []
+            for y in range(h):
+                raw = ((i + x + y) % 256).astype("uint8")
+                ft = (i + y) % 5
+                left = np.concatenate(([0], raw[:-1])).astype("uint8")
+                pl = np.concatenate(([0], prior[:-1])).astype("uint8")
+                if ft == 0:
+                    filt = raw
+                elif ft == 1:  # Sub
+                    filt = raw - left
+                elif ft == 2:  # Up
+                    filt = raw - prior
+                elif ft == 3:  # Average
+                    filt = raw - (
+                        (left.astype("int32") + prior.astype("int32")) // 2
+                    ).astype("uint8")
+                else:  # Paeth
+                    filt = raw - _paeth(left, prior, pl)
+                lines.append(bytes([ft]) + filt.tobytes())
+                prior = raw
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            out.append(
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b"")
+            )
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG decode over mapInPandas, stdlib zlib + numpy only: walk the
+    chunk stream, parse IHDR, inflate the concatenated IDAT data, undo all
+    five scanline filters (None/Sub/Up/Average/Paeth per RFC 2083), emit
+    dimensions and the exact integer pixel sum. 8-bit grayscale
+    (color type 0) is supported — the synthetic corpus shape; other color
+    types raise rather than silently mis-decode. No stub in this path."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(data)
+                if data[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError(f"not a PNG payload for id {doc_id}")
+                pos, idat = 8, []
+                w = h = depth = ctype = None
+                while pos < len(data):
+                    (ln,) = struct.unpack(">I", data[pos:pos + 4])
+                    tag = data[pos + 4:pos + 8]
+                    body = data[pos + 8:pos + 8 + ln]
+                    if tag == b"IHDR":
+                        w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+                    elif tag == b"IDAT":
+                        idat.append(body)
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                if ctype != 0 or depth != 8:
+                    raise ValueError(
+                        f"unsupported PNG (color_type={ctype}, "
+                        f"depth={depth}) for id {doc_id}"
+                    )
+                raw = zlib.decompress(b"".join(idat))
+                stride = w + 1
+                prior = np.zeros(w, dtype="uint8")
+                total = 0
+                for y in range(h):
+                    line = raw[y * stride:(y + 1) * stride]
+                    ft = line[0]
+                    cur = np.frombuffer(line, np.uint8, count=w, offset=1)
+                    if ft == 0:
+                        rec = cur.copy()
+                    elif ft == 2:  # Up
+                        rec = cur + prior
+                    else:  # Sub/Average/Paeth need the running left pixel
+                        rec = np.zeros(w, dtype="uint8")
+                        left = 0
+                        pl = 0
+                        for xx in range(w):
+                            up = int(prior[xx])
+                            if ft == 1:
+                                val = int(cur[xx]) + left
+                            elif ft == 3:
+                                val = int(cur[xx]) + (left + up) // 2
+                            elif ft == 4:
+                                p = left + up - pl
+                                pa = abs(p - left)
+                                pb = abs(p - up)
+                                pc = abs(p - pl)
+                                if pa <= pb and pa <= pc:
+                                    pred = left
+                                elif pb <= pc:
+                                    pred = up
+                                else:
+                                    pred = pl
+                                val = int(cur[xx]) + pred
+                            else:
+                                raise ValueError(f"bad filter {ft}")
+                            rec[xx] = val & 0xFF
+                            left, pl = int(rec[xx]), up
+                    total += int(rec.sum(dtype="int64"))
+                    prior = rec
+                rows.append((doc_id, w, h, depth, ctype, total))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "bit_depth",
+                         "color_type", "sum_pixels"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, PNG_META_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
