@@ -44,6 +44,15 @@ from pyspark.sql import types as T
 _HINT = "version-hint.text"
 
 
+class SpecConflictError(RuntimeError):
+    """The partition spec changed between file staging and commit (a
+    concurrent ``split_bucket`` / ``rebucket``). Staged files were keyed
+    under the OLD bucket transform, so committing them would put rows in
+    manifest buckets that pruned scans of the new spec never read. Callers
+    must re-stage under the fresh spec and retry — the same shape as
+    Iceberg's optimistic-commit validation failure."""
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -148,11 +157,55 @@ class LakeTable:
     def snapshots(self) -> list[Snapshot]:
         return [Snapshot.from_json(s) for s in self._meta["snapshots"]]
 
+    @property
+    def split_buckets(self) -> list[int]:
+        """Base buckets currently split power-of-two style: base bucket
+        ``b`` maps to child ids ``{b, b + num_buckets}`` (modular identity:
+        ``h % 2n`` is always ``h % n`` or ``h % n + n``). Empty on an
+        unsplit table."""
+        return [
+            int(b)
+            for b in self._meta["partition_spec"].get("split_buckets", [])
+        ]
+
+    def spec_fingerprint(self) -> tuple:
+        """Identity of the bucket transform staged files were keyed under.
+        Captured at staging time and validated at commit time (under the
+        flock) — a mismatch means a concurrent split/rebucket landed and
+        the staged keys are stale (``SpecConflictError``)."""
+        return (self.num_buckets, tuple(self.split_buckets))
+
+    def live_buckets(self) -> list[int]:
+        """All addressable bucket ids under the current (possibly mixed)
+        spec: unsplit base ids plus both children of each split base."""
+        split = set(self.split_buckets)
+        out = list(range(self.num_buckets))
+        out.extend(b + self.num_buckets for b in sorted(split))
+        return out
+
     def bucket_expr(self, col: str | Column | None = None) -> Column:
         """The partition transform: pmod(xxhash64(conv_id), N). Deterministic
-        across sessions and cluster sizes (xxhash64 is seed-stable)."""
+        across sessions and cluster sizes (xxhash64 is seed-stable).
+
+        With split buckets active the transform is mixed: rows whose base
+        bucket is split hash at ``2N`` granularity (landing in ``b`` or
+        ``b + N``), everything else stays at ``N`` — still a pure
+        deterministic expression, so every write path (shuffled and
+        Arrow-direct) and merge pruning pick it up unchanged."""
         c = F.col(self.bucket_col) if col is None else (F.col(col) if isinstance(col, str) else col)
-        return F.pmod(F.xxhash64(c), F.lit(self.num_buckets)).cast("int")
+        h = F.xxhash64(c)
+        b0 = F.pmod(h, F.lit(self.num_buckets))
+        split = self.split_buckets
+        if not split:
+            return b0.cast("int")
+        return (
+            F.when(
+                b0.isin([int(s) for s in split]),
+                F.pmod(h, F.lit(2 * self.num_buckets)),
+            )
+            .otherwise(b0)
+            .cast("int")
+        )
 
     # ----------------------------------------------------------------- scan
     def scan(
@@ -554,8 +607,16 @@ class LakeTable:
     def append_direct(
         self, df: DataFrame, target_tasks: int | None = None
     ) -> None:
-        """Append via the shuffle-free Arrow writer (raw change batches)."""
-        self.commit_append(self._write_data_direct(df, target_tasks))
+        """Append via the shuffle-free Arrow writer (raw change batches).
+        Retries staging if a concurrent split/rebucket changes the spec."""
+        for _ in range(5):
+            spec = self.spec_fingerprint()
+            files = self._write_data_direct(df, target_tasks)
+            try:
+                return self.commit_append(files, staged_spec=spec)
+            except SpecConflictError:
+                self._refresh()  # restage under the new transform
+        raise SpecConflictError("spec kept changing across 5 retries")
 
     def write_data_files(
         self, df: DataFrame, salts: int | None = None
@@ -602,15 +663,28 @@ class LakeTable:
         committed since this handle loaded)."""
         self._meta = LakeTable.load(self.root)._meta
 
-    def commit_append(self, new_files: dict[str, list[str]]) -> None:
+    def commit_append(
+        self,
+        new_files: dict[str, list[str]],
+        staged_spec: tuple | None = None,
+    ) -> None:
         """Commit previously staged files as an append snapshot.
 
         Safe under concurrent committers (in-process threads AND separate
         processes): the merge against the current snapshot happens after
-        re-reading metadata under the commit flock.
+        re-reading metadata under the commit flock. ``staged_spec`` (the
+        ``spec_fingerprint()`` of the handle that staged ``new_files``)
+        makes the commit split-safe: if a concurrent split/rebucket changed
+        the bucket transform since staging, the commit raises
+        ``SpecConflictError`` instead of publishing stale-keyed files.
         """
         with self._process_commit_lock():
             self._refresh()
+            if staged_spec is not None and staged_spec != self.spec_fingerprint():
+                raise SpecConflictError(
+                    f"partition spec changed: staged={staged_spec} "
+                    f"current={self.spec_fingerprint()}"
+                )
             merged = {
                 b: list(fs) for b, fs in self.current_snapshot.files.items()
             }
@@ -625,6 +699,7 @@ class LakeTable:
         new_files: dict[str, list[str]],
         buckets: list[int],
         expected: dict[str, list[str]] | None = None,
+        staged_spec: tuple | None = None,
     ) -> None:
         """Commit previously staged files as a bucket-replacing snapshot.
 
@@ -640,6 +715,11 @@ class LakeTable:
         """
         with self._process_commit_lock():
             self._refresh()
+            if staged_spec is not None and staged_spec != self.spec_fingerprint():
+                raise SpecConflictError(
+                    f"partition spec changed: staged={staged_spec} "
+                    f"current={self.spec_fingerprint()}"
+                )
             merged = {
                 b: list(fs)
                 for b, fs in self.current_snapshot.files.items()
@@ -662,8 +742,36 @@ class LakeTable:
             )
 
     def append(self, df: DataFrame, salts: int | None = None) -> None:
-        """Append rows (new files only; existing files untouched)."""
-        self.commit_append(self.write_data_files(df, salts=salts))
+        """Append rows (new files only; existing files untouched).
+        Retries staging if a concurrent split/rebucket changes the spec."""
+        for _ in range(5):
+            spec = self.spec_fingerprint()
+            files = self.write_data_files(df, salts=salts)
+            try:
+                return self.commit_append(files, staged_spec=spec)
+            except SpecConflictError:
+                self._refresh()
+        raise SpecConflictError("spec kept changing across 5 retries")
+
+    def bucket_sizes(self, buckets: list[int] | None = None) -> dict[int, int]:
+        """Per-bucket physical byte size of the current snapshot — driver-
+        side ``os.stat`` over the file manifest, zero Spark jobs. The cheap
+        skew signal for adaptive salting: at 100 TB the manifest is still
+        only O(buckets × files) entries, and byte size tracks row count
+        closely for same-schema parquet."""
+        out: dict[int, int] = {}
+        for b, fs in self.current_snapshot.files.items():
+            bi = int(b)
+            if buckets is not None and bi not in buckets:
+                continue
+            total = 0
+            for f in fs:
+                try:
+                    total += os.path.getsize(os.path.join(self.root, f))
+                except OSError:
+                    pass
+            out[bi] = total
+        return out
 
     def overwrite_buckets(
         self,
@@ -679,12 +787,105 @@ class LakeTable:
         this is what keeps a MERGE that hits 1% of conversations from
         rewriting 100 TB. ``expected`` (the file lists df was computed from)
         makes the commit concurrency-safe — see ``commit_overwrite``.
+        Raises ``SpecConflictError`` (no internal retry) if a concurrent
+        split/rebucket lands mid-flight: ``buckets``/``expected`` are spec-
+        relative, so the CALLER must recompute its whole read-modify-write
+        against the new spec (``merge_into``/``compact`` do).
         """
+        spec = self.spec_fingerprint()
         self.commit_overwrite(
-            self.write_data_files(df, salts=salts), buckets, expected=expected
+            self.write_data_files(df, salts=salts),
+            buckets,
+            expected=expected,
+            staged_spec=spec,
         )
 
     # ------------------------------------------------------------ rebucket
+    def split_bucket(
+        self, spark: SparkSession, bucket: int, salts: int | None = None
+    ) -> None:
+        """Incrementally split ONE base bucket into two (power-of-two):
+        bucket ``b`` (at base count N) becomes ``{b, b + N}`` at 2N hash
+        granularity — the per-bucket alternative to `rebucket`'s
+        stop-the-world full rewrite at 100 TB.
+
+        Fencing is per-bucket and optimistic, the same two-phase shape as
+        compaction: the rewrite of bucket b's files runs LOCK-FREE
+        (concurrent appends to OTHER buckets stage and commit freely
+        throughout), then the commit flock is taken and the bucket's file
+        list is re-checked. If a concurrent append slipped NEW files into
+        bucket b after our scan, those delta files are re-split UNDER the
+        lock (they are one epoch's worth — small), because an old-spec file
+        surviving unsplit would hide its ``b + N`` rows from pruned scans.
+        The metadata commit atomically swaps the file manifest and adds b to
+        ``split_buckets``; when every base bucket has split, the spec
+        normalizes to ``num_buckets = 2N`` with no splits.
+
+        Physical rows (MOR deltas, tombstones, ``_lsn``) are carried
+        verbatim — no LWW reduction — so split commutes with compaction.
+        Only one split level per base bucket; splitting a child requires
+        normalization (all bases split) first.
+        """
+        import copy
+
+        n = self.num_buckets
+        bucket = int(bucket)
+        if not 0 <= bucket < n:
+            raise ValueError(f"bucket {bucket} out of range 0..{n - 1}")
+        if bucket in self.split_buckets:
+            raise ValueError(f"bucket {bucket} already split")
+
+        staged_meta = copy.deepcopy(self._meta)
+        staged_meta["partition_spec"]["split_buckets"] = sorted(
+            set(self.split_buckets) | {bucket}
+        )
+        staged = LakeTable(self.root, staged_meta)
+
+        # phase 1 (lock-free): rewrite the bucket's current files under the
+        # post-split transform; rows land under keys b and b + N
+        expected = list(self.current_snapshot.files.get(str(bucket), []))
+        if expected:
+            df = spark.read.schema(self.schema).parquet(
+                *[os.path.join(self.root, f) for f in expected]
+            )
+            new_files = staged._write_data(df, salts=salts)
+        else:
+            new_files = {}
+
+        with self._process_commit_lock():
+            self._refresh()
+            current = list(self.current_snapshot.files.get(str(bucket), []))
+            survivors = [f for f in current if f not in expected]
+            if survivors:
+                # a concurrent append hit THIS bucket mid-split: re-split
+                # just those delta files under the lock (bounded: one
+                # commit's worth of data)
+                sdf = spark.read.schema(self.schema).parquet(
+                    *[os.path.join(self.root, f) for f in survivors]
+                )
+                extra = staged._write_data(sdf, salts=salts)
+                for b, fs in extra.items():
+                    new_files[b] = fs + new_files.get(b, [])
+            merged = {
+                b: list(fs)
+                for b, fs in self.current_snapshot.files.items()
+                if b != str(bucket)
+            }
+            for b, fs in new_files.items():
+                merged[b] = fs + merged.get(b, [])
+            split = sorted(set(self.split_buckets) | {bucket})
+            if len(split) == n:
+                # fully split: normalize to the doubled base spec
+                self._meta["partition_spec"]["num_buckets"] = 2 * n
+                self._meta["partition_spec"]["split_buckets"] = []
+            else:
+                self._meta["partition_spec"]["split_buckets"] = split
+            self._next_snapshot(
+                "split-bucket",
+                {"bucket": bucket, "children": [bucket, bucket + n]},
+                merged,
+            )
+
     def rebucket(
         self, spark: SparkSession, new_num_buckets: int, salts: int | None = 2
     ) -> None:
@@ -720,9 +921,11 @@ class LakeTable:
             df = self.scan(spark)
             staged_meta = copy.deepcopy(self._meta)
             staged_meta["partition_spec"]["num_buckets"] = int(new_num_buckets)
+            staged_meta["partition_spec"]["split_buckets"] = []
             staged = LakeTable(self.root, staged_meta)
             files = staged._write_data(df, salts=salts)
             self._meta["partition_spec"]["num_buckets"] = int(new_num_buckets)
+            self._meta["partition_spec"]["split_buckets"] = []
             self._next_snapshot(
                 "rebucket",
                 {

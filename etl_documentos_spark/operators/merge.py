@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_documentos_spark.lake.table import LakeTable
+from etl_documentos_spark.lake.table import LakeTable, SpecConflictError
 from etl_documentos_spark.operators.lww import lww_dedup
 from etl_documentos_spark.schemas import KEY_COLS
 
@@ -101,7 +101,29 @@ def merge_into(
     The batch is NOT pre-deduped: batch-internal LWW and the version check
     against existing rows are the same reduction, so one hash aggregation
     over (target-slice ∪ batch) does both — no separate dedup shuffle.
+
+    Split-safe: the whole read-modify-write is retried against fresh
+    metadata if a concurrent ``split_bucket``/``rebucket`` invalidates the
+    bucket keys mid-merge (``SpecConflictError`` from the commit).
     """
+    for _ in range(5):
+        try:
+            return _merge_into_once(
+                spark, table, changes, dedup, compute_stats, assume_all_buckets
+            )
+        except SpecConflictError:
+            table._refresh()
+    raise SpecConflictError("spec kept changing across 5 merge retries")
+
+
+def _merge_into_once(
+    spark: SparkSession,
+    table: LakeTable,
+    changes: DataFrame,
+    dedup: bool,
+    compute_stats: bool,
+    assume_all_buckets: bool,
+) -> MergeStats | None:
     updates = changes_to_physical(changes, table.schema)
 
     # ---- partition pruning: which buckets does this batch touch?
@@ -110,7 +132,7 @@ def merge_into(
     # (large uniform epochs), skip the job — overestimating "touched" is
     # always safe, it only widens the read.
     if assume_all_buckets:
-        touched = list(range(table.num_buckets))
+        touched = table.live_buckets()
     else:
         touched = [
             r[0]
@@ -152,10 +174,43 @@ def merge_into(
             conv_ids_touched=agg["convs"],
         )
 
-    # COW output is deduped (<=1 row/key) — no hot-key skew left, so a small
-    # salt keeps the per-snapshot file count low
-    table.overwrite_buckets(merged, touched, salts=2, expected=expected)
+    # COW output is deduped (<=1 row/key), but a hot CONVERSATION still
+    # concentrates all its turns in one bucket — size the salt from the
+    # observed bucket skew so the hot bucket's rewrite spreads across tasks
+    salts = adaptive_salts(table, touched, spark)
+    table.overwrite_buckets(merged, touched, salts=salts, expected=expected)
     return stats
+
+
+def adaptive_salts(
+    table: LakeTable,
+    buckets: list[int],
+    spark: SparkSession,
+    floor: int = 2,
+    cap: int = 32,
+) -> int:
+    """Salt count sized from the table's OBSERVED bucket skew — no manual
+    tuning, no extra Spark job (reads the file manifest via
+    `LakeTable.bucket_sizes`).
+
+    Rationale (same math as ``_write_data``'s docstring): a bucket holding
+    fraction ``h`` of the rewrite is processed by one task per salt, so for
+    the rewrite to keep P cores busy the hot bucket must split into
+    ``>= h * P`` salted tasks. Uniform tables get the floor (bounds file
+    count); a 30%-hot bucket on a 32-core cluster gets ~10 salts. This is
+    the write-side complement of `operators.skew.detect_hot_keys` (which
+    measures row-level key skew before any files exist); here the snapshot
+    manifest already encodes the skew for free.
+    """
+    import math
+
+    sizes = table.bucket_sizes(buckets)
+    total = sum(sizes.values())
+    if total <= 0:
+        return floor
+    h = max(sizes.values()) / total
+    p = spark.sparkContext.defaultParallelism
+    return max(floor, min(cap, math.ceil(h * p)))
 
 
 def merge_mor(
@@ -201,8 +256,28 @@ def compact(
     comparison is independent of ``spark.sql.session.timeZone`` (a naive
     timestamp literal would be re-interpreted in the session zone and could
     expire tombstones hours early in a non-UTC session).
+
+    Split-safe: retried whole against fresh metadata on ``SpecConflictError``
+    (same contract as ``merge_into``).
     """
-    target = list(range(table.num_buckets)) if buckets is None else buckets
+    for _ in range(5):
+        try:
+            return _compact_once(
+                spark, table, buckets, expire_tombstones_before
+            )
+        except SpecConflictError:
+            table._refresh()
+            buckets = None  # old bucket ids are stale under the new spec
+    raise SpecConflictError("spec kept changing across 5 compact retries")
+
+
+def _compact_once(
+    spark: SparkSession,
+    table: LakeTable,
+    buckets: list[int] | None,
+    expire_tombstones_before,
+) -> None:
+    target = table.live_buckets() if buckets is None else buckets
     # capture the exact file lists this rewrite reads: the commit replaces
     # only these, so an append landing concurrently (another process) in a
     # target bucket survives as a delta file instead of being dropped
@@ -221,7 +296,8 @@ def compact(
             (~F.coalesce(F.col("_deleted"), F.lit(False)))
             | (F.unix_micros(F.col("ts")) >= F.lit(int(expire_tombstones_before)))
         )
-    table.overwrite_buckets(merged, target, salts=2, expected=expected)
+    salts = adaptive_salts(table, target, spark)
+    table.overwrite_buckets(merged, target, salts=salts, expected=expected)
 
 
 def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:

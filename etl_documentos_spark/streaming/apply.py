@@ -29,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_documentos_spark.lake.table import LakeTable
+from etl_documentos_spark.lake.table import LakeTable, SpecConflictError
 from etl_documentos_spark.operators.evolve import evolve_if_needed
 from etl_documentos_spark.operators.merge import compact, merge_into, merge_mor
 from etl_documentos_spark.streaming.commitlog import (
@@ -205,13 +205,29 @@ class CdcPipeline:
 
             with ThreadPoolExecutor(max_workers=1) as pool:
                 convs_future = pool.submit(collect_convs)
+                spec = table.spec_fingerprint()
                 files, stat_rows = table.write_data_files_direct(
                     aug, stats=True
                 )
                 conv_rows = convs_future.result()
-            if files:
-                with self._commit_lock:
-                    self.table.commit_append(files)
+            for _ in range(5):
+                if not files:
+                    break
+                try:
+                    with self._commit_lock:
+                        self.table.commit_append(files, staged_spec=spec)
+                    break
+                except SpecConflictError:
+                    # a concurrent split/rebucket re-keyed the buckets:
+                    # restage under the fresh transform (stats re-derived
+                    # deterministically from the same batch)
+                    table = self.table
+                    spec = table.spec_fingerprint()
+                    files, stat_rows = table.write_data_files_direct(
+                        aug, stats=True
+                    )
+            else:
+                raise SpecConflictError("spec kept changing across 5 retries")
             for r in stat_rows:
                 self._advance_watermark(r["max_ts"])
             self._maybe_compact(self.table)
@@ -338,13 +354,29 @@ class CdcPipeline:
             observed = changes.observe(
                 obs, *self._observe_exprs_for(changes.columns)
             )
+            spec = table.spec_fingerprint()
             files = table.write_data_files_direct(
                 changes_to_physical(observed, table.schema),
                 target_tasks=self._epoch_write_tasks,
             )
-            if files:
-                with self._commit_lock:
-                    self.table.commit_append(files)
+            for _ in range(5):
+                if not files:
+                    break
+                try:
+                    with self._commit_lock:
+                        self.table.commit_append(files, staged_spec=spec)
+                    break
+                except SpecConflictError:
+                    # restage under the fresh spec; stats were already
+                    # captured by the first (observed) write job
+                    fresh = self.table
+                    spec = fresh.spec_fingerprint()
+                    files = fresh.write_data_files_direct(
+                        changes_to_physical(changes, fresh.schema),
+                        target_tasks=self._epoch_write_tasks,
+                    )
+            else:
+                raise SpecConflictError("spec kept changing across 5 retries")
             stats = stats_from_observation(obs.get, self.n_source_partitions)
             self._advance_watermark(stats.max_ts)
             if stats.n_events > 0:

@@ -564,3 +564,158 @@ def test_commitlog_concurrent_compaction_never_loses_coverage(tmp_path):
     for e in range(N):
         assert log.is_committed(e), e
     assert log.max_offsets() == {0: N - 1, 1: N}
+
+
+def test_adaptive_salts_spread_hot_bucket(spark, tmp_path):
+    """A hot conversation (~60% of rows, all in one bucket) must make
+    compaction pick a salt count > the uniform floor from the observed
+    bucket sizes alone — no manual tuning — so the hot bucket's rewrite
+    spreads over multiple tasks/files; and the rewrite stays correct."""
+    import datetime
+
+    from etl_documentos_spark.operators.merge import adaptive_salts, compact
+    from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+    T0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    lsn = 0
+    # hot conversation: 3000 turns; 20 cold conversations x 100 turns
+    for turn in range(3000):
+        lsn += 1
+        rows.append(("insert", "hot", turn, "user", f"h{turn}", None,
+                     T0, lsn, 0))
+    for c in range(20):
+        for turn in range(100):
+            lsn += 1
+            rows.append(("insert", f"c{c}", turn, "user", f"t{turn}", None,
+                         T0, lsn, 0))
+    df = spark.createDataFrame(rows, CHANGE_EVENTS)
+
+    table_root = str(tmp_path / "t")
+    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=8)
+    pipe = CdcPipeline(spark, table_root, str(tmp_path / "w"), mode="mor")
+    pipe.apply_epoch(df, 0)
+
+    table = LakeTable.load(table_root)
+    sizes = table.bucket_sizes()
+    hot_b = max(sizes, key=sizes.get)
+    assert sizes[hot_b] / sum(sizes.values()) > 0.4  # skew is real
+
+    salts = adaptive_salts(table, list(range(8)), spark)
+    floor_salts = adaptive_salts(
+        LakeTable.load(table_root), [b for b in sizes if b != hot_b], spark
+    )
+    assert salts > 2, salts  # skew observed -> more salts
+    # (cold-only bucket set may still exceed the floor slightly; the point
+    # is the hot set demands strictly more spread than the cold set)
+    assert salts >= floor_salts
+
+    compact(spark, table)
+    fresh = LakeTable.load(table_root)
+    files = fresh.current_snapshot.files
+    assert len(files[str(hot_b)]) >= salts // 2  # hot bucket spread out
+    # correctness: compacted read equals the oracle reduction
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_current(spark, fresh).collect()
+    }
+    assert len(got) == 3000 + 20 * 100
+    assert got[("hot", 2999)] == "h2999"
+
+
+def test_split_bucket_mid_ingest(spark, tmp_path):
+    """Power-of-two bucket split: splitting one hot base bucket while a
+    concurrent thread keeps applying epochs must (a) leave read_current
+    equal to the oracle reduction of ALL events, (b) address the split
+    children in the manifest, (c) keep post-split merges correct, and
+    (d) normalize to num_buckets=2N once every base bucket has split."""
+    import datetime
+    import threading
+
+    from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def epoch_rows(epoch, n=400):
+        rows = []
+        for j in range(n):
+            lsn = epoch * n + j + 1
+            conv = f"c{j % 40}"
+            rows.append(
+                ("insert" if j % 7 else "update", conv, j % 25, "user",
+                 f"t{epoch}-{j}", None,
+                 T0 + datetime.timedelta(seconds=lsn), lsn, 0)
+            )
+        return rows
+
+    table_root = str(tmp_path / "t")
+    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=4)
+    pipe = CdcPipeline(spark, table_root, str(tmp_path / "w"), mode="mor")
+    all_rows = epoch_rows(0)
+    pipe.apply_epoch(spark.createDataFrame(all_rows, CHANGE_EVENTS), 0)
+
+    # concurrent ingest during the split
+    errs = []
+
+    def ingest():
+        try:
+            for e in (1, 2):
+                rows = epoch_rows(e)
+                all_rows.extend(rows)
+                pipe.apply_epoch(spark.createDataFrame(rows, CHANGE_EVENTS), e)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    t = threading.Thread(target=ingest)
+    t.start()
+    table = LakeTable.load(table_root)
+    table.split_bucket(spark, 1)
+    t.join()
+    assert not errs, errs
+
+    fresh = LakeTable.load(table_root)
+    assert fresh.split_buckets == [1]
+    assert set(fresh.live_buckets()) == {0, 1, 2, 3, 5}
+    files = fresh.current_snapshot.files
+    # every file key is a live bucket; child 5 exists iff it holds rows
+    assert set(int(b) for b in files) <= {0, 1, 2, 3, 5}
+
+    # scans pruned to a child see only that child's rows
+    for child in (1, 5):
+        got = fresh.scan(spark, buckets=[child])
+        if got.count():
+            bvals = {
+                r["b"]
+                for r in got.select(
+                    fresh.bucket_expr().alias("b")
+                ).distinct().collect()
+            }
+            assert bvals == {child}, (child, bvals)
+
+    # post-split merge + full equality vs the oracle reducer
+    rows3 = epoch_rows(3)
+    all_rows.extend(rows3)
+    pipe2 = CdcPipeline(spark, table_root, str(tmp_path / "w2"), mode="cow")
+    pipe2.apply_epoch(spark.createDataFrame(rows3, CHANGE_EVENTS), 0)
+
+    from etl_documentos_spark import oracle
+
+    exp = oracle.reduce_events(
+        [dict(zip(
+            ["op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+             "lsn", "source_partition"], r)) for r in all_rows]
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in read_current(spark, LakeTable.load(table_root)).collect()
+    }
+    assert got == {
+        (e["conv_id"], e["turn_idx"]): e["text"] for e in exp
+    }
+
+    # split the remaining base buckets -> spec normalizes to 8 unsplit
+    tbl = LakeTable.load(table_root)
+    for b in (0, 2, 3):
+        tbl.split_bucket(spark, b)
+    assert tbl.num_buckets == 8 and tbl.split_buckets == []
+    assert len(read_current(spark, LakeTable.load(table_root)).collect()) == len(exp)
