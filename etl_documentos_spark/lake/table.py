@@ -348,16 +348,21 @@ class LakeTable:
         parquet encode); no per-row Python.
 
         ``stats``: single-pass mode for the exactly-once bookkeeping. The
-        caller adds three sidecar columns — ``_h`` (64-bit row hash computed
-        JVM-side), ``epoch``, ``source_partition`` — which are NOT written
-        to parquet; instead the writer aggregates, per (epoch,
-        source_partition) and fully in Arrow C++ (group_by), the fingerprint
-        chunk sums (h0/h1/h2, same split as
-        ``commitlog.hash_chunk_exprs``), event/delete counts and max LSN,
-        and yields them alongside the file manifest. One scan of the input
-        instead of a stats pass + an append pass — the scan/decode/hash is
-        the dominant memory traffic at scale, so halving passes directly
-        buys scaling headroom.
+        caller adds sidecar columns — ``_h`` (64-bit row hash computed
+        JVM-side), ``epoch``, ``source_partition``, and optionally ``_ch``
+        (xxhash64 of the bucket key) — which are NOT written to parquet;
+        instead the writer aggregates, per (epoch, source_partition) and
+        fully in Arrow C++ (group_by), the fingerprint chunk sums
+        (h0/h1/h2, same split as ``commitlog.hash_chunk_exprs``),
+        event/delete counts and max LSN, and yields them alongside the
+        file manifest. When ``_ch`` is present it additionally folds a
+        per-(epoch, sp) HyperLogLog register sketch over the key hashes
+        (``kind="l"`` rows, 1 KiB binary each) so the caller gets the
+        distinct-conversation lineage counter from the SAME pass — no
+        second scan of the batch anywhere. One scan of the input instead
+        of a stats pass + an append pass (+ a distinct pass) — the
+        scan/decode/hash is the dominant memory traffic at scale, so
+        cutting passes directly buys scaling headroom.
         """
         rel = f"data/w-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.root, rel)
@@ -368,8 +373,9 @@ class LakeTable:
             "_bucket", self.bucket_expr().cast("int")
         ).coalesce(target)
 
-        sidecar = ["_h", "epoch", "source_partition"] if stats else []
+        sidecar = ["_h", "_ch", "epoch", "source_partition"] if stats else []
         data_cols = [c for c in df.columns if c not in sidecar]
+        with_key_sketch = stats and "_ch" in df.columns
 
         def write_partition(batches):
             import os as _os
@@ -392,6 +398,59 @@ class LakeTable:
             buf: dict[int, list] = {}
             buf_rows: dict[int, int] = {}
             stat_parts: list = []
+
+            # per-(epoch, sp) HyperLogLog over the key hash (_ch): m=2^10
+            # registers => ~3.2% rel. error (on par with Spark's default
+            # approx_count_distinct rsd=5%), 1 KiB per emitted row. Register
+            # merge across tasks is elementwise max — order-free, so the
+            # estimate is deterministic for a given input set.
+            HLL_P = 10
+            HLL_M = 1 << HLL_P
+            sketches: dict[int, object] = {}
+            if with_key_sketch:
+                import numpy as _np
+
+                def _popcount64(v):
+                    c1 = _np.uint64(0x5555555555555555)
+                    c2 = _np.uint64(0x3333333333333333)
+                    c3 = _np.uint64(0x0F0F0F0F0F0F0F0F)
+                    c4 = _np.uint64(0x0101010101010101)
+                    v = v - ((v >> _np.uint64(1)) & c1)
+                    v = (v & c2) + ((v >> _np.uint64(2)) & c2)
+                    v = (v + (v >> _np.uint64(4))) & c3
+                    return (v * c4) >> _np.uint64(56)
+
+                def _fold_sketch(tbl) -> None:
+                    ch = (
+                        tbl.column("_ch")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(_np.int64)
+                        .view(_np.uint64)
+                    )
+                    idx = (ch >> _np.uint64(64 - HLL_P)).astype(_np.intp)
+                    # guard bit caps rho at 64-p+1 when the suffix is zero
+                    x = (ch << _np.uint64(HLL_P)) | _np.uint64(
+                        1 << (HLL_P - 1)
+                    )
+                    y = x.copy()
+                    for s in (1, 2, 4, 8, 16, 32):
+                        y |= y >> _np.uint64(s)
+                    rho = (_popcount64(~y) + _np.uint64(1)).astype(_np.uint8)
+                    ep = tbl.column("epoch").to_numpy(
+                        zero_copy_only=False
+                    ).astype(_np.int64)
+                    sp = tbl.column("source_partition").to_numpy(
+                        zero_copy_only=False
+                    ).astype(_np.int64)
+                    keys = (ep << _np.int64(20)) | sp
+                    for k in _np.unique(keys):
+                        reg = sketches.get(int(k))
+                        if reg is None:
+                            reg = sketches.setdefault(
+                                int(k), _np.zeros(HLL_M, _np.uint8)
+                            )
+                        mask = keys == k
+                        _np.maximum.at(reg, idx[mask], rho[mask])
 
             def flush(b: int) -> None:
                 parts = buf.get(b)
@@ -474,6 +533,8 @@ class LakeTable:
                             ]
                         )
                     )
+                    if with_key_sketch:
+                        _fold_sketch(tbl)
                 for b in _pc.unique(bcol).to_pylist():
                     sub = data.filter(_pc.equal(bcol, b))
                     buf.setdefault(b, []).append(sub)
@@ -500,6 +561,7 @@ class LakeTable:
                     ("ndel", _pa.int64()),
                     ("max_lsn", _pa.int64()),
                     ("max_ts", _pa.int64()),
+                    ("sketch", _pa.binary()),
                 ]
             )
             nil = [None] * len(names)
@@ -519,6 +581,7 @@ class LakeTable:
                         "ndel": nil,
                         "max_lsn": nil,
                         "max_ts": nil,
+                        "sketch": nil,
                     },
                     schema=out_schema,
                 )
@@ -567,6 +630,30 @@ class LakeTable:
                         "max_ts": _pc.cast(
                             merged.column("ts_max_max"), _pa.int64()
                         ).combine_chunks(),
+                        "sketch": [None] * k,
+                    },
+                    schema=out_schema,
+                )
+            if sketches:
+                ks = sorted(sketches)
+                nk = len(ks)
+                none_k = [None] * nk
+                yield _pa.RecordBatch.from_pydict(
+                    {
+                        "kind": ["l"] * nk,
+                        "bucket": _pa.nulls(nk, _pa.int32()),
+                        "path": none_k,
+                        "nrows": none_k,
+                        "epoch": [int(k) >> 20 for k in ks],
+                        "sp": [int(k) & ((1 << 20) - 1) for k in ks],
+                        "h0": none_k,
+                        "h1": none_k,
+                        "h2": none_k,
+                        "n": none_k,
+                        "ndel": none_k,
+                        "max_lsn": none_k,
+                        "max_ts": none_k,
+                        "sketch": [sketches[k].tobytes() for k in ks],
                     },
                     schema=out_schema,
                 )
@@ -575,7 +662,7 @@ class LakeTable:
             write_partition,
             "kind string, bucket int, path string, nrows long, epoch int, "
             "sp int, h0 long, h1 long, h2 long, n long, ndel long, "
-            "max_lsn long, max_ts long",
+            "max_lsn long, max_ts long, sketch binary",
         ).collect()
         files: dict[str, list[str]] = {}
         stat_rows = []

@@ -46,6 +46,38 @@ from etl_documentos_spark.streaming.lineage import (
 )
 
 
+def merge_hll_counts(sketch_rows) -> dict[tuple[int, int], int]:
+    """Merge per-task HyperLogLog register rows (``kind="l"`` from
+    ``LakeTable._write_data_direct`` stats mode) into per-(epoch,
+    source_partition) distinct counts.
+
+    Register-wise max across tasks, then the standard bias-corrected HLL
+    estimate with the linear-counting small-range correction — determinstic
+    for a given input set regardless of task order. ~3.2% relative error at
+    m=1024, matching the approx_count_distinct contract this replaces.
+    """
+    import math
+
+    import numpy as np
+
+    merged: dict[tuple[int, int], np.ndarray] = {}
+    for r in sketch_rows:
+        key = (int(r["epoch"]), int(r["sp"]))
+        regs = np.frombuffer(bytes(r["sketch"]), dtype=np.uint8)
+        acc = merged.get(key)
+        merged[key] = regs.copy() if acc is None else np.maximum(acc, regs)
+    out: dict[tuple[int, int], int] = {}
+    for key, regs in merged.items():
+        m = regs.size
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / float(np.exp2(-regs.astype(np.float64)).sum())
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        out[key] = int(round(est))
+    return out
+
+
 @dataclass
 class EpochResult:
     epoch_id: int
@@ -180,36 +212,27 @@ class CdcPipeline:
             # (lake.table._write_data_direct stats mode). The row hash is
             # computed JVM-side over the same non-epoch column set the
             # per-epoch path fingerprints, so cross-path fingerprints agree.
+            # The distinct-conversation counter rides the same pass as a
+            # per-task HyperLogLog over xxhash64(conv_id) (_ch sidecar),
+            # merged register-wise here — the old concurrent
+            # approx_count_distinct job re-decoded 3 columns of the whole
+            # batch; at N executors that second scan is pure memory-bandwidth
+            # overhead, so folding it into the write pass buys scaling.
             data_cols = [F.col(c) for c in batch.columns if c != "epoch"]
             aug = batch.select(
                 *physical_exprs(batch, table.schema),
                 F.xxhash64(*data_cols).alias("_h"),
+                F.xxhash64(F.col("conv_id")).alias("_ch"),
                 F.col("epoch").cast("int").alias("epoch"),
                 F.col("source_partition").cast("int").alias(
                     "source_partition"
                 ),
             )
 
-            # conv-distinct lineage counter: needs a real distinct, which
-            # per-task partials can't merge — but it reads only 3 columns
-            # (pruned scan), so run it CONCURRENTLY with the write job; each
-            # fills the other's scheduling gaps.
-            def collect_convs():
-                return (
-                    batch.groupBy("epoch", "source_partition")
-                    .agg(F.approx_count_distinct("conv_id").alias("convs"))
-                    .collect()
-                )
-
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                convs_future = pool.submit(collect_convs)
-                spec = table.spec_fingerprint()
-                files, stat_rows = table.write_data_files_direct(
-                    aug, stats=True
-                )
-                conv_rows = convs_future.result()
+            spec = table.spec_fingerprint()
+            files, stat_rows = table.write_data_files_direct(
+                aug, stats=True
+            )
             for _ in range(5):
                 if not files:
                     break
@@ -228,14 +251,13 @@ class CdcPipeline:
                     )
             else:
                 raise SpecConflictError("spec kept changing across 5 retries")
+            sketch_rows = [r for r in stat_rows if r["kind"] == "l"]
+            stat_rows = [r for r in stat_rows if r["kind"] == "s"]
             for r in stat_rows:
                 self._advance_watermark(r["max_ts"])
             self._maybe_compact(self.table)
 
-            convs = {
-                (int(r["epoch"]), int(r["source_partition"])): int(r["convs"])
-                for r in conv_rows
-            }
+            convs = merge_hll_counts(sketch_rows)
             per_epoch: dict[int, list] = {}
             for r in stat_rows:
                 per_epoch.setdefault(int(r["epoch"]), []).append(r)

@@ -719,3 +719,38 @@ def test_split_bucket_mid_ingest(spark, tmp_path):
         tbl.split_bucket(spark, b)
     assert tbl.num_buckets == 8 and tbl.split_buckets == []
     assert len(read_current(spark, LakeTable.load(table_root)).collect()) == len(exp)
+
+
+def test_bulk_hll_conv_counts_accurate(spark, stream_df, events_path, tmp_path):
+    """The single-pass HyperLogLog distinct-conversation lineage counter
+    (which replaced the concurrent approx_count_distinct scan) must land
+    within ~10% of the exact per-(epoch, source_partition) distinct count,
+    and be deterministic across identical replays."""
+    from etl_documentos_spark.streaming.lineage import read_lineage
+    from etl_documentos_spark.streaming.stream import replay_bulk
+
+    import pyspark.sql.functions as F
+
+    def run(workdir):
+        table_root = str(tmp_path / workdir / "transcripts")
+        LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=8)
+        pipe = CdcPipeline(spark, table_root, str(tmp_path / workdir / "work"))
+        replay_bulk(pipe, events_path)
+        return {
+            (r["epoch_id"], r["source_partition"]): r["conv_ids_touched"]
+            for r in read_lineage(spark, pipe.lineage_path).collect()
+        }
+
+    got = run("a")
+    exact = {
+        (r["epoch"], r["source_partition"]): r["n"]
+        for r in spark.read.parquet(events_path)
+        .groupBy("epoch", "source_partition")
+        .agg(F.countDistinct("conv_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for key, n_exact in exact.items():
+        err = abs(got[key] - n_exact) / max(n_exact, 1)
+        assert err <= 0.10, (key, got[key], n_exact, err)
+    assert run("b") == got  # deterministic re-estimate
