@@ -93,11 +93,17 @@ def _ensure_events(spark) -> str:
 
 
 def _shard_files(events_path: str, k: int, rem: int) -> list[tuple[int, str]]:
-    """Round-robin (epoch, parquet-file) pairs across K fleet workers.
+    """Byte-balanced (epoch, parquet-file) sharding across K fleet workers.
 
-    Event-sized sharding: whole-epoch shards (epoch % K) go imbalanced as K
-    approaches the epoch count; file-level round-robin keeps worker loads
-    within one file of each other at any K up to the total file count."""
+    Greedy LPT by file size (largest file to the least-loaded shard): in
+    steady-state fleet mode the reported span is max(worker end) -
+    min(worker start), so the slowest worker sets the number — byte
+    balance beats the old round-robin's count balance (which left ~1%
+    byte skew on the bench input). Deterministic: every worker derives the
+    identical assignment from the same sorted listing + sizes; ties in
+    the heap break by shard id."""
+    import heapq
+
     from etl_documentos_spark.streaming.stream import list_epochs
 
     files = []
@@ -105,8 +111,21 @@ def _shard_files(events_path: str, k: int, rem: int) -> list[tuple[int, str]]:
         d = os.path.join(events_path, f"epoch={e}")
         for fn in sorted(os.listdir(d)):
             if fn.endswith(".parquet"):
-                files.append((e, os.path.join(d, fn)))
-    return [fp for j, fp in enumerate(files) if j % k == rem]
+                p = os.path.join(d, fn)
+                files.append((e, p, os.path.getsize(p)))
+    order = sorted(
+        range(len(files)),
+        key=lambda i: (-files[i][2], files[i][0], files[i][1]),
+    )
+    loads = [(0, r) for r in range(k)]
+    heapq.heapify(loads)
+    mine = []
+    for i in order:
+        load, shard = heapq.heappop(loads)
+        if shard == rem:
+            mine.append(i)
+        heapq.heappush(loads, (load + files[i][2], shard))
+    return [(files[i][0], files[i][1]) for i in sorted(mine)]
 
 
 def _replay(
@@ -467,10 +486,12 @@ def run_cdc_fleet(
     assert all(rc == 0 for rc in rcs), rcs
     events = 0
     spans = []
+    worker_secs = []
     for i in range(k):
         with open(os.path.join(base, f"w{i}.json")) as f:
             w = json.load(f)
         events += w["events"]
+        worker_secs.append(round(w["seconds"], 1))
         if "t_start" in w:
             spans.append((w["t_start"], w["t_end"]))
     if warm:
@@ -487,6 +508,7 @@ def run_cdc_fleet(
         ),
         "host_steal_frac": round(d[7] / total, 3),
         "host_idle_frac": round(d[3] / total, 3),
+        "worker_secs": worker_secs,
         "commit": _git_commit(),
     }
     shutil.rmtree(base, ignore_errors=True)
