@@ -34,17 +34,23 @@ def append_lineage(
     out.write.mode("append").parquet(path)
 
 
-def _append_parquet_local(path: str, table) -> None:
+def _append_parquet_local(path: str, table, name: str) -> None:
     """Driver-local parquet append via pyarrow: the rows were already
     collected (they are per-partition counters, not data), so spinning a
-    Spark job for them would cost more than the write. Files are named
-    uniquely; Spark reads the directory as one table."""
-    import uuid
+    Spark job for them would cost more than the write.
 
+    ``name`` must be deterministic per logical record (per epoch): a crash
+    between this write and the commit-log mark re-applies the epoch on
+    restart, and the re-write then REPLACES the first file instead of
+    appending a duplicate — audit counters stay exactly-once under
+    at-least-once replay. Written via dot-prefixed temp + ``os.replace``
+    so readers never see a torn file (Spark ignores dot-files)."""
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+    tmp = os.path.join(path, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(path, name))
 
 
 def _arrow_schema(spark_schema):
@@ -83,7 +89,7 @@ def append_lineage_rows(
         {f.name: list(c) for f, c in zip(LINEAGE.fields, cols)},
         schema=_arrow_schema(LINEAGE),
     )
-    _append_parquet_local(path, table)
+    _append_parquet_local(path, table, f"lineage-epoch-{epoch_id}.parquet")
 
 
 def append_metrics(
@@ -103,7 +109,11 @@ def append_metrics(
         "duration_s": [duration_s],
         "ts": [datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)],
     }
-    _append_parquet_local(path, pa.table(row, schema=_arrow_schema(METRICS)))
+    _append_parquet_local(
+        path,
+        pa.table(row, schema=_arrow_schema(METRICS)),
+        f"metrics-epoch-{epoch_id}.parquet",
+    )
 
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:

@@ -754,3 +754,40 @@ def test_bulk_hll_conv_counts_accurate(spark, stream_df, events_path, tmp_path):
         err = abs(got[key] - n_exact) / max(n_exact, 1)
         assert err <= 0.10, (key, got[key], n_exact, err)
     assert run("b") == got  # deterministic re-estimate
+
+
+def test_lineage_idempotent_under_crash_replay(
+    spark, stream_df, events_path, tmp_path
+):
+    """A crash between the lineage/metrics append and the commit-log mark
+    re-applies the epoch on restart (at-least-once replay). The audit
+    sinks must stay exactly-once: the re-applied epoch's lineage/metrics
+    write REPLACES the first one (deterministic per-epoch filename)
+    instead of appending a duplicate that would inflate events_read.
+
+    Regression: uuid-named appends wrote a second lineage/metrics file for
+    the re-applied epoch, double-counting its events in the audit totals."""
+    import os
+
+    from etl_documentos_spark.streaming.lineage import read_lineage, read_metrics
+
+    pipeline = fresh_pipeline(spark, tmp_path)
+    replay_epochs(pipeline, events_path)
+    n_events = stream_df.count()
+    lin = read_lineage(spark, pipeline.lineage_path)
+    assert lin.groupBy().sum("events_read").first()[0] == n_events
+
+    # simulate the crash window: epoch applied + lineage written, but the
+    # commit-log record lost -> restart re-applies the epoch
+    crashed = list_epochs(events_path)[0]
+    os.remove(pipeline.commitlog._path(crashed))
+    restarted = CdcPipeline(spark, pipeline.table.root, str(tmp_path / "work"))
+    again = replay_epochs(restarted, events_path)
+    assert sum(1 for r in again if not r.skipped) == 1  # only the crashed one
+
+    lin2 = read_lineage(spark, restarted.lineage_path)
+    assert lin2.groupBy().sum("events_read").first()[0] == n_events
+    met = read_metrics(spark, restarted.metrics_path)
+    assert (
+        met.groupBy("epoch_id").count().filter("count > 1").count() == 0
+    ), "duplicate metrics rows after crash replay"
