@@ -18,6 +18,9 @@ needed and speed matters.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -222,50 +225,65 @@ def winnow_fingerprints(
     One narrow pass, per-row O(len*k) integer expression work, no shuffle.
 
     Gram hash = Karp-Rabin polynomial over the char codes (Horner, base
-    257, mod 2^31-1) instead of per-gram md5: ~10x less CPU per gram
-    (pure long arithmetic inside codegen vs an md5 digest per position),
-    and still exactly reproducible in the DuckDB oracle — the normalized
-    alphabet is strictly ``[a-z0-9 ]``, so ``ascii()`` agrees across
-    engines, and DuckDB's ``list_reduce`` (seeded with the first element)
-    computes the identical Horner chain, since ``(0*B + c1) % M == c1``.
+    257, mod 2^31-1) instead of per-gram md5, exactly reproducible in the
+    DuckDB oracle — the normalized alphabet is strictly ``[a-z0-9 ]``, so
+    ``ascii()`` agrees across engines, and DuckDB's ``list_reduce`` (seeded
+    with the first element) computes the identical Horner chain, since
+    ``(0*B + c1) % M == c1``.
+
+    Execution: normalization stays a JVM column expression; the Horner
+    chain + window minima run as vectorized numpy inside ``mapInPandas``
+    (Arrow-batched). The all-builtin formulation (nested
+    ``transform``/``aggregate``/``slice`` lambdas) evaluates higher-order
+    lambdas interpreted, allocating a k-element slice per gram — measured
+    ~5 s for 5k docs x 300 chars at sf0.1 vs ~0.3 s for this path doing
+    identical arithmetic; ``k`` numpy passes per document replace per-gram
+    object churn, and the Arrow transfer is just (id, normalized text).
     """
     B, M = 257, (1 << 31) - 1
-    # materialize intermediates between projections: a lambda body is
-    # re-evaluated per array element with no CSE, so referencing the raw
-    # normalize EXPRESSION inside transform() would redo the regex once
-    # per char — O(len^2) per row
     base = df.select(
         F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t")
     )
-    c = F.col("_t")
-    codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
-        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
-    )
-    coded = base.select("_id", codes.alias("_cs"))
-    cs = F.col("_cs")
-    n_grams = F.greatest(F.size(cs) - (k - 1), F.lit(1))
-    hashed = coded.select(
-        "_id",
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.aggregate(
-                F.slice(cs, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, ch: (acc * B + ch) % M,
-            ),
-        ).alias("_hs"),
-    )
-    hashes = F.col("_hs")
-    n_wins = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_wins),
-        lambda j: F.array_min(F.slice(hashes, j, window)),
-    )
-    return hashed.select(
-        "_id",
-        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
-    )
+
+    def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for t in pdf["_t"]:
+                s = t if t is not None else ""
+                codes = np.frombuffer(
+                    s.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                if codes.size == 0:
+                    # ascii(substring('', 1, 1)) = 0 in both engines: the
+                    # empty doc hashes a single zero code
+                    codes = np.zeros(1, dtype=np.int64)
+                n = codes.size
+                if n >= k:
+                    n_g = n - (k - 1)
+                    h = np.zeros(n_g, dtype=np.int64)
+                    for j in range(k):
+                        # max before mod: M*B + 127 < 2^40 — no overflow
+                        h *= B
+                        h += codes[j:j + n_g]
+                        h %= M
+                else:  # short doc: one Horner over all chars (slice clips)
+                    acc = 0
+                    for ch in codes:
+                        acc = (acc * B + int(ch)) % M
+                    h = np.array([acc], dtype=np.int64)
+                n_w = max(h.size - (window - 1), 1)
+                m = h[:n_w].copy()
+                for j in range(1, window):
+                    # clamp: past-the-end indices repeat the last hash,
+                    # which cannot change a minimum (slice-clip semantics)
+                    idx = np.minimum(np.arange(n_w) + j, h.size - 1)
+                    np.minimum(m, h[idx], out=m)
+                out.append(np.unique(m).tolist())
+            yield pd.DataFrame({"_id": pdf["_id"], "fingerprints": out})
+
+    return base.mapInPandas(winnow, "_id long, fingerprints array<bigint>")
 
 
 def simhash(
