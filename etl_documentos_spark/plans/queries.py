@@ -1212,6 +1212,37 @@ _PNG_SQL = """
 """
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end, stdlib+numpy only: synthesize
+    spec-valid JFIF streams (DQT/SOF0/DHT/SOS + Huffman entropy data) whose
+    8x8 blocks are constant — a constant block's DCT is DC-only and
+    integer-exact, so the normally-lossy JPEG chain becomes bit-exact and
+    the oracle can predict the decoded pixel sum in closed form. The
+    decoder is a general baseline decoder (DHT-driven canonical Huffman,
+    DC-diff + AC run/size with EOB/ZRL, dequant, full 2-D IDCT); its AC
+    path is exercised by non-constant blocks in tests. No stub anywhere."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_jpeg_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_jpeg(d)
+
+
+_JPEG_SQL = """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 4) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+           CAST(8 AS INT) AS precision,
+           CAST(1 AS INT) AS n_components,
+           CAST(list_sum(list_transform(
+                   generate_series(0, (2 + doc_id % 4) * (1 + doc_id % 3) - 1),
+                   b -> 64 * ((doc_id
+                               + 17 * (b % (2 + doc_id % 4))
+                               + 29 * (b // (2 + doc_id % 4))) % 256)))
+                AS BIGINT) AS sum_pixels
+    FROM documents
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: stdlib wave writer -> stdlib wave
     reader + numpy sample stats; oracle predicts from the generation rule."""
@@ -1916,7 +1947,6 @@ QUERIES: dict[str, Query] = {
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
     "tpch_q1": q_tpch_q1,
-    "dashboard_counts": q_dashboard_counts,
     "top_event_types": q_top_event_types,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
@@ -1950,7 +1980,9 @@ QUERIES: dict[str, Query] = {
     "bmp_decode": q_bmp_decode,
     "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
+    "jpeg_decode": q_jpeg_decode,
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
+    "dashboard_counts": q_dashboard_counts,
     "usage_report": q_usage_report,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
@@ -2074,6 +2106,7 @@ ORACLES: dict[str, str] = {
     "salted_rollup": _SALTED_ROLLUP_SQL,
     "bmp_decode": _BMP_SQL,
     "wav_decode": _WAV_SQL,
+    "jpeg_decode": _JPEG_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,

@@ -10,13 +10,16 @@ resize / frame-sampling as Arrow-batched pandas functions over
 
 Decoder reality, by format:
 
-- **BMP and WAV are decoded for REAL** (``decode_bmp`` / ``decode_wav``):
-  uncompressed BMP is a fixed little-endian header + raster (numpy parses
-  it stride/padding-aware) and WAV ships with stdlib ``wave`` — so two
-  genuine byte-level decode paths run end-to-end in this container, with
-  synthesizers (``synth_bmp_payload`` / ``synth_wav_payload``) producing
-  bit-valid payloads whose decoded values a SQL oracle can predict.
-- JPEG/PNG/WebP decode libraries (PIL) are not in this container, so
+- **BMP, WAV, PNG and baseline JPEG are decoded for REAL** (``decode_bmp``
+  / ``decode_wav`` / ``decode_png`` / ``decode_jpeg``): uncompressed BMP is
+  a fixed little-endian header + raster (numpy parses it stride/padding-
+  aware), WAV ships with stdlib ``wave``, PNG is a chunk walk + zlib
+  inflate + full five-filter un-filtering, and JPEG is a complete baseline
+  decode (DHT-driven canonical Huffman, DC-diff + AC run/size entropy
+  decode, dequant, 2-D IDCT). Each has a synthesizer
+  (``synth_*_payload``) producing bit-valid payloads whose decoded values
+  a SQL oracle predicts in closed form.
+- WebP/video decode libraries are not in this container, so
   ``decode_images`` uses PIL when importable and otherwise a clearly-marked
   deterministic fake. The Spark-side plumbing — schema, batch iteration,
   partitioning, UDF signatures — is real and tested either way.
@@ -444,6 +447,368 @@ def decode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, PNG_META_SCHEMA)
+
+
+JPEG_META_SCHEMA = (
+    "doc_id long, width int, height int, precision int, n_components int, "
+    "sum_pixels long"
+)
+
+# ITU-T T.81 Annex K typical Huffman tables (public spec constants). The
+# encoder EMITS whatever tables these arrays hold in its DHT segments and
+# the decoder builds its code table FROM the DHT bytes it parses, so
+# encode/decode correctness is self-contained (the constants only decide
+# whether third-party viewers see the standard tables — they do).
+_JPEG_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: JPEG zigzag scan order: _JPEG_ZIGZAG[i] = raster index of the i-th
+#: zigzag position (T.81 figure 5)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huffman_codes(bits: list[int]) -> list[tuple[int, int]]:
+    """Canonical (length, code) pairs in symbol order from a DHT BITS
+    array (T.81 Annex C code-assignment procedure)."""
+    out = []
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out.append((length, code))
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # entropy-stream byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        while self.n:  # pad the final partial byte with 1-bits (T.81 F.1.2.3)
+            self.put(1, 1)
+        return bytes(self.buf)
+
+
+def _encode_baseline_jpeg(blocks, bw: int, bh: int, w: int, h: int) -> bytes:
+    """Serialize quantized 8x8 coefficient blocks (raster order, flat quant
+    table of ones) as a spec-valid baseline JFIF stream: SOI, DQT, SOF0
+    (8-bit grayscale, no subsampling), DHT (Annex K tables), SOS, entropy
+    data with byte stuffing, EOI. General: full DC-diff category coding and
+    AC run/size coding with ZRL + EOB, so tests can feed arbitrary blocks.
+
+    ``blocks``: iterable of 64-long int sequences in ZIGZAG order."""
+    import struct
+
+    dc_codes = _huffman_codes(_JPEG_DC_BITS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS)
+    ac_index = {v: i for i, v in enumerate(_JPEG_AC_VALS)}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    wtr = _BitWriter()
+
+    def put_magnitude(v: int) -> tuple[int, int]:
+        """(category, extra-bits value) per T.81 table F.1 / F.2."""
+        size = abs(v).bit_length()
+        return size, (v if v >= 0 else v + (1 << size) - 1)
+
+    pred = 0
+    for blk in blocks:
+        size, extra = put_magnitude(int(blk[0]) - pred)
+        pred = int(blk[0])
+        ln, code = dc_codes[size]
+        wtr.put(code, ln)
+        wtr.put(extra, size)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and blk[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                ln, code = ac_codes[ac_index[0x00]]  # EOB
+                wtr.put(code, ln)
+                break
+            while run > 15:
+                ln, code = ac_codes[ac_index[0xF0]]  # ZRL
+                wtr.put(code, ln)
+                run -= 16
+            size, extra = put_magnitude(int(blk[k]))
+            ln, code = ac_codes[ac_index[(run << 4) | size]]
+            wtr.put(code, ln)
+            wtr.put(extra, size)
+            k += 1
+
+    dqt = bytes([0x00]) + bytes([1] * 64)  # Pq=0/Tq=0, flat table of ones
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS[1:]) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS[1:]) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + wtr.flush()
+        + b"\xff\xd9"
+    )
+
+
+def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (spec-valid) baseline JPEG per row, stdlib+numpy only:
+    width = 8*(2 + id%4), height = 8*(1 + id%3), each 8x8 block constant
+    at value (id + 17*bx + 29*by) % 256.
+
+    A constant block's forward DCT is DC-only and integer-exact
+    (DC = 8*(c-128); every AC term is zero), and with a flat quant table of
+    ones the decode side reconstructs the block bit-exactly — so this
+    corpus makes the normally-lossy JPEG chain closed-form predictable for
+    the SQL oracle while exercising the full container + Huffman framing.
+    The encoder itself is general (run/size AC coding — tests drive it with
+    non-constant blocks)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            bw, bh = 2 + i % 4, 1 + i % 3
+            blocks = []
+            for by in range(bh):
+                for bx in range(bw):
+                    c = (i + 17 * bx + 29 * by) % 256
+                    blk = [0] * 64
+                    blk[0] = 8 * (c - 128)
+                    blocks.append(blk)
+            out.append(
+                _encode_baseline_jpeg(blocks, bw, bh, 8 * bw, 8 * bh)
+            )
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if not self.n:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:  # a real marker: the scan is over — pad with zeros
+                    self.pos -= 1
+                    b = 0
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, int, int]:
+    """Pure-function baseline JPEG decode: (width, height, precision,
+    n_components, exact integer pixel sum). See ``decode_jpeg``."""
+    import struct
+
+    import numpy as np
+
+    x = np.arange(8)
+    basis = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    basis[0] /= np.sqrt(2.0)  # rows: u, cols: x — orthonormal DCT-II
+    zz = np.array(_JPEG_ZIGZAG)
+
+    def huff_table(bits, vals):
+        return {lc: v for lc, v in zip(_huffman_codes([0, *bits]), vals)}
+
+    def huff_decode(rd, table):
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | rd.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def extend(v, size):
+        if size and v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, object] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    w = h = prec = ncomp = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        while data[pos + 1] == 0xFF:  # optional fill bytes
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 15
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tq] = np.frombuffer(
+                    body[b + 1:b + 65], np.uint8
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = huff_table(
+                    bits, vals
+                )
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1 or body[7] != 0x11:
+                raise ValueError(
+                    "only single-component no-subsampling baseline "
+                    "JPEG is supported"
+                )
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 15
+            pos += ln
+            break
+        pos += ln
+    if w is None:
+        raise ValueError("no SOF before SOS")
+    rd = _BitReader(data, pos)
+    q = quant[comp_q]
+    dct, act = dc_tabs[comp_dc], ac_tabs[comp_ac]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coef = np.zeros(64, dtype=np.int64)
+            size = huff_decode(rd, dct)
+            pred += extend(rd.bits(size), size)
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                rs = huff_decode(rd, act)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 15
+                coef[k] = extend(rd.bits(s), s)
+                k += 1
+            fblock = np.zeros(64, dtype=np.float64)
+            fblock[zz] = coef * q
+            spatial = basis.T @ fblock.reshape(8, 8) @ basis + 128.0
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.rint(spatial), 0, 255
+            ).astype(np.int64)
+    return w, h, prec, ncomp, int(img[:h, :w].sum())
+
+
+def decode_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline JPEG decode over mapInPandas, stdlib+numpy only: walk
+    the marker stream (DQT/DHT/SOF0/SOS, skipping APPn/COM), build
+    canonical Huffman tables from the DHT bytes, entropy-decode DC diffs
+    and AC run/size pairs (EOB/ZRL), dequantize, de-zigzag, apply the full
+    2-D IDCT (orthonormal DCT-II basis matrix), level-shift, and emit
+    dimensions plus the exact integer pixel sum. 8-bit single-component
+    scans (the synthetic corpus shape) are supported; progressive files,
+    subsampling, and multi-component scans raise rather than silently
+    mis-decode. Reference analogue: the byte-level format providers at
+    /root/reference/app/providers/docling_provider.py:80-317."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, *_decode_baseline_jpeg(bytes(data)))
+                for doc_id, data in zip(pdf[id_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "precision",
+                         "n_components", "sum_pixels"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, JPEG_META_SCHEMA)
 
 
 def sample_frames(

@@ -462,3 +462,70 @@ def test_png_roundtrip_all_filters(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["bit_depth"] == 8 and r["color_type"] == 0
         assert r["sum_pixels"] == want, i
+
+
+def test_jpeg_roundtrip_dc_exact(spark):
+    """synth_jpeg_payload -> decode_jpeg reproduces the closed-form pixel
+    sum: constant 8x8 blocks make the DCT DC-only and integer-exact, so
+    the lossy JPEG chain round-trips bit-exactly through the full
+    container (DQT/SOF0/DHT/SOS + Huffman entropy coding)."""
+    from etl_documentos_spark.sources import multimodal
+
+    df = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in multimodal.decode_jpeg(
+            multimodal.synth_jpeg_payload(df)
+        ).collect()
+    }
+    for i, r in got.items():
+        bw, bh = 2 + i % 4, 1 + i % 3
+        assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+        assert (r["precision"], r["n_components"]) == (8, 1)
+        want = sum(
+            64 * ((i + 17 * bx + 29 * by) % 256)
+            for by in range(bh)
+            for bx in range(bw)
+        )
+        assert r["sum_pixels"] == want, i
+
+
+def test_jpeg_decoder_handles_ac_runs():
+    """The decoder's AC path (run/size coding, ZRL for >15-zero runs, EOB,
+    negative coefficients) matches an independent numpy IDCT reference on
+    random non-constant blocks — proving the general baseline path, not
+    just the DC-only corpus shape. No Spark needed: pure codec test."""
+    import numpy as np
+
+    from etl_documentos_spark.sources import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    x = np.arange(8)
+    basis = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    basis[0] /= np.sqrt(2.0)
+    zz = np.array(mm._JPEG_ZIGZAG)
+    for _ in range(25):
+        bw, bh = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+        blocks, ref = [], np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64, dtype=np.int64)
+                blk[0] = int(rng.integers(-1016, 1017))
+                # force a ZRL case sometimes: lone coefficient at k>=32
+                for k in rng.choice(
+                    np.arange(1, 64),
+                    size=int(rng.integers(0, 5)),
+                    replace=False,
+                ):
+                    blk[k] = int(rng.integers(-200, 201)) or 1
+                blocks.append(blk.tolist())
+                fb = np.zeros(64)
+                fb[zz] = blk
+                sp = basis.T @ fb.reshape(8, 8) @ basis + 128.0
+                ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                    np.rint(sp), 0, 255
+                ).astype(np.int64)
+        data = mm._encode_baseline_jpeg(blocks, bw, bh, 8 * bw, 8 * bh)
+        w, h, prec, ncomp, s = mm._decode_baseline_jpeg(data)
+        assert (w, h) == (8 * bw, 8 * bh)
+        assert s == int(ref.sum())
