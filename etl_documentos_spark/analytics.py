@@ -181,3 +181,49 @@ def word_frequencies(
         .orderBy(F.col("n").desc(), F.col("word"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 4,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the classic relevance ranking a
+    training-data pipeline uses for keyword tagging and topical filtering
+    (reference keyword surface: text_utils.py:216-275).
+
+    score = tf * ln(N / df) with df computed from the per-(doc, term)
+    aggregate (already distinct, so no second distinct pass). Plan shape
+    at scale: one narrow explode, a (doc, term) hash aggregate, a
+    vocabulary-keyed aggregate + join (AQE broadcasts it when the
+    vocabulary is small; shuffles on the term key otherwise — both sides
+    are post-aggregation, far smaller than the corpus), and a per-doc
+    window for the top-k. Ties break on the term string, so output is
+    deterministic."""
+    from etl_documentos_spark.functions.text import words
+
+    n_docs = df.count()  # single scalar; the scan is column-pruned to ids
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("term")
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "score")
+    )

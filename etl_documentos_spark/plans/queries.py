@@ -1212,6 +1212,33 @@ _PNG_SQL = """
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf (deterministic term tiebreak)."""
+    return analytics.tfidf_top_terms(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, min_len=4
+    )
+
+
+_TFIDF_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    t AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE len(term) >= 4 GROUP BY 1, 2),
+    d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (
+      SELECT t.doc_id, t.term, t.tf,
+             CAST(t.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / d.df) AS score
+      FROM t JOIN d USING (term) CROSS JOIN n),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM s)
+    SELECT doc_id, term, tf, score FROM r WHERE rk <= 3
+"""
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode end-to-end, stdlib+numpy only: synthesize
     spec-valid JFIF streams (DQT/SOF0/DHT/SOS + Huffman entropy data) whose
@@ -1946,7 +1973,6 @@ QUERIES: dict[str, Query] = {
     "conversation_timeline": q_conversation_timeline,
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
-    "tpch_q1": q_tpch_q1,
     "top_event_types": q_top_event_types,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
@@ -1981,7 +2007,9 @@ QUERIES: dict[str, Query] = {
     "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
     "jpeg_decode": q_jpeg_decode,
+    "tfidf_top_terms": q_tfidf_top_terms,
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
+    "tpch_q1": q_tpch_q1,
     "dashboard_counts": q_dashboard_counts,
     "usage_report": q_usage_report,
     "tpch_q6": q_tpch_q6,
@@ -2107,6 +2135,7 @@ ORACLES: dict[str, str] = {
     "bmp_decode": _BMP_SQL,
     "wav_decode": _WAV_SQL,
     "jpeg_decode": _JPEG_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
     "near_dup_embedding": _NEAR_DUP_EMB_SQL,
