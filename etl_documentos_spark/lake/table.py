@@ -941,6 +941,15 @@ class LakeTable:
 
         with self._process_commit_lock():
             self._refresh()
+            if self.num_buckets != n or bucket in self.split_buckets:
+                # a concurrent rebucket (or a duplicate split of the same
+                # bucket) re-keyed the table while our rewrite ran: our
+                # staged files use a stale transform — abandon them
+                raise SpecConflictError(
+                    f"spec changed during split of bucket {bucket}: "
+                    f"base {n} -> {self.num_buckets}, "
+                    f"splits now {self.split_buckets}"
+                )
             current = list(self.current_snapshot.files.get(str(bucket), []))
             survivors = [f for f in current if f not in expected]
             if survivors:

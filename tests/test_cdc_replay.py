@@ -791,3 +791,43 @@ def test_lineage_idempotent_under_crash_replay(
     assert (
         met.groupBy("epoch_id").count().filter("count > 1").count() == 0
     ), "duplicate metrics rows after crash replay"
+
+
+def test_split_bucket_conflicts_with_concurrent_respec(spark, tmp_path):
+    """A split whose lock-free rewrite raced a rebucket (or a duplicate
+    split of the same bucket) must abort with SpecConflictError instead of
+    committing files keyed under the stale transform — an unsplit old-spec
+    file would hide its b+N rows from pruned scans forever."""
+    import datetime
+
+    from etl_documentos_spark.lake.table import SpecConflictError
+    from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+    T0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("insert", f"c{j}", 0, "user", f"t{j}", None,
+         T0 + datetime.timedelta(seconds=j), j + 1, 0)
+        for j in range(200)
+    ]
+    table_root = str(tmp_path / "t")
+    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=4)
+    table = LakeTable.load(table_root)
+    table.append_direct(spark.createDataFrame(rows, CHANGE_EVENTS))
+
+    # duplicate split: a second handle splits the same bucket first
+    loser, winner = LakeTable.load(table_root), LakeTable.load(table_root)
+    winner.split_bucket(spark, 2)
+    with pytest.raises((SpecConflictError, ValueError)):
+        loser.split_bucket(spark, 2)
+
+    # rebucket racing a split of another bucket: the split handle staged
+    # against base 4, the rebucket re-keys everything to base 8
+    loser = LakeTable.load(table_root)
+    # simulate the race by rebucketing between the loser's load and split
+    fresh = LakeTable.load(table_root)
+    fresh.rebucket(spark, 8)
+    with pytest.raises((SpecConflictError, ValueError)):
+        loser.split_bucket(spark, 1)
+
+    # table remains readable and complete after both aborted admin ops
+    assert LakeTable.load(table_root).scan(spark).count() == 200
