@@ -217,6 +217,53 @@ def _proc_stat() -> list[int]:
         return list(map(int, f.readline().split()[1:9]))
 
 
+def _corun_iters(cpus: list[int], secs: float = 0.25) -> float:
+    """Aggregate busy-loop iterations of one pinned counter process per
+    cpu, co-running. Used to probe SMT sibling topology (see _pick_cores)."""
+    script = (
+        "import time\nn=0\nt=time.perf_counter()\n"
+        f"while time.perf_counter()-t<{secs}: n+=1\nprint(n)"
+    )
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(c), sys.executable, "-c", script],
+            stdout=subprocess.PIPE,
+        )
+        for c in cpus
+    ]
+    return sum(float(p.communicate()[0]) for p in procs)
+
+
+def _pick_cores(n: int) -> list[int]:
+    """Choose ``n`` guest CPUs that are (measurably) distinct PHYSICAL
+    cores right now.
+
+    The guest sees 32 flat vCPUs (lscpu shows no sibling info) over ~16
+    physical cores, and the hypervisor's vCPU->pCPU mapping is
+    NON-STATIONARY: in some windows taskset 0-3 lands on 2 physical cores
+    (SMT sibling pairs adjacent), in others on 4 (siblings strided 0/16) —
+    observed as a uniform ~1.8x slowdown of every fleet[4x1] worker while
+    fleet[1x1] ran fastest-ever in the same sweep. A real cluster's
+    scheduler gives each executor distinct cores, so the bench probes the
+    CURRENT mapping with a ~1 s pairwise co-run test (sibling pairs share
+    a core -> combined busy-loop throughput collapses vs distinct cores)
+    and pins executors accordingly. Falls back to 0..n-1 when the probe is
+    inconclusive or n needs more cores than the distinct set offers."""
+    if n > 16:
+        return list(range(n))  # beyond physical cores — SMT is the point
+    base = _corun_iters([0]) + _corun_iters([1])
+    adj = _corun_iters([0, 1])
+    strided = _corun_iters([0, 16])
+    # sibling pair: co-run total well below the two solo runs combined
+    if adj < 0.75 * base and adj < 0.85 * strided:
+        cores = list(range(0, 2 * n, 2))  # even vCPUs = distinct cores
+    elif strided < 0.75 * base and strided < 0.85 * adj:
+        cores = list(range(n))  # 0..15 distinct under 0/16-sibling map
+    else:
+        cores = list(range(n))  # probe inconclusive (or no SMT pressure)
+    return cores
+
+
 def _tree_cpu() -> dict[str, float]:
     """Cumulative CPU seconds by process name over this process's tree
     (self + live descendants): splits a worker's CPU between the JVM
@@ -451,11 +498,15 @@ def run_cdc_fleet(
     warm_args = (
         ["--barrier-dir", base] if warm else ["--no-warmup"]
     )
+    # probe the CURRENT vCPU->physical mapping and pin each executor to
+    # measured-distinct cores (worker i gets cpu_ids[i*cores:(i+1)*cores])
+    cpu_ids = _pick_cores(k * cores)
     s0 = _proc_stat()
     t0 = time.monotonic()
     procs = [
         subprocess.Popen(
-            ["taskset", "-c", f"{i * cores}-{(i + 1) * cores - 1}",
+            ["taskset", "-c",
+             ",".join(str(c) for c in cpu_ids[i * cores:(i + 1) * cores]),
              sys.executable, os.path.abspath(__file__), "--cdc-worker",
              "--bulk", "--master", f"local[{cores}]", *warm_args,
              "--epoch-mod", str(k), "--epoch-rem", str(i), "--file-shard",
@@ -509,6 +560,7 @@ def run_cdc_fleet(
         "host_steal_frac": round(d[7] / total, 3),
         "host_idle_frac": round(d[3] / total, 3),
         "worker_secs": worker_secs,
+        "cpu_ids": cpu_ids,
         "commit": _git_commit(),
     }
     shutil.rmtree(base, ignore_errors=True)
