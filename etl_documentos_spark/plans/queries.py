@@ -1239,6 +1239,76 @@ _TFIDF_SQL = f"""
 """
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode end-to-end, stdlib-only: synthesize
+    spec-valid GIF89a files (grayscale GCT, per-frame GCE delays, genuine
+    LZW-compressed rasters), then parse them back with the full block-walk
+    + LZW decoder. LZW is lossless, so the oracle predicts dimensions,
+    frame count, and the exact pixel sum across all frames from the
+    generation rule pixel(x,y,f) = (id+x+y+7f) % 256. No stub anywhere."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_gif_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_gif(d)
+
+
+_GIF_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             8 + doc_id % 16 AS w,
+             8 + doc_id % 8 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(list_sum(list_transform(
+                   generate_series(0, nf * w * h - 1),
+                   j -> (doc_id + (j % (w * h)) % w + (j % (w * h)) // w
+                         + 7 * (j // (w * h))) % 256))
+                AS BIGINT) AS sum_pixels
+    FROM g
+"""
+
+
+def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling (upgrades the byte-slice stub):
+    decode the animated GIF, take 2 evenly spaced frames, emit each frame's
+    presentation timestamp (cumulative GCE delays) and exact pixel sum —
+    all recomputed in closed form by the oracle."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_gif_payload(load(spark, sf_dir, "documents"))
+    return multimodal.sample_gif_frames(d, n_samples=2)
+
+
+_GIF_FRAME_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             8 + doc_id % 16 AS w,
+             8 + doc_id % 8 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents),
+    s AS (SELECT doc_id, w, h, nf, unnest(range(2)) AS k FROM g),
+    f AS (SELECT doc_id, w, h, k,
+                 CAST((k * nf) // 2 AS INT) AS fi
+          FROM s)
+    SELECT doc_id,
+           CAST(k AS INT) AS sample_idx,
+           fi AS frame_idx,
+           CAST(10 * coalesce(list_sum(list_transform(
+                   range(CAST(fi AS BIGINT)),
+                   gg -> (doc_id + gg) % 10 + 1)), 0)
+                AS BIGINT) AS frame_ts_ms,
+           CAST(list_sum(list_transform(
+                   generate_series(0, w * h - 1),
+                   i -> (doc_id + i % w + i // w + 7 * fi) % 256))
+                AS BIGINT) AS frame_sum
+    FROM f
+"""
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode end-to-end, stdlib+numpy only: synthesize
     spec-valid JFIF streams (DQT/SOF0/DHT/SOS + Huffman entropy data) whose
@@ -1973,10 +2043,10 @@ QUERIES: dict[str, Query] = {
     "conversation_timeline": q_conversation_timeline,
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
-    "top_event_types": q_top_event_types,
+    "gif_decode": q_gif_decode,
+    "gif_frame_sample": q_gif_frame_sample,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
-    "events_by_nation": q_events_by_nation,
     "priority_merge": q_priority_merge,
     "word_freq": q_word_freq,
     "token_counts": q_token_counts,
@@ -2009,6 +2079,8 @@ QUERIES: dict[str, Query] = {
     "jpeg_decode": q_jpeg_decode,
     "tfidf_top_terms": q_tfidf_top_terms,
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
+    "top_event_types": q_top_event_types,
+    "events_by_nation": q_events_by_nation,
     "tpch_q1": q_tpch_q1,
     "dashboard_counts": q_dashboard_counts,
     "usage_report": q_usage_report,
@@ -2123,6 +2195,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh": _ANN_LSH_SQL,
     "ann_lsh_multiprobe": _ANN_LSH_MP_SQL,
     "png_decode": _PNG_SQL,
+    "gif_decode": _GIF_SQL,
+    "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,
     "cnpj_validation": _CNPJ_SQL,
     "quality_fallback": _QUALITY_FALLBACK_SQL,

@@ -10,15 +10,21 @@ resize / frame-sampling as Arrow-batched pandas functions over
 
 Decoder reality, by format:
 
-- **BMP, WAV, PNG and baseline JPEG are decoded for REAL** (``decode_bmp``
-  / ``decode_wav`` / ``decode_png`` / ``decode_jpeg``): uncompressed BMP is
-  a fixed little-endian header + raster (numpy parses it stride/padding-
-  aware), WAV ships with stdlib ``wave``, PNG is a chunk walk + zlib
-  inflate + full five-filter un-filtering, and JPEG is a complete baseline
-  decode (DHT-driven canonical Huffman, DC-diff + AC run/size entropy
-  decode, dequant, 2-D IDCT). Each has a synthesizer
-  (``synth_*_payload``) producing bit-valid payloads whose decoded values
-  a SQL oracle predicts in closed form.
+- **BMP, WAV, PNG, baseline JPEG and animated GIF are decoded for REAL**
+  (``decode_bmp`` / ``decode_wav`` / ``decode_png`` / ``decode_jpeg`` /
+  ``decode_gif``): uncompressed BMP is a fixed little-endian header +
+  raster (numpy parses it stride/padding-aware), WAV ships with stdlib
+  ``wave``, PNG is a chunk walk + zlib inflate + full five-filter
+  un-filtering, JPEG is a complete baseline decode (DHT-driven canonical
+  Huffman, DC-diff + AC run/size entropy decode, dequant, 2-D IDCT), and
+  GIF is a full block-stream walk with a from-scratch GIF-variant LZW
+  codec (variable code width, CLEAR/EOI, cScSc case). Each has a
+  synthesizer (``synth_*_payload``) producing bit-valid payloads whose
+  decoded values a SQL oracle predicts in closed form.
+- **Frame sampling is REAL via animated GIF** (``sample_gif_frames``):
+  multi-frame decode with genuine per-frame presentation timestamps from
+  the GCE delays. The original byte-slice ``sample_frames`` stub is kept
+  for the generic-binary (non-GIF) path.
 - WebP/video decode libraries are not in this container, so
   ``decode_images`` uses PIL when importable and otherwise a clearly-marked
   deterministic fake. The Spark-side plumbing — schema, batch iteration,
@@ -847,3 +853,334 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF89a: animated multi-frame codec (stdlib-only — real LZW both ways).
+# This is the REAL frame-sampling path: each payload is a spec-valid
+# animated GIF whose frames carry genuine per-frame timing (GCE delays),
+# so "sample N frames with timestamps" below is an actual media decode,
+# not a byte-slice stub. Reference analogue: the multi-format byte
+# ingestion at /root/reference/app/providers/docling_provider.py:80-317.
+# ---------------------------------------------------------------------------
+
+GIF_META_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, sum_pixels long"
+)
+
+#: output schema of REAL GIF frame sampling (one row per sampled frame)
+GIF_FRAME_SCHEMA = (
+    "doc_id long, sample_idx int, frame_idx int, frame_ts_ms long, "
+    "frame_sum long"
+)
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress (GIF89a spec Appendix F): variable code
+    width starting at min_code_size+1, LSB-first bit packing, CLEAR emitted
+    first and again whenever the string table fills at 4096 codes.
+
+    Width bookkeeping mirrors the decoder exactly: the decoder's table runs
+    one entry behind the encoder's (its first post-CLEAR code adds nothing),
+    so the encoder bumps width at next_code == 2^width + 1 where the decoder
+    bumps at next_code == 2^width — both sides then agree on the width of
+    every code in the stream.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    put(clear, width)
+    s = b""
+    for ch in data:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        put(table[s], width)
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset so the decoder's table tracks ours
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = bytes([ch])
+    if s:
+        put(table[s], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompress: canonical string-table algorithm with
+    the cScSc special case (code == next_code), CLEAR/EOI handling, width
+    bump at next_code == 2^width, and deferred-clear tolerance (a full
+    table simply stops growing until a CLEAR arrives)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = bytearray()
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    next_code = eoi + 1
+    while True:
+        code = get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:  # first code after CLEAR: must be a literal
+            if code >= clear:
+                raise ValueError(f"bad first LZW code {code}")
+            out += table[code]
+            prev = table[code]
+            continue
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code:  # cScSc: entry being defined right now
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} ahead of table {next_code}")
+        out += entry
+        if next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Split into GIF data sub-blocks (<=255 bytes each) + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        part = data[i:i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_frame_rule(i: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of the synthetic corpus for doc id ``i``.
+    pixel(x, y, f) = (i + x + y + 7*f) % 256; frame f's GCE delay is
+    ((i + f) % 10 + 1) centiseconds."""
+    return 8 + i % 16, 8 + i % 8, 2 + i % 4
+
+
+def _encode_gif(i: int) -> bytes:
+    """Spec-valid animated GIF89a for doc id ``i`` (see _gif_frame_rule):
+    256-entry grayscale global color table, one GCE (with a real delay) +
+    image descriptor + LZW raster per frame, trailer."""
+    import struct
+
+    w, h, nf = _gif_frame_rule(i)
+    out = bytearray(b"GIF89a")
+    # logical screen: GCT present, 8 bits/channel, 2^8 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for c in range(256):  # grayscale GCT
+        out += bytes((c, c, c))
+    for f in range(nf):
+        delay_cs = (i + f) % 10 + 1
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        px = bytes(
+            (i + x + y + 7 * f) % 256 for y in range(h) for x in range(w)
+        )
+        out.append(8)  # LZW minimum code size
+        out += _sub_blocks(_lzw_encode(px, 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """Parse a GIF87a/89a byte stream: returns (width, height,
+    [(delay_ms, frame_pixel_sum), ...]) — a full walk of the block
+    structure with real LZW decompression and color-table lookup (pixel
+    value = red channel of the palette entry; the corpus GCT is grayscale
+    so this is the luminance)."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames: list[tuple[int, int]] = []
+    delay_ms = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control: carries the frame delay
+                size = data[pos]
+                body = data[pos + 1:pos + 1 + size]
+                (delay_cs,) = struct.unpack("<H", body[1:3])
+                delay_ms = delay_cs * 10
+                pos += 1 + size
+            # skip (remaining) sub-blocks of any extension
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, fw, fh, ipacked = struct.unpack(
+                "<HHHHB", data[pos:pos + 9]
+            )
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    data[pos:pos + 3 * n], np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                size = data[pos]
+                lzw += data[pos + 1:pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(lzw), mcs), np.uint8)
+            if len(idx) != fw * fh:
+                raise ValueError(
+                    f"decoded {len(idx)} pixels for a {fw}x{fh} frame"
+                )
+            frames.append(
+                (delay_ms, int(ct[idx, 0].astype("int64").sum()))
+            )
+            delay_ms = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    return w, h, frames
+
+
+def synth_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (spec-valid) animated GIF89a per row, stdlib-only.
+    See ``_gif_frame_rule`` for the deterministic pixel/delay rule the SQL
+    oracle predicts in closed form. LZW is lossless, so the full
+    encode -> file -> decode chain is bit-exact."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return pd.Series([_encode_gif(int(i)) for i in ids])
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def decode_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL animated-GIF decode over mapInPandas: block-stream walk, LZW
+    decompression, palette lookup; emits dimensions, frame count, and the
+    exact integer pixel sum across all frames. No stub in this path."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                w, h, frames = _decode_gif(bytes(data))
+                rows.append(
+                    (doc_id, w, h, len(frames),
+                     sum(s for _, s in frames))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_frames",
+                         "sum_pixels"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, GIF_META_SCHEMA)
+
+
+def sample_gif_frames(
+    df: DataFrame, n_samples: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL video-style frame sampling: decode the animated GIF, take
+    ``n_samples`` evenly spaced frames (frame index ``(k * n_frames) //
+    n_samples``), and emit each frame's presentation timestamp (cumulative
+    GCE delays, in ms) plus its exact pixel sum. This upgrades the
+    byte-slice ``sample_frames`` stub to an actual media decode — the
+    contract (explode to one row per sampled frame, deterministic
+    timestamps, per-frame content digest) is unchanged."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                _w, _h, frames = _decode_gif(bytes(data))
+                ts = 0
+                starts = []
+                for delay_ms, _ in frames:
+                    starts.append(ts)
+                    ts += delay_ms
+                for k in range(n_samples):
+                    fi = (k * len(frames)) // n_samples
+                    rows.append(
+                        (doc_id, k, fi, starts[fi], frames[fi][1])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_idx", "frame_idx",
+                         "frame_ts_ms", "frame_sum"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(sample, GIF_FRAME_SCHEMA)

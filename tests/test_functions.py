@@ -529,3 +529,81 @@ def test_jpeg_decoder_handles_ac_runs():
         w, h, prec, ncomp, s = mm._decode_baseline_jpeg(data)
         assert (w, h) == (8 * bw, 8 * bh)
         assert s == int(ref.sum())
+
+
+def test_lzw_roundtrip_width_growth_and_table_full():
+    """GIF-variant LZW: decode(encode(x)) == x across data that (a) is
+    random/incompressible, (b) is repetitive enough to grow the code width
+    to 12 bits and overflow the 4096-entry table (forcing a mid-stream
+    CLEAR), and (c) hits the cScSc special case; both small and 8-bit
+    minimum code sizes."""
+    import random
+
+    from etl_documentos_spark.sources.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rnd = random.Random(11)
+    cases = [
+        b"",
+        b"\x00",
+        b"ababababab",  # cScSc territory
+        bytes(rnd.randrange(256) for _ in range(20_000)),
+        bytes(rnd.randrange(4) for _ in range(60_000)),  # table overflow
+        bytes(range(256)) * 40,
+    ]
+    for mcs in (2, 8):
+        for data in cases:
+            if mcs == 2:
+                data = bytes(b % 4 for b in data)
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    # repetitive input must actually compress (real LZW, not literal codes)
+    rep = b"abcabcabc" * 1000
+    assert len(_lzw_encode(rep, 8)) < len(rep) // 4
+
+
+def test_gif_animated_roundtrip_and_frame_sampling(spark):
+    """synth_gif_payload -> decode_gif / sample_gif_frames reproduce the
+    generation rule: per-frame pixel sums, frame counts, and presentation
+    timestamps accumulated from the per-frame GCE delays. Payloads are
+    spec-valid GIF89a (signature, screen descriptor, trailer)."""
+    import struct
+
+    from etl_documentos_spark.sources import multimodal
+
+    ids = [0, 1, 3, 7, 12, 123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    with_gif = multimodal.synth_gif_payload(df)
+
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in with_gif.collect()}
+    for i, data in payloads.items():
+        assert data[:6] == b"GIF89a" and data[-1] == 0x3B
+        w, h = struct.unpack("<HH", data[6:10])
+        assert (w, h) == (8 + i % 16, 8 + i % 8)
+
+    decoded = {r["doc_id"]: r for r in multimodal.decode_gif(with_gif).collect()}
+    for i in ids:
+        w, h, nf = 8 + i % 16, 8 + i % 8, 2 + i % 4
+        want = sum(
+            (i + x + y + 7 * f) % 256
+            for f in range(nf) for y in range(h) for x in range(w)
+        )
+        r = decoded[i]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert r["sum_pixels"] == want, i
+
+    sampled = multimodal.sample_gif_frames(with_gif, n_samples=2).collect()
+    assert len(sampled) == 2 * len(ids)
+    for r in sampled:
+        i = r["doc_id"]
+        nf = 2 + i % 4
+        fi = (r["sample_idx"] * nf) // 2
+        assert r["frame_idx"] == fi
+        assert r["frame_ts_ms"] == 10 * sum(
+            (i + g) % 10 + 1 for g in range(fi)
+        )
+        w, h = 8 + i % 16, 8 + i % 8
+        assert r["frame_sum"] == sum(
+            (i + x + y + 7 * fi) % 256 for y in range(h) for x in range(w)
+        )
