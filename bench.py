@@ -600,10 +600,16 @@ def run_default(sf_dir: str, cpus: int) -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # best-of-2 per query: same steal-burst defense as the replays
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            if best is None or dt < best:
+                best = dt
+        timings[name] = round(best, 3)
 
     # CDC replay throughput at the same parallelism: the streaming-tail
     # shape (per-epoch micro-batches, pipelined) AND the backfill shape
@@ -616,20 +622,29 @@ def run_default(sf_dir: str, cpus: int) -> None:
     events = _ensure_events(spark)
 
     def best_replay(bulk: bool) -> dict:
-        # best-of-2: the host is KVM time-shared and a single run can land
-        # in a steal burst (identical replays vary up to 2x — see the
-        # ladder methodology in BENCH/BASELINE.md); two runs cost ~10s and
-        # make the recorded number reflect the engine, not the co-tenant
-        best = None
-        for _ in range(2):
+        # Adaptive best-of: the host is KVM time-shared and a single run
+        # can land in a steal burst (identical replays vary up to 2x — see
+        # the ladder methodology in BENCH/BASELINE.md). Take at least 2
+        # runs; keep retrying (max 4) while the fastest run still looks
+        # contaminated (host steal > 5% during its window) or the two
+        # fastest disagree by > 15%. The recorded number is the best run —
+        # i.e. the cleanest window the round offered — so it reflects the
+        # engine, not the co-tenant.
+        runs: list[dict] = []
+        for i in range(4):
             workdir = tempfile.mkdtemp(prefix="cdc_bench_")
             try:
-                r = _replay(spark, events, workdir, bulk=bulk)
+                runs.append(_replay(spark, events, workdir, bulk=bulk))
             finally:
                 shutil.rmtree(workdir, ignore_errors=True)
-            if best is None or r["seconds"] < best["seconds"]:
-                best = r
-        return best
+            if i >= 1:
+                secs = sorted(r["seconds"] for r in runs)
+                best = min(runs, key=lambda r: r["seconds"])
+                clean = best.get("host_steal_frac", 1.0) <= 0.05
+                stable = secs[1] / max(secs[0], 1e-9) <= 1.15
+                if clean and stable:
+                    break
+        return min(runs, key=lambda r: r["seconds"])
 
     cdc = best_replay(bulk=False)
     cdc_bulk = best_replay(bulk=True)

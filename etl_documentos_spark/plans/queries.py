@@ -134,6 +134,95 @@ def q_cdc_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end additive schema evolution through the real lake machinery.
+
+    Tranche 1 (lsn below a 60%-of-max watermark) arrives with the narrow v1
+    change schema and is MERGEd into a fresh bucketed LakeTable; tranche 2
+    arrives carrying a new nullable ``tool_tag`` column, so
+    ``evolve_if_needed`` ADDs it metadata-only (no data-file rewrite) before
+    its merge. The final ``read_current`` state therefore shows NULL
+    ``tool_tag`` wherever the LWW winner predates the evolution — exactly
+    the single global-SQL reduction the oracle computes.
+
+    The final state is bounded (at most 50 convs x 20 turns at any SF), so
+    it is re-materialized as a local DataFrame and the temp table removed —
+    the returned plan does not depend on the scratch directory's lifetime.
+
+    Reference parity: additive field evolution resolved by Alembic
+    autogenerate (/root/reference/app/database/migrations.py:49-107) over
+    the tracked required-vs-extracted field diff
+    (/root/reference/app/core/document_tracking.py:127-137).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.evolve import evolve_if_needed
+    from etl_documentos_spark.operators.merge import (
+        merge_into,
+        physical_schema,
+        read_current,
+    )
+
+    ch = _derive_changes(spark, sf_dir)
+    # scalar watermark splitting the stream into pre-/post-evolution tranches
+    thr = int(ch.agg(F.max("lsn")).first()[0]) * 3 // 5
+    # v1 table schema = the narrow slice of the change shape (types taken
+    # from the stream so parquet timestamp flavors round-trip exactly)
+    ch_types = {f.name: f.dataType for f in ch.schema.fields}
+    narrow = T.StructType(
+        [
+            T.StructField(c, ch_types[c], c not in ("conv_id", "turn_idx"))
+            for c in ("conv_id", "turn_idx", "role", "text", "ts")
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="evolve_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/transcripts", physical_schema(narrow), num_buckets=8
+        )
+        merge_into(spark, table, ch.filter(F.col("lsn") < thr))
+        files_before = dict(table.current_snapshot.files)
+        wide = ch.filter(F.col("lsn") >= thr).withColumn(
+            "tool_tag",
+            F.when(
+                F.col("lsn") % 7 == 0,
+                F.concat(F.lit("tool_"), (F.col("lsn") % 5).cast("string")),
+            ),
+        )
+        added = evolve_if_needed(wide, table)
+        if added != ["tool_tag"]:
+            raise RuntimeError(f"expected additive tool_tag evolution, got {added}")
+        # the ADD COLUMNS snapshot must not have rewritten any data file
+        if table.current_snapshot.files != files_before:
+            raise RuntimeError("schema evolution rewrote data files")
+        merge_into(spark, table, wide)
+        cur = read_current(spark, table)
+        return spark.createDataFrame(cur.collect(), cur.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SCHEMA_EVOLUTION_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    t AS (SELECT (max(lsn) * 3) // 5 AS thr FROM ch),
+    wide AS (
+      SELECT ch.*,
+             CASE WHEN lsn >= t.thr AND lsn % 7 = 0
+                  THEN 'tool_' || CAST(lsn % 5 AS VARCHAR) END AS tool_tag
+      FROM ch, t),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM wide)
+    SELECT conv_id, turn_idx, role, text, ts, tool_tag
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 # ---------------------------------------------------------------------------
 # analytics family (SURVEY §2.4-§2.6, §3.2-§3.3)
 # ---------------------------------------------------------------------------
@@ -857,6 +946,39 @@ _ANN_IVF_SQL = """
     SELECT vec_id, round(s, 4) AS cosine_sim
     FROM scored ORDER BY s DESC, vec_id LIMIT 10
 """
+
+
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN (SURVEY §2.1 S11 vector-store sink): build the
+    list-partitioned parquet index, reload it from disk, probe one list
+    through a partition-pruned scan — same result contract (and oracle) as
+    the in-memory ``ann_ivf``, but the probe never opens unprobed lists'
+    files. Top-k rows are re-materialized locally so the scratch index can
+    be removed.
+
+    Reference parity: FAISS store persisted + reloaded per document type
+    (/root/reference/app/services/vector_service.py:75-228)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.vector_index import IvfVectorIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id IN (1,2,3,4)").orderBy("vec_id").collect()
+    ]
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    root = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        IvfVectorIndex.build(
+            spark, emb.filter("vec_id <> 0"), f"{root}/ivf", centroids=cents
+        )
+        idx = IvfVectorIndex.load(spark, f"{root}/ivf")
+        res = idx.search(spark, qvec, k=10, n_probe=1)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,6 +2154,7 @@ QUERIES: dict[str, Query] = {
     "cdc_lww_window": q_cdc_lww_window,
     "cdc_offsets": q_cdc_offsets,
     "cdc_epoch_stats": q_cdc_epoch_stats,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2045,8 +2168,6 @@ QUERIES: dict[str, Query] = {
     "asof_join": q_asof_join,
     "gif_decode": q_gif_decode,
     "gif_frame_sample": q_gif_frame_sample,
-    "sessionize": q_sessionize,
-    "rate_limit_violations": q_rate_limit_violations,
     "priority_merge": q_priority_merge,
     "word_freq": q_word_freq,
     "token_counts": q_token_counts,
@@ -2071,6 +2192,7 @@ QUERIES: dict[str, Query] = {
     "session_windows": q_session_windows,
     "near_dup_shingles": q_near_dup_shingles,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
     "near_dup_embedding_lsh": q_near_dup_embedding_lsh,
     "salted_rollup": q_salted_rollup,
     "bmp_decode": q_bmp_decode,
@@ -2079,6 +2201,8 @@ QUERIES: dict[str, Query] = {
     "jpeg_decode": q_jpeg_decode,
     "tfidf_top_terms": q_tfidf_top_terms,
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
+    "sessionize": q_sessionize,
+    "rate_limit_violations": q_rate_limit_violations,
     "top_event_types": q_top_event_types,
     "events_by_nation": q_events_by_nation,
     "tpch_q1": q_tpch_q1,
@@ -2124,6 +2248,7 @@ ORACLES: dict[str, str] = {
                count(DISTINCT conv_id) AS conv_ids_touched
         FROM ch GROUP BY 1
     """,
+    "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
@@ -2204,6 +2329,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _WINNOW_SQL,
     "near_dup_shingles": _NEAR_DUP_SHINGLE_SQL,
     "ann_ivf": _ANN_IVF_SQL,
+    "ann_ivf_persisted": _ANN_IVF_SQL,
     "near_dup_embedding_lsh": _NEAR_DUP_LSH_SQL,
     "salted_rollup": _SALTED_ROLLUP_SQL,
     "bmp_decode": _BMP_SQL,
