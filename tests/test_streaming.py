@@ -178,3 +178,74 @@ def test_watermarked_window_agg(spark, tmp_path):
     assert emitted  # something was emitted
     for k, v in emitted.items():
         assert full[k] == v  # every emitted window matches the batch truth
+
+
+def test_streaming_schema_evolution_across_restart(spark, tmp_path):
+    """Mid-stream additive evolution in the STREAMING path (the binlog-DDL
+    restart shape): a v1 tail is drained with the narrow schema, wider
+    epochs land, and the stream restarts over the SAME checkpoint with the
+    v2 reader schema. ``apply_epoch`` must ADD the new columns
+    metadata-only; the drained state equals the oracle including the
+    evolved columns (NULL for pre-evolution winners).
+
+    North-rule parity: "additive schema evolution ... propagated to the
+    table schema without rewrite" exercised end-to-end through
+    checkpointed Structured Streaming, not just batch replay."""
+    import os
+    import shutil
+
+    from etl_documentos_spark.schemas import CHANGE_EVENTS, CHANGE_EVENTS_V2
+    from etl_documentos_spark.streaming.stream import run_stream_until_drained
+
+    stream = datagen.change_stream(
+        spark, n_events=3000, n_convs=50, turns_per_conv=10,
+        events_per_epoch=1000, evolve_from_lsn=2000,
+    ).persist()
+    staging = str(tmp_path / "staging")
+    datagen.write_epochs(stream, staging, files_per_epoch=4)
+
+    live = str(tmp_path / "events")
+    os.makedirs(live)
+    for e in (0, 1):  # phase 1: v1 tranche (evolved cols all-null below 2000)
+        shutil.move(f"{staging}/epoch={e}", f"{live}/epoch={e}")
+
+    table_root = str(tmp_path / "transcripts")
+    LakeTable.create(table_root, physical_schema(TRANSCRIPTS), num_buckets=8)
+    pipeline = CdcPipeline(spark, table_root, str(tmp_path / "work"))
+    run_stream_until_drained(
+        pipeline, live, str(tmp_path / "ckpt"),
+        schema=CHANGE_EVENTS, max_files_per_trigger=4,
+    )
+    names_v1 = [f.name for f in pipeline.table.schema.fields]
+    assert "tool_call_id" not in names_v1
+    files_before = dict(pipeline.table.current_snapshot.files)
+
+    # phase 2: the wider tranche lands; restart with the v2 reader schema
+    shutil.move(f"{staging}/epoch=2", f"{live}/epoch=2")
+    pipeline2 = CdcPipeline(spark, table_root, str(tmp_path / "work"))
+    run_stream_until_drained(
+        pipeline2, live, str(tmp_path / "ckpt"),
+        schema=CHANGE_EVENTS_V2, max_files_per_trigger=4,
+    )
+    names_v2 = [f.name for f in pipeline2.table.schema.fields]
+    assert "tool_call_id" in names_v2 and "tool_latency_ms" in names_v2
+    # the ADD COLUMNS snapshot rewrote no pre-evolution data file
+    add_snap = next(
+        s for s in pipeline2.table.snapshots if s.operation == "add-columns"
+    )
+    for b, fs in files_before.items():
+        assert set(fs) <= set(add_snap.files.get(b, [])) or fs == add_snap.files.get(b)
+
+    got = [
+        r.asDict()
+        for r in read_current(spark, pipeline2.table)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+    want = oracle.reduce_events([r.asDict() for r in stream.collect()])
+    stream.unpersist()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["text"] == w["text"]
+        assert g.get("tool_call_id") == w.get("tool_call_id")
+    assert any(g["tool_call_id"] is not None for g in got)
