@@ -1116,7 +1116,8 @@ def run_scaling(
         "plus one tiny commit mutex.",
         "",
         f"Run: `python bench.py --scaling --levels "
-        f"{','.join(str(x) for x in levels)} --events {BENCH_EVENTS}` "
+        f"{','.join(str(x) for x in levels) or '2,8,32'} "
+        f"--events {BENCH_EVENTS}` "
         "(workers append to a jsonl; separate invocations accumulate "
         "into the same best-of evidence).",
     ]

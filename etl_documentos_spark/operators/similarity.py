@@ -361,3 +361,141 @@ def cosine_topk_pandas(
         .limit(k)
         .select(id_col, F.round("_sim", 4).alias("cosine_sim"))
     )
+
+
+def knn_vote(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote classification for a small batch of query vectors.
+
+    The query set rides into every task as one literal array of structs and
+    is EXPLODED against the corpus scan — a narrow flatMap, not a join, so
+    the plan is scan -> explode -> window(top-k per query) -> tiny vote agg.
+    At 10^9 corpus rows the cost is one pass regardless of |queries|
+    (bounded driver-side: queries are classification requests, not data).
+    Ties break deterministically: more votes first, then best (highest)
+    summed similarity, then smaller label.
+
+    Output: (query_id, predicted_label, votes) — one row per query.
+
+    Reference parity: adaptive vector-vote classification over FAISS
+    neighbors (/root/reference/app/services/classification_service.py —
+    similarity vote with threshold gates), the vote stage re-expressed as
+    window + aggregation.
+    """
+    from pyspark.sql import Window
+
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+            )
+            for qid, vec in queries
+        ]
+    )
+    v = _to_double(vec_col)
+    exploded = df.select(
+        F.col(id_col), F.col(label_col), v.alias("_v"), F.explode(qarr).alias("_q")
+    )
+    sim = cosine(F.col("_v"), F.col("_q.qv"))
+    scored = exploded.select(
+        F.col("_q.query_id").alias("query_id"),
+        F.col(id_col),
+        F.col(label_col),
+        sim.alias("_sim"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    topk = scored.withColumn("_rn", F.row_number().over(win)).filter(
+        F.col("_rn") <= k
+    )
+    # simsum tie-break rounded to 6 decimals: summation order must not flip
+    # the argmax between engines/partitionings
+    votes = topk.groupBy("query_id", label_col).agg(
+        F.count("*").alias("votes"), F.round(F.sum("_sim"), 6).alias("_simsum")
+    )
+    vwin = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_simsum").desc(), F.col(label_col)
+    )
+    return (
+        votes.withColumn("_vrn", F.row_number().over(vwin))
+        .filter(F.col("_vrn") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).cast("int").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label mean vector — the nearest-class-mean train step.
+
+    Declarative two-level aggregation: posexplode to (label, pos, x),
+    avg per (label, pos), re-assemble with array_sort+transform. At 10^9
+    rows this is one shuffle keyed by (label, pos) with map-side partial
+    aggregation — cardinality |labels| x dim, never data-sized. Centroid
+    components are rounded (``round_to``) so a downstream argmax is
+    reproducible across engines and summation orders.
+
+    Output: (label, centroid: array<double>).
+    """
+    v = _to_double(vec_col)
+    pos = df.select(
+        F.col(label_col).alias("label"), F.posexplode(v).alias("pos", "x")
+    )
+    m = pos.groupBy("label", "pos").agg(F.round(F.avg("x"), round_to).alias("m"))
+    return (
+        m.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            "label",
+            F.transform("_pm", lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def nearest_centroid(
+    queries_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "nc_label",
+) -> DataFrame:
+    """Nearest-class-mean classification against literal centroids.
+
+    Centroids are bounded by label cardinality (collected once, ridden into
+    the plan as literals — the `ivf_assign` shape with labels as list ids).
+    Ties break toward the smaller label. Output: (query_id, ``out_col``).
+    """
+    v = _to_double(vec_col)
+    nv = norm(v)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                    / (nv * F.lit(sum(float(x) ** 2 for x in c) ** 0.5))
+                ).alias("sim"),
+                F.lit(-int(lbl)).alias("rank"),
+                F.lit(int(lbl)).alias("lbl"),
+            )
+            for lbl, c in centroids
+        ]
+    )
+    return queries_df.select(
+        F.col(id_col).cast("int").alias("query_id"),
+        F.array_max(scored).getField("lbl").alias(out_col),
+    )

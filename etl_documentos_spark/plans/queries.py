@@ -981,6 +981,126 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_knn_vote_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification of 5 query vectors over the labeled
+    corpus — one corpus pass regardless of query count (explode, not join).
+
+    Reference parity: adaptive vector-vote classification
+    (/root/reference/app/services/classification_service.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 5").orderBy("vec_id").collect()
+    ]
+    return similarity.knn_vote(emb.filter("vec_id >= 5"), queries, k=10)
+
+
+_KNN_VOTE_SQL = """
+    WITH q AS (
+      SELECT CAST(vec_id AS INT) AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5),
+    v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id, v.label,
+             list_sum(list_transform(generate_series(1, len(vv)),
+                                     i -> vv[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(vv, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS s
+      FROM q, v),
+    topk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, vec_id) AS rn
+      FROM scored),
+    votes AS (
+      SELECT query_id, label, count(*) AS votes, round(sum(s), 6) AS simsum
+      FROM topk WHERE rn <= 10 GROUP BY query_id, label),
+    best AS (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, simsum DESC, label) AS vrn
+      FROM votes)
+    SELECT query_id, CAST(label AS INT) AS predicted_label, votes
+    FROM best WHERE vrn = 1
+"""
+
+
+def q_nearest_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification: per-label centroids trained as a
+    declarative two-level aggregation, the 5 query vectors assigned by
+    cosine argmax against the (label-cardinality-bounded) centroid set."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["label"]), [float(x) for x in r["centroid"]])
+        for r in similarity.label_centroids(emb.filter("vec_id >= 5"))
+        .orderBy("label")
+        .collect()
+    ]
+    return similarity.nearest_centroid(emb.filter("vec_id < 5"), cents)
+
+
+_NC_SQL = """
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+               FROM embeddings WHERE vec_id >= 5),
+    idx AS (SELECT unnest(generate_series(1, (SELECT max(len(vv)) FROM v)))
+                   AS i),
+    cent AS (SELECT label, i, round(avg(vv[i]), 6) AS m
+             FROM v, idx GROUP BY label, i),
+    cvec AS (SELECT label, list(m ORDER BY i) AS cv FROM cent GROUP BY label),
+    q AS (SELECT CAST(vec_id AS INT) AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.label,
+             list_sum(list_transform(generate_series(1, len(qv)),
+                                     i -> qv[i] * cv[i]))
+             / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS s
+      FROM q, cvec c),
+    best AS (SELECT query_id, label,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, label) AS rn
+             FROM scored)
+    SELECT query_id, CAST(label AS INT) AS nc_label FROM best WHERE rn = 1
+"""
+
+
+def q_adaptive_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's adaptive classification chain: a STRONG kNN vote
+    (>= 6 of 10 neighbors agree) wins; a weak vote falls back to the
+    nearest-class-centroid label — confidence-gated method selection with
+    the chosen method reported per row.
+
+    Reference parity: adaptive vector vote with threshold gates falling
+    back to secondary classifiers
+    (/root/reference/app/services/classification_service.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id >= 5")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 5").orderBy("vec_id").collect()
+    ]
+    vote = similarity.knn_vote(corpus, queries, k=10)
+    cents = [
+        (int(r["label"]), [float(x) for x in r["centroid"]])
+        for r in similarity.label_centroids(corpus).orderBy("label").collect()
+    ]
+    nc = similarity.nearest_centroid(emb.filter("vec_id < 5"), cents)
+    strong = F.col("votes") >= 6
+    return vote.join(nc, "query_id").select(
+        "query_id",
+        F.when(strong, F.col("predicted_label"))
+        .otherwise(F.col("nc_label"))
+        .alias("label_out"),
+        F.when(strong, F.lit("vector_vote"))
+        .otherwise(F.lit("centroid_fallback"))
+        .alias("method"),
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around the vec_id=0 embedding."""
     emb = load(spark, sf_dir, "embeddings")
@@ -2169,9 +2289,6 @@ QUERIES: dict[str, Query] = {
     "gif_decode": q_gif_decode,
     "gif_frame_sample": q_gif_frame_sample,
     "priority_merge": q_priority_merge,
-    "word_freq": q_word_freq,
-    "token_counts": q_token_counts,
-    "doc_fingerprints": q_doc_fingerprints,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "near_dup_jaccard": q_near_dup_jaccard,
@@ -2193,6 +2310,9 @@ QUERIES: dict[str, Query] = {
     "near_dup_shingles": q_near_dup_shingles,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_persisted": q_ann_ivf_persisted,
+    "knn_vote_classifier": q_knn_vote_classifier,
+    "nearest_centroid_classifier": q_nearest_centroid_classifier,
+    "adaptive_classifier": q_adaptive_classifier,
     "near_dup_embedding_lsh": q_near_dup_embedding_lsh,
     "salted_rollup": q_salted_rollup,
     "bmp_decode": q_bmp_decode,
@@ -2203,6 +2323,9 @@ QUERIES: dict[str, Query] = {
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
+    "word_freq": q_word_freq,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
     "top_event_types": q_top_event_types,
     "events_by_nation": q_events_by_nation,
     "tpch_q1": q_tpch_q1,
@@ -2330,6 +2453,17 @@ ORACLES: dict[str, str] = {
     "near_dup_shingles": _NEAR_DUP_SHINGLE_SQL,
     "ann_ivf": _ANN_IVF_SQL,
     "ann_ivf_persisted": _ANN_IVF_SQL,
+    "knn_vote_classifier": _KNN_VOTE_SQL,
+    "nearest_centroid_classifier": _NC_SQL,
+    "adaptive_classifier": f"""
+        WITH vote AS ({_KNN_VOTE_SQL}), nc AS ({_NC_SQL})
+        SELECT vote.query_id,
+               CASE WHEN vote.votes >= 6 THEN vote.predicted_label
+                    ELSE nc.nc_label END AS label_out,
+               CASE WHEN vote.votes >= 6 THEN 'vector_vote'
+                    ELSE 'centroid_fallback' END AS method
+        FROM vote JOIN nc USING (query_id)
+    """,
     "near_dup_embedding_lsh": _NEAR_DUP_LSH_SQL,
     "salted_rollup": _SALTED_ROLLUP_SQL,
     "bmp_decode": _BMP_SQL,
