@@ -187,3 +187,69 @@ class IvfVectorIndex:
         return similarity.cosine_topk(
             cand, query_vec, k, self.meta["vec_col"], self.meta["id_col"]
         )
+
+    def search_many(
+        self,
+        spark: SparkSession,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        n_probe: int = 1,
+    ) -> DataFrame:
+        """Batch search: ONE partition-pruned scan over the union of every
+        query's probed lists; each row is scored only against the queries
+        that probed its list (explode over a literal query array + an
+        array_contains guard — a narrow flatMap, never a join). The
+        per-query top-k is a window over the shrunken candidate set.
+
+        At 10^9 vectors and Q queries this reads
+        |union of probed lists| / n_lists of the corpus once, instead of Q
+        pruned scans — the batched lookup-service shape.
+
+        Output: (query_id, vec_id, cosine_sim) — k rows per query, ties on
+        id, similarity rounded to 4 decimals like ``cosine_topk``.
+        """
+        from pyspark.sql import Window
+
+        vec_col = self.meta["vec_col"]
+        id_col = self.meta["id_col"]
+        probes = {
+            int(qid): self.probe_order(vec)[: max(1, n_probe)]
+            for qid, vec in queries
+        }
+        union_lists = sorted({li for ls in probes.values() for li in ls})
+        qarr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(qid)).alias("query_id"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+                    F.array(
+                        *[F.lit(int(li)) for li in probes[int(qid)]]
+                    ).alias("lists"),
+                )
+                for qid, vec in queries
+            ]
+        )
+        lists = spark.read.parquet(os.path.join(self.root, _LISTS)).filter(
+            F.col("_list").isin(union_lists)
+        )
+        v = similarity._to_double(vec_col)
+        exploded = lists.select(
+            F.col(id_col), F.col("_list"), v.alias("_v"),
+            F.explode(qarr).alias("_q"),
+        ).filter(F.array_contains(F.col("_q.lists"), F.col("_list")))
+        sim = similarity.cosine(F.col("_v"), F.col("_q.qv"))
+        scored = exploded.select(
+            F.col("_q.query_id").alias("query_id"),
+            F.col(id_col),
+            sim.alias("_sim"),
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.col("_sim").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+            .select(
+                "query_id", id_col, F.round("_sim", 4).alias("cosine_sim")
+            )
+        )

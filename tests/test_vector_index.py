@@ -108,3 +108,30 @@ def test_derived_centroids_are_deterministic(spark, tmp_path):
     a = IvfVectorIndex.derive_centroids(emb, n_lists=4)
     b = IvfVectorIndex.derive_centroids(emb, n_lists=4)
     assert a == b and len(a) == 4
+
+
+def test_search_many_matches_per_query_search(spark, tmp_path):
+    """Batch search == per-query search, from ONE pruned scan; the union of
+    probed lists is still partition-pruned in the plan."""
+    emb = _corpus(spark)
+    corpus = emb.filter("vec_id >= 5")
+    idx = IvfVectorIndex.build(
+        spark, corpus, str(tmp_path / "ivf"), centroids=_centroids(emb)
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 3").orderBy("vec_id").collect()
+    ]
+    batch = idx.search_many(spark, queries, k=5, n_probe=2)
+    got = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"]) for r in batch.collect()
+    }
+    want = set()
+    for qid, vec in queries:
+        for r in idx.search(spark, vec, k=5, n_probe=2).collect():
+            want.add((qid, r["vec_id"], r["cosine_sim"]))
+    assert got == want and len(got) == 15
+
+    plan = inspect.physical_plan(batch)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and "_list" in pf[0], plan
