@@ -96,3 +96,64 @@ def test_commitlog_rollup_never_lies(tmp_path_factory, committed, keep_last, rou
         assert log.is_committed(e) == (e in committed), (e, committed, keep_last)
     if committed:
         assert log.max_offsets() == truth_offsets
+
+
+# ---------------------------------------------------------------------------
+# end-to-end merge + mid-stream evolution property (Spark + LakeTable)
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(change_streams(), st.integers(min_value=0, max_value=24))
+def test_merge_with_mid_stream_evolution_matches_oracle(
+    spark, tmp_path_factory, events, thr
+):
+    """Arbitrary stream split at an arbitrary lsn watermark; tranche 2
+    arrives with additive tool metadata -> evolve + merge. Final state must
+    equal the sequential oracle over the combined stream, including NULL
+    evolved columns for pre-evolution winners — for every adversarial
+    stream hypothesis finds (key collisions, equal ts, dup lsns, deletes)."""
+    import uuid
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.evolve import evolve_if_needed
+    from etl_documentos_spark.operators.merge import (
+        merge_into,
+        physical_schema,
+        read_current,
+    )
+    from etl_documentos_spark.schemas import CHANGE_EVENTS_V2, TRANSCRIPTS
+
+    root = str(tmp_path_factory.mktemp("ev") / uuid.uuid4().hex)
+    table = LakeTable.create(root, physical_schema(TRANSCRIPTS), num_buckets=4)
+    names = [f.name for f in CHANGE_EVENTS.fields]
+    rows = [dict(zip(names, e)) for e in events]
+    t1 = [r for r in rows if r["lsn"] < thr]
+    t2 = [
+        dict(
+            r,
+            tool_call_id=None if r["op"] == "delete" else f"tc{r['lsn']}",
+            tool_latency_ms=None,
+        )
+        for r in rows
+        if r["lsn"] >= thr
+    ]
+    if t1:
+        merge_into(spark, table, spark.createDataFrame(t1, CHANGE_EVENTS))
+    if t2:
+        wide = spark.createDataFrame(t2, CHANGE_EVENTS_V2)
+        evolve_if_needed(wide, table)
+        table = LakeTable.load(root)
+        merge_into(spark, table, wide)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r.asDict().get("tool_call_id"))
+        for r in read_current(spark, LakeTable.load(root)).collect()
+    }
+    want = {
+        (w["conv_id"], w["turn_idx"]): (w["text"], w.get("tool_call_id"))
+        for w in oracle.reduce_events(t1 + t2)
+    }
+    assert got == want
