@@ -53,6 +53,82 @@ class SpecConflictError(RuntimeError):
     Iceberg's optimistic-commit validation failure."""
 
 
+def _stat_json(v):
+    """Parquet footer statistic -> JSON-comparable scalar (str/int/float).
+
+    Timestamps become epoch MICROSECONDS (int) — tz-independent, totally
+    ordered, and round-trippable through json. Types without a portable
+    total order (bytes, decimals as objects) return None => no stat kept
+    for that column, so the file is simply never skipped on it.
+    """
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        epoch = datetime.datetime(1970, 1, 1)
+        return (v - epoch) // datetime.timedelta(microseconds=1)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    return None
+
+
+def collect_parquet_stats(
+    root: str, files: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols`` from parquet FOOTERS only.
+
+    The Iceberg manifest column-stats analogue (``lower_bounds`` /
+    ``upper_bounds`` per data file): each new file costs one ~KB footer
+    read, no data pages are touched. Called by the commit wrappers over
+    the NEWLY staged files of one commit — O(files-per-commit), not
+    O(table) — and uniform across every writer (shuffled, Arrow-direct,
+    split/rebucket rewrites). On an object store a cluster-scale variant
+    folds this into the write task itself (the Arrow writer already holds
+    the batches); footer collection is the writer-agnostic form.
+
+    A column missing from a file (pre-evolution files), or with stats the
+    writer didn't record, is simply absent from that file's entry — scans
+    then never skip that file on that column. NULL-only row groups
+    contribute no bound.
+    """
+    import pyarrow.parquet as pq
+
+    want = set(cols)
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        try:
+            md = pq.read_metadata(os.path.join(root, rel))
+        except OSError:
+            continue
+        per: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in want:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = _stat_json(st.min), _stat_json(st.max)
+                if lo is None or hi is None:
+                    continue
+                cur = per.get(name)
+                if cur is None:
+                    per[name] = [lo, hi]
+                else:
+                    per[name] = [min(cur[0], lo), max(cur[1], hi)]
+        if per:
+            out[rel] = per
+    return out
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -61,9 +137,17 @@ class Snapshot:
     operation: str
     summary: dict
     files: dict[str, list[str]]  # bucket (as str) -> relative file paths
+    #: per-file column ranges: path -> {col: [min, max]} (Iceberg manifest
+    #: ``lower_bounds``/``upper_bounds`` analogue). OPTIONAL — files absent
+    #: here are simply never skipped, so pre-stats snapshots keep reading.
+    file_stats: dict[str, dict[str, list]] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.file_stats is None:
+            self.file_stats = {}
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "ts_ms": self.ts_ms,
@@ -71,12 +155,15 @@ class Snapshot:
             "summary": self.summary,
             "files": self.files,
         }
+        if self.file_stats:
+            d["file_stats"] = self.file_stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
         return Snapshot(
             d["snapshot_id"], d["parent_id"], d["ts_ms"], d["operation"],
-            d["summary"], d["files"],
+            d["summary"], d["files"], d.get("file_stats") or {},
         )
 
 
@@ -175,6 +262,21 @@ class LakeTable:
         the staged keys are stale (``SpecConflictError``)."""
         return (self.num_buckets, tuple(self.split_buckets))
 
+    def stat_cols(self) -> list[str]:
+        """Columns whose per-file [min, max] ranges are recorded in the
+        manifest at commit time. Default: the bucket key (point lookups by
+        conversation are the hot read); override with the ``stats.cols``
+        table property (comma list). Restricted to columns present in the
+        current schema."""
+        prop = self._meta["properties"].get("stats.cols")
+        cols = (
+            [c for c in prop.split(",") if c]
+            if prop is not None
+            else [self.bucket_col]
+        )
+        names = {f.name for f in self.schema.fields}
+        return [c for c in cols if c in names]
+
     def live_buckets(self) -> list[int]:
         """All addressable bucket ids under the current (possibly mixed)
         spec: unsplit base ids plus both children of each split base."""
@@ -213,25 +315,53 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         snapshot_id: int | None = None,
+        prune: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read the table (optionally pruned to a bucket subset / a snapshot).
 
         Reads with the current table schema by name: files written before an
         ``add_columns`` lack the new columns and surface them as null — the
         Iceberg add-column read semantics, no rewrite needed.
+
+        ``prune``: ``{col: (lo, hi)}`` inclusive ranges — files whose
+        manifest stats prove ``[min, max]`` disjoint from the range are
+        skipped WITHOUT being opened (Iceberg's min/max file skipping).
+        Files lacking stats for a column are always kept, so pruning is
+        safe over mixed snapshots; the caller still applies the actual
+        row-level filter. At 10^10 rows a sorted-compacted bucket holds
+        contiguous key ranges per file, so a point lookup opens ~1 file
+        instead of the bucket's whole history.
         """
         snap = (
             self.current_snapshot
             if snapshot_id is None
             else next(s for s in self.snapshots if s.snapshot_id == snapshot_id)
         )
+        stats = snap.file_stats if prune else {}
         files: list[str] = []
         for b, fs in snap.files.items():
-            if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.root, p) for p in fs)
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for p in fs:
+                if prune and not self._stats_overlap(stats.get(p), prune):
+                    continue
+                files.append(os.path.join(self.root, p))
         if not files:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*files)
+
+    @staticmethod
+    def _stats_overlap(st: dict | None, prune: dict[str, tuple]) -> bool:
+        """True unless the file's recorded ranges PROVE it cannot match."""
+        if not st:
+            return True
+        for col, (lo, hi) in prune.items():
+            r = st.get(col)
+            if r is None:
+                continue
+            if (hi is not None and r[0] > hi) or (lo is not None and r[1] < lo):
+                return False
+        return True
 
     # -------------------------------------------------------------- commits
     def _write_metadata(self) -> None:
@@ -244,11 +374,26 @@ class LakeTable:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.root, _HINT))  # atomic pointer swap
 
-    def _next_snapshot(self, operation: str, summary: dict, files: dict) -> None:
+    def _next_snapshot(
+        self,
+        operation: str,
+        summary: dict,
+        files: dict,
+        new_stats: dict[str, dict] | None = None,
+    ) -> None:
         cur = self.current_snapshot
+        # carry the parent's per-file stats for surviving files, add the
+        # newly staged files' stats, drop entries for removed files — the
+        # stats map always indexes a subset of the live manifest
+        live = {p for fs in files.values() for p in fs}
+        stats = {
+            p: s
+            for p, s in {**cur.file_stats, **(new_stats or {})}.items()
+            if p in live
+        }
         snap = Snapshot(
             cur.snapshot_id + 1, cur.snapshot_id, int(time.time() * 1000),
-            operation, summary, files,
+            operation, summary, files, stats,
         )
         self._meta["snapshots"].append(snap.to_json())
         self._meta["current_snapshot_id"] = snap.snapshot_id
@@ -256,9 +401,23 @@ class LakeTable:
         self._write_metadata()
 
     def _write_data(
-        self, df: DataFrame, salts: int | None = None
+        self,
+        df: DataFrame,
+        salts: int | None = None,
+        sort_cols: tuple[str, ...] | None = None,
     ) -> dict[str, list[str]]:
         """Write df into a new snapshot dir, one subdir per bucket.
+
+        ``sort_cols``: clustered-rewrite mode (compaction's read-optimize
+        pass). Rows are RANGE-partitioned on ``(_bucket, *sort_cols)`` and
+        sorted within each task, so every emitted file covers one
+        contiguous key range of one bucket — manifest min/max stats become
+        tight and a point lookup prunes to ~1 file. Range partitioning
+        replaces the hash salt here (the sampler splits hot buckets across
+        tasks by row count, the same skew defense), and
+        ``write.max-records-per-file`` (table property) bounds file size so
+        a sorted task emits several range-disjoint files instead of one
+        giant one.
 
         The write is hash-distributed on (bucket, salt) with an explicit
         partition count of ``num_buckets * salts``: a hot bucket is spread
@@ -294,13 +453,27 @@ class LakeTable:
             non_bucket = [c for c in df.columns if c != self.bucket_col]
             salt_src = F.col(non_bucket[0]) if non_bucket else F.lit(0)
         salt = F.pmod(F.xxhash64(salt_src), F.lit(salt_k))
-        (
-            df.withColumn("_bucket", self.bucket_expr())
-            .repartition(self.num_buckets * salt_k, F.col("_bucket"), salt)
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out)
-        )
+        with_b = df.withColumn("_bucket", self.bucket_expr())
+        if sort_cols:
+            part = with_b.repartitionByRange(
+                self.num_buckets * salt_k, F.col("_bucket"), *sort_cols
+            ).sortWithinPartitions("_bucket", *sort_cols)
+            max_rows = int(
+                self._meta["properties"].get("write.max-records-per-file", 0)
+            )
+            writer = part.write.mode("overwrite")
+            if max_rows > 0:
+                writer = writer.option("maxRecordsPerFile", max_rows)
+            writer.partitionBy("_bucket").parquet(out)
+        else:
+            (
+                with_b.repartition(
+                    self.num_buckets * salt_k, F.col("_bucket"), salt
+                )
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(out)
+            )
         files: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(out)):
             if not entry.startswith("_bucket="):
@@ -700,10 +873,28 @@ class LakeTable:
             spec = self.spec_fingerprint()
             files = self._write_data_direct(df, target_tasks)
             try:
-                return self.commit_append(files, staged_spec=spec)
+                return self.commit_append(
+                    files,
+                    staged_spec=spec,
+                    new_stats=self._collect_stats(files),
+                )
             except SpecConflictError:
                 self._refresh()  # restage under the new transform
         raise SpecConflictError("spec kept changing across 5 retries")
+
+    def _collect_stats(
+        self, files: dict[str, list[str]]
+    ) -> dict[str, dict] | None:
+        """Footer min/max over newly staged files for ``stat_cols()``.
+
+        Runs OUTSIDE the commit flock (staged files are immutable and
+        invisible until commit), so the metadata-only critical section
+        stays metadata-only."""
+        cols = self.stat_cols()
+        if not cols:
+            return None
+        flat = [p for fs in files.values() for p in fs]
+        return collect_parquet_stats(self.root, flat, cols)
 
     def write_data_files(
         self, df: DataFrame, salts: int | None = None
@@ -754,6 +945,7 @@ class LakeTable:
         self,
         new_files: dict[str, list[str]],
         staged_spec: tuple | None = None,
+        new_stats: dict[str, dict] | None = None,
     ) -> None:
         """Commit previously staged files as an append snapshot.
 
@@ -778,7 +970,10 @@ class LakeTable:
             for b, fs in new_files.items():
                 merged.setdefault(b, []).extend(fs)
             self._next_snapshot(
-                "append", {"buckets_written": len(new_files)}, merged
+                "append",
+                {"buckets_written": len(new_files)},
+                merged,
+                new_stats=new_stats,
             )
 
     def commit_overwrite(
@@ -787,8 +982,15 @@ class LakeTable:
         buckets: list[int],
         expected: dict[str, list[str]] | None = None,
         staged_spec: tuple | None = None,
+        new_stats: dict[str, dict] | None = None,
+        maintenance: bool = False,
     ) -> None:
         """Commit previously staged files as a bucket-replacing snapshot.
+
+        ``maintenance``: mark the snapshot as a logical no-op (compaction's
+        read-optimize rewrite) — incremental changelog readers skip it,
+        the same way Iceberg's incremental scan skips ``replace``
+        (rewrite_data_files) commits but refuses logical overwrites.
 
         ``expected``: the per-bucket file lists the caller's read (scan) was
         based on. Under the commit flock, files that appeared in an
@@ -824,8 +1026,11 @@ class LakeTable:
                         merged[b] = survivors
             for b, fs in new_files.items():
                 merged[b] = fs + merged.get(b, [])
+            summary = {"buckets_replaced": sorted(buckets)}
+            if maintenance:
+                summary["maintenance"] = True
             self._next_snapshot(
-                "overwrite", {"buckets_replaced": sorted(buckets)}, merged
+                "overwrite", summary, merged, new_stats=new_stats
             )
 
     def append(self, df: DataFrame, salts: int | None = None) -> None:
@@ -835,7 +1040,11 @@ class LakeTable:
             spec = self.spec_fingerprint()
             files = self.write_data_files(df, salts=salts)
             try:
-                return self.commit_append(files, staged_spec=spec)
+                return self.commit_append(
+                    files,
+                    staged_spec=spec,
+                    new_stats=self._collect_stats(files),
+                )
             except SpecConflictError:
                 self._refresh()
         raise SpecConflictError("spec kept changing across 5 retries")
@@ -866,6 +1075,8 @@ class LakeTable:
         buckets: list[int],
         salts: int | None = None,
         expected: dict[str, list[str]] | None = None,
+        sort_cols: tuple[str, ...] | None = None,
+        maintenance: bool = False,
     ) -> None:
         """Copy-on-write replace of the named buckets with df's rows.
 
@@ -880,11 +1091,14 @@ class LakeTable:
         against the new spec (``merge_into``/``compact`` do).
         """
         spec = self.spec_fingerprint()
+        files = self._write_data(df, salts=salts, sort_cols=sort_cols)
         self.commit_overwrite(
-            self.write_data_files(df, salts=salts),
+            files,
             buckets,
             expected=expected,
             staged_spec=spec,
+            new_stats=self._collect_stats(files),
+            maintenance=maintenance,
         )
 
     # ------------------------------------------------------------ rebucket

@@ -297,7 +297,17 @@ def _compact_once(
             | (F.unix_micros(F.col("ts")) >= F.lit(int(expire_tombstones_before)))
         )
     salts = adaptive_salts(table, target, spark)
-    table.overwrite_buckets(merged, target, salts=salts, expected=expected)
+    # clustered rewrite: compaction is the read-optimize pass, so sort by
+    # key — files then cover contiguous (conv_id, turn_idx) ranges, the
+    # manifest min/max stats are tight, and point lookups prune to ~1 file
+    table.overwrite_buckets(
+        merged,
+        target,
+        salts=salts,
+        expected=expected,
+        sort_cols=KEY_COLS,
+        maintenance=True,  # logical no-op: changelog readers skip it
+    )
 
 
 def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:
@@ -306,4 +316,35 @@ def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:
     (on a fully-compacted table the reduction is a no-op)."""
     df = lww_dedup(table.scan(spark), key_cols=KEY_COLS, order_cols=("ts", "_lsn"))
     live = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    return live.drop(*SYSTEM_COL_NAMES)
+
+
+def bucket_of(spark: SparkSession, table: LakeTable, value) -> int:
+    """The bucket id a key value hashes to, evaluated with the TABLE'S OWN
+    transform expression (split-bucket aware) on a one-row plan — so driver
+    code and executor writes can never disagree on the hash. One tiny local
+    job, same as Iceberg evaluating its bucket transform for a lookup."""
+    return int(
+        spark.range(1).select(table.bucket_expr(F.lit(value))).first()[0]
+    )
+
+
+def point_lookup(spark: SparkSession, table: LakeTable, conv_id) -> DataFrame:
+    """Fetch ONE conversation's current turns with double pruning.
+
+    Scale path for "show me this transcript" against a 10^10-row table:
+    (1) bucket pruning — the key's hash names exactly one manifest bucket,
+    1/num_buckets of the table; (2) manifest min/max file skipping inside
+    that bucket — after a sorted compaction each file covers a contiguous
+    conv_id range, so the scan opens ~1 base file plus any still-uncompacted
+    MOR delta files (kept conservatively: no stats or overlapping range).
+    The row-level filter + LWW reduction then run over that handful of
+    files. No shuffle beyond the per-key aggregation of a few hundred rows.
+    """
+    b = bucket_of(spark, table, conv_id)
+    df = table.scan(
+        spark, buckets=[b], prune={table.bucket_col: (conv_id, conv_id)}
+    ).filter(F.col(table.bucket_col) == F.lit(conv_id))
+    win = lww_dedup(df, key_cols=KEY_COLS, order_cols=("ts", "_lsn"))
+    live = win.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     return live.drop(*SYSTEM_COL_NAMES)

@@ -223,6 +223,72 @@ _SCHEMA_EVOLUTION_SQL = f"""
 """
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-conversation fetch through the full lake read path with BOTH
+    pruning layers exercised end-to-end: bucket pruning (the key's hash
+    names one manifest bucket) and manifest min/max file skipping (a sorted
+    compaction leaves each file covering a contiguous conv_id range, the
+    Iceberg lower/upper-bounds analogue). The "show me this transcript"
+    operation — at 10^10 rows it opens ~1 file instead of a bucket's whole
+    history. Result re-materialized locally so the returned plan does not
+    depend on the scratch table's lifetime.
+
+    Reference parity: GET /documentos/{id} single-document fetch
+    (/root/reference/app/api/documentos.py) served by primary-key lookup
+    (/root/reference/app/database/repositories.py:40-49).
+    """
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import (
+        compact,
+        merge_into,
+        physical_schema,
+        point_lookup,
+    )
+    from etl_documentos_spark.schemas import TRANSCRIPTS
+
+    # the table's key type is int32; the derived stream's modular turn_idx
+    # is long — cast on the way in, widen back on the way out (the oracle's
+    # BIGINT arithmetic)
+    ch = _derive_changes(spark, sf_dir).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="lookup_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/transcripts",
+            physical_schema(TRANSCRIPTS),
+            num_buckets=8,
+            properties={"write.max-records-per-file": "64"},
+        )
+        merge_into(spark, table, ch)
+        compact(spark, table)
+        table._refresh()
+        got = point_lookup(spark, table, "conv_7").select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "role",
+            "text",
+            "ts",
+        )
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_POINT_LOOKUP_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete' AND conv_id = 'conv_7'
+"""
+
+
 # ---------------------------------------------------------------------------
 # analytics family (SURVEY §2.4-§2.6, §3.2-§3.3)
 # ---------------------------------------------------------------------------
@@ -2275,6 +2341,7 @@ QUERIES: dict[str, Query] = {
     "cdc_offsets": q_cdc_offsets,
     "cdc_epoch_stats": q_cdc_epoch_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "point_lookup": q_point_lookup,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2288,7 +2355,6 @@ QUERIES: dict[str, Query] = {
     "asof_join": q_asof_join,
     "gif_decode": q_gif_decode,
     "gif_frame_sample": q_gif_frame_sample,
-    "priority_merge": q_priority_merge,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "near_dup_jaccard": q_near_dup_jaccard,
@@ -2321,6 +2387,7 @@ QUERIES: dict[str, Query] = {
     "jpeg_decode": q_jpeg_decode,
     "tfidf_top_terms": q_tfidf_top_terms,
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
+    "priority_merge": q_priority_merge,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
     "word_freq": q_word_freq,
@@ -2372,6 +2439,7 @@ ORACLES: dict[str, str] = {
         FROM ch GROUP BY 1
     """,
     "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
+    "point_lookup": _POINT_LOOKUP_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
