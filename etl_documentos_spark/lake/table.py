@@ -1286,6 +1286,63 @@ class LakeTable:
         self._write_metadata()
         return len(dead)
 
+    def set_property(self, key: str, value) -> None:
+        """Set one table property as a metadata-only commit (Iceberg
+        ``ALTER TABLE ... SET TBLPROPERTIES``). Used by derived-table
+        maintainers to persist sync watermarks next to the data they
+        describe — crash-safe because the property lands in the same
+        versioned metadata chain as every other commit."""
+        with self._process_commit_lock():
+            self._refresh()
+            self._meta["properties"][key] = value
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+
+    def remove_orphan_files(self, grace_seconds: float = 3600.0) -> int:
+        """Delete data files on disk that NO snapshot references.
+
+        Orphans come from writers that staged files and crashed before
+        commit (staging is lock-free and invisible until commit, so a crash
+        leaks the files silently). Iceberg's ``remove_orphan_files``
+        analogue. ``grace_seconds`` protects in-flight staging: a file
+        younger than the grace window may belong to a writer that has not
+        committed YET, so it is kept — with the default 1h no healthy
+        commit can straddle the window. Runs under the commit flock so the
+        referenced-set is a consistent read; returns files deleted.
+        """
+        import time as _time
+
+        with self._process_commit_lock():
+            self._refresh()
+            referenced: set[str] = set()
+            for s in self.snapshots:
+                for fs in s.files.values():
+                    referenced.update(fs)
+            cutoff = _time.time() - grace_seconds
+            data_root = os.path.join(self.root, "data")
+            removed = 0
+            for dirpath, _dirs, names in os.walk(data_root):
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, self.root)
+                    if rel in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue
+                    crc = os.path.join(dirpath, "." + name + ".crc")
+                    try:
+                        os.remove(crc)
+                    except FileNotFoundError:
+                        pass
+                    removed += 1
+            return removed
+
     # ----------------------------------------------------- schema evolution
     def add_columns(self, fields: list[T.StructField]) -> None:
         """Additive schema evolution: metadata-only, zero data files touched.

@@ -223,6 +223,94 @@ _SCHEMA_EVOLUTION_SQL = f"""
 """
 
 
+def q_mview_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained materialized view through the real lake
+    machinery: three change tranches are MOR-appended to a scratch source
+    table; after each, ``MaterializedView.refresh`` advances the derived
+    per-conversation stats table by TOUCHED-KEY RECOMPUTE over the
+    changelog delta (metadata-planned manifest diff — never a full source
+    scan). A source compaction between tranches 2 and 3 proves maintenance
+    rewrites are invisible to the feed. The final view rows must equal the
+    single global SQL aggregation the oracle computes over LWW winners.
+
+    Result re-materialized locally so the returned plan does not depend on
+    the scratch tables' lifetime (bounded: <=50 convs at any SF).
+
+    Reference parity: the incrementally-updated derived metrics table
+    (/root/reference/app/models/database.py:212-229, upsert at
+    /root/reference/app/services/analytics_service.py:280-292).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_documentos_spark.lake.mview import (
+        MaterializedView,
+        conv_stats_aggs,
+    )
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import (
+        changes_to_physical,
+        compact,
+        physical_schema,
+    )
+
+    ch = _derive_changes(spark, sf_dir)
+    mx = int(ch.agg(F.max("lsn")).first()[0])
+    cuts = (mx // 3, 2 * mx // 3)
+    ch_types = {f.name: f.dataType for f in ch.schema.fields}
+    logical = T.StructType(
+        [
+            T.StructField(c, ch_types[c], c not in ("conv_id", "turn_idx"))
+            for c in ("conv_id", "turn_idx", "role", "text", "ts")
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="mview_q_")
+    try:
+        src = LakeTable.create(
+            f"{root}/src", physical_schema(logical), num_buckets=8
+        )
+        mv = MaterializedView.create(
+            spark, src, f"{root}/mv", conv_stats_aggs()
+        )
+        tranches = [
+            ch.filter(F.col("lsn") < cuts[0]),
+            ch.filter((F.col("lsn") >= cuts[0]) & (F.col("lsn") < cuts[1])),
+            ch.filter(F.col("lsn") >= cuts[1]),
+        ]
+        for i, tr in enumerate(tranches):
+            src.append(changes_to_physical(tr, src.schema))
+            if i == 1:
+                compact(spark, src)
+                src._refresh()
+            mv.refresh(spark, src)
+        out = mv.read(spark).select(
+            "conv_id", "n_turns", "last_ts", "total_chars", "n_roles"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_MVIEW_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch),
+    live AS (
+      SELECT conv_id, turn_idx, role, text, ts
+      FROM ranked WHERE rn = 1 AND op <> 'delete')
+    SELECT conv_id,
+           count(*) AS n_turns,
+           max(ts) AS last_ts,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+    FROM live GROUP BY conv_id
+"""
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-conversation fetch through the full lake read path with BOTH
     pruning layers exercised end-to-end: bucket pruning (the key's hash
@@ -2342,6 +2430,7 @@ QUERIES: dict[str, Query] = {
     "cdc_epoch_stats": q_cdc_epoch_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "point_lookup": q_point_lookup,
+    "mview_conv_stats": q_mview_conv_stats,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2355,7 +2444,6 @@ QUERIES: dict[str, Query] = {
     "asof_join": q_asof_join,
     "gif_decode": q_gif_decode,
     "gif_frame_sample": q_gif_frame_sample,
-    "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "near_dup_jaccard": q_near_dup_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -2387,6 +2475,7 @@ QUERIES: dict[str, Query] = {
     "jpeg_decode": q_jpeg_decode,
     "tfidf_top_terms": q_tfidf_top_terms,
     # --- stable tail: driver-green in both r1 and r2 with unchanged code ---
+    "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
@@ -2440,6 +2529,7 @@ ORACLES: dict[str, str] = {
     """,
     "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "point_lookup": _POINT_LOOKUP_SQL,
+    "mview_conv_stats": _MVIEW_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
