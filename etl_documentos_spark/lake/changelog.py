@@ -103,13 +103,16 @@ def read_changes(
         seen = paths
         if _is_maintenance(snap):
             continue
-        if snap.operation == "overwrite":
+        if snap.operation in ("overwrite", "rollback"):
+            # a COW merge rewrites winners in place; a rollback makes rows
+            # VANISH — neither is expressible as a manifest add-diff
             if on_logical_overwrite == "error":
                 raise ValueError(
-                    f"snapshot {snap.snapshot_id} is a logical overwrite "
-                    "(COW merge); per-row changes are not recoverable from "
-                    "the manifest — run the table in MOR mode for CDC-out, "
-                    "or pass on_logical_overwrite='skip'"
+                    f"snapshot {snap.snapshot_id} is a logical "
+                    f"{snap.operation}; per-row changes are not recoverable "
+                    "from the manifest — run the table in MOR mode for "
+                    "CDC-out (and resync after rollbacks), or pass "
+                    "on_logical_overwrite='skip'"
                 )
             continue
         if not added:

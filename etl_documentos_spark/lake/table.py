@@ -316,6 +316,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         snapshot_id: int | None = None,
         prune: dict[str, tuple] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the table (optionally pruned to a bucket subset / a snapshot).
 
@@ -332,6 +333,13 @@ class LakeTable:
         contiguous key ranges per file, so a point lookup opens ~1 file
         instead of the bucket's whole history.
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either ref or snapshot_id, not both")
+            refs = self.refs
+            if ref not in refs:
+                raise KeyError(f"unknown ref {ref!r}")
+            snapshot_id = refs[ref]
         snap = (
             self.current_snapshot
             if snapshot_id is None
@@ -1264,7 +1272,14 @@ class LakeTable:
         snaps = sorted(self.snapshots, key=lambda s: s.snapshot_id)
         if len(snaps) <= keep_last:
             return 0
-        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        pinned = set(self._meta.get("refs", {}).values())
+        kept = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s.snapshot_id in pinned
+        ]
+        kept_ids = {s.snapshot_id for s in kept}
+        expired = [s for s in snaps if s.snapshot_id not in kept_ids]
+        if not expired:
+            return 0
         live: set[str] = set()
         for s in kept:
             for fs in s.files.values():
@@ -1281,10 +1296,72 @@ class LakeTable:
                     os.remove(p)
                 except FileNotFoundError:
                     pass
-        self._meta["snapshots"] = [s.to_json() for s in kept]
+        self._meta["snapshots"] = [
+            s.to_json() for s in sorted(kept, key=lambda s: s.snapshot_id)
+        ]
         self._meta["metadata_version"] += 1
         self._write_metadata()
         return len(dead)
+
+    # ------------------------------------------------------------ refs
+    @property
+    def refs(self) -> dict[str, int]:
+        """Named snapshot references (Iceberg tags): name -> snapshot_id.
+        A tagged snapshot is pinned — ``expire_snapshots`` keeps it (and
+        its files) until the tag is dropped."""
+        return dict(self._meta.get("refs", {}))
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a name (``ALTER TABLE ... CREATE TAG``).
+        Defaults to the current snapshot. Metadata-only commit."""
+        with self._process_commit_lock():
+            self._refresh()
+            sid = (
+                self.current_snapshot.snapshot_id
+                if snapshot_id is None
+                else snapshot_id
+            )
+            if all(s.snapshot_id != sid for s in self.snapshots):
+                raise KeyError(f"unknown snapshot {sid}")
+            self._meta.setdefault("refs", {})[name] = sid
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+            return sid
+
+    def drop_tag(self, name: str) -> None:
+        with self._process_commit_lock():
+            self._refresh()
+            refs = self._meta.get("refs", {})
+            if name not in refs:
+                raise KeyError(f"unknown tag {name!r}")
+            del refs[name]
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Restore the table's visible state to an earlier snapshot.
+
+        Appends a NEW ``rollback`` snapshot whose manifest is a copy of the
+        target's (Iceberg ``rollback_to_snapshot``): history is preserved,
+        nothing is deleted, and subsequent commits build on the restored
+        state — the bad-data recovery path. Changelog readers treat a
+        rollback like a logical overwrite (rows vanished; a manifest diff
+        cannot express that), so CDC-out consumers must resync across one.
+        """
+        with self._process_commit_lock():
+            self._refresh()
+            target = next(
+                (s for s in self.snapshots if s.snapshot_id == snapshot_id),
+                None,
+            )
+            if target is None:
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            self._next_snapshot(
+                "rollback",
+                {"to": snapshot_id},
+                dict(target.files),
+                new_stats=dict(target.file_stats),
+            )
 
     def set_property(self, key: str, value) -> None:
         """Set one table property as a metadata-only commit (Iceberg

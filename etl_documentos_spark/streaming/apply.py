@@ -143,6 +143,33 @@ class CdcPipeline:
         #: cached observe expressions (rebuilt only when the batch column
         #: set changes — expression construction is driver-side py4j cost)
         self._obs_exprs: tuple[tuple[str, ...], list] | None = None
+        #: derived tables maintained in-stream (lake/mview.py); refreshed
+        #: after each micro-batch by start_stream's foreachBatch handler
+        self._views: list = []
+
+    def attach_view(self, view) -> None:
+        """Maintain a `lake.mview.MaterializedView` continuously: the
+        streaming handler refreshes it after every applied micro-batch.
+        Refresh cost is O(epoch delta + touched buckets), so attaching a
+        view adds per-batch work proportional to the batch, not the table.
+        A view is also free to lag: its refresh is driven by the source's
+        changelog, so refreshing once at the end (or from a separate
+        process) yields the same state — attachment is a freshness choice,
+        not a correctness one."""
+        self._views.append(view)
+
+    def refresh_views(self) -> None:
+        if not self._views:
+            return
+        table = self.table
+        for v in self._views:
+            try:
+                v.refresh(self.spark, table)
+            except ValueError:
+                # a logical overwrite/rollback broke the incremental feed
+                # (COW-mode pipeline): resync from a full read — correct
+                # always, incremental only when the source allows it
+                v.full_refresh(self.spark, table)
 
     def _observe_exprs_for(self, columns: list[str]) -> list:
         key = tuple(columns)

@@ -123,6 +123,7 @@ def start_stream(
 
     def handle(batch_df, batch_id: int) -> None:
         pipeline.apply_epoch(batch_df, int(batch_id))
+        pipeline.refresh_views()
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -156,6 +156,45 @@ def test_logical_overwrite_raises_then_full_refresh_resyncs(
     assert mv.refresh(spark, src)["keys_touched"] == 0
 
 
+def test_streaming_attached_view_tracks_stream(spark, tmp_path):
+    """A view attached to the streaming pipeline is refreshed per
+    micro-batch and ends exactly consistent with the drained table —
+    including across a checkpointed restart."""
+    from etl_documentos_spark import datagen
+    from etl_documentos_spark.streaming.apply import CdcPipeline
+    from etl_documentos_spark.streaming.stream import run_stream_until_drained
+
+    stream = datagen.change_stream(
+        spark, n_events=3000, n_convs=40, turns_per_conv=10,
+        events_per_epoch=1000,
+    )
+    events_path = str(tmp_path / "events")
+    datagen.write_epochs(stream, events_path, files_per_epoch=2)
+
+    table_root = str(tmp_path / "transcripts")
+    table = LakeTable.create(
+        table_root, physical_schema(TRANSCRIPTS), num_buckets=8
+    )
+    mv = MaterializedView.create(
+        spark, table, str(tmp_path / "mv"), conv_stats_aggs()
+    )
+    pipeline = CdcPipeline(spark, table_root, str(tmp_path / "work"))
+    pipeline.attach_view(mv)
+    run_stream_until_drained(
+        pipeline, events_path, str(tmp_path / "ckpt"), max_files_per_trigger=3
+    )
+    assert _got(spark, mv) == _expected(spark, pipeline.table)
+
+    # restart over the same checkpoint: nothing new, view stays consistent
+    pipeline2 = CdcPipeline(spark, table_root, str(tmp_path / "work"))
+    pipeline2.attach_view(mv)
+    run_stream_until_drained(
+        pipeline2, events_path, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,
+    )
+    assert _got(spark, mv) == _expected(spark, pipeline2.table)
+
+
 def test_untouched_buckets_not_rewritten(spark, src, tmp_path):
     """The view rewrite is scoped to the buckets of changed keys — the
     scale property (an idle conversation's view bucket never churns)."""
