@@ -78,29 +78,47 @@ def read_changes(
     """
     if on_logical_overwrite not in ("error", "skip"):
         raise ValueError(f"on_logical_overwrite={on_logical_overwrite!r}")
-    snaps = sorted(table.snapshots, key=lambda s: s.snapshot_id)
-    ids = [s.snapshot_id for s in snaps]
-    if from_snapshot_id not in ids:
+    by_id = {s.snapshot_id: s for s in table.snapshots}
+    if from_snapshot_id not in by_id:
         raise KeyError(f"unknown from_snapshot_id {from_snapshot_id}")
-    hi = to_snapshot_id if to_snapshot_id is not None else ids[-1]
-    if hi not in ids:
+    # default upper bound is CURRENT, not max-id: an unpublished staged
+    # (WAP) snapshot may hold a higher id than the published state
+    hi = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else table.current_snapshot.snapshot_id
+    )
+    if hi not in by_id:
         raise KeyError(f"unknown to_snapshot_id {to_snapshot_id}")
+
+    # walk the PARENT CHAIN from hi back to from — snapshot history is a
+    # tree once WAP staging exists (unpublished stages are dead branches),
+    # so id order is not lineage order
+    chain: list[Snapshot] = []
+    cur = by_id[hi]
+    while cur.snapshot_id != from_snapshot_id:
+        chain.append(cur)
+        if cur.parent_id is None or cur.parent_id not in by_id:
+            raise KeyError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {hi}"
+            )
+        cur = by_id[cur.parent_id]
+    chain.reverse()
 
     schema = table.schema
     out_fields = [f for f in schema.fields if f.name != "_deleted"]
     out_schema = T.StructType(out_fields + CHANGE_META)
 
-    seen: set[str] = set()
     parts: list[DataFrame] = []
-    for snap in snaps:
-        paths = {p for fs in snap.files.values() for p in fs}
-        if snap.snapshot_id <= from_snapshot_id:
-            seen = paths if snap.snapshot_id == from_snapshot_id else seen
-            continue
-        if snap.snapshot_id > hi:
-            break
-        added = sorted(paths - seen)
-        seen = paths
+    for snap in chain:
+        parent = by_id[snap.parent_id]
+        parent_paths = {p for fs in parent.files.values() for p in fs}
+        added = sorted(
+            p
+            for fs in snap.files.values()
+            for p in fs
+            if p not in parent_paths
+        )
         if _is_maintenance(snap):
             continue
         if snap.operation in ("overwrite", "rollback"):

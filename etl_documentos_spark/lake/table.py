@@ -388,7 +388,13 @@ class LakeTable:
         summary: dict,
         files: dict,
         new_stats: dict[str, dict] | None = None,
-    ) -> None:
+        stage: bool = False,
+    ) -> int:
+        """Append a snapshot; advance ``current`` unless ``stage`` (WAP).
+
+        Ids come from max+1 (not current+1): an unpublished staged snapshot
+        may hold a higher id than ``current``, and two stages must never
+        collide."""
         cur = self.current_snapshot
         # carry the parent's per-file stats for surviving files, add the
         # newly staged files' stats, drop entries for removed files — the
@@ -399,14 +405,17 @@ class LakeTable:
             for p, s in {**cur.file_stats, **(new_stats or {})}.items()
             if p in live
         }
+        next_id = max(s["snapshot_id"] for s in self._meta["snapshots"]) + 1
         snap = Snapshot(
-            cur.snapshot_id + 1, cur.snapshot_id, int(time.time() * 1000),
+            next_id, cur.snapshot_id, int(time.time() * 1000),
             operation, summary, files, stats,
         )
         self._meta["snapshots"].append(snap.to_json())
-        self._meta["current_snapshot_id"] = snap.snapshot_id
+        if not stage:
+            self._meta["current_snapshot_id"] = snap.snapshot_id
         self._meta["metadata_version"] += 1
         self._write_metadata()
+        return snap.snapshot_id
 
     def _write_data(
         self,
@@ -954,7 +963,8 @@ class LakeTable:
         new_files: dict[str, list[str]],
         staged_spec: tuple | None = None,
         new_stats: dict[str, dict] | None = None,
-    ) -> None:
+        stage: bool = False,
+    ) -> int:
         """Commit previously staged files as an append snapshot.
 
         Safe under concurrent committers (in-process threads AND separate
@@ -964,6 +974,10 @@ class LakeTable:
         makes the commit split-safe: if a concurrent split/rebucket changed
         the bucket transform since staging, the commit raises
         ``SpecConflictError`` instead of publishing stale-keyed files.
+
+        ``stage=True`` (write-audit-publish): the snapshot is recorded but
+        ``current`` does NOT advance — readers keep seeing the pre-stage
+        state until ``publish``. Returns the new snapshot id either way.
         """
         with self._process_commit_lock():
             self._refresh()
@@ -977,11 +991,14 @@ class LakeTable:
             }
             for b, fs in new_files.items():
                 merged.setdefault(b, []).extend(fs)
-            self._next_snapshot(
+            return self._next_snapshot(
                 "append",
-                {"buckets_written": len(new_files)},
+                {"buckets_written": len(new_files), **(
+                    {"staged": True} if stage else {}
+                )},
                 merged,
                 new_stats=new_stats,
+                stage=stage,
             )
 
     def commit_overwrite(
@@ -1272,7 +1289,11 @@ class LakeTable:
         snaps = sorted(self.snapshots, key=lambda s: s.snapshot_id)
         if len(snaps) <= keep_last:
             return 0
+        # tagged snapshots are pinned; so is CURRENT (an unpublished WAP
+        # stage can out-id the published state, so "newest N" alone could
+        # otherwise drop the snapshot readers are on)
         pinned = set(self._meta.get("refs", {}).values())
+        pinned.add(self._meta["current_snapshot_id"])
         kept = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last] if s.snapshot_id in pinned
         ]
@@ -1337,6 +1358,109 @@ class LakeTable:
             del refs[name]
             self._meta["metadata_version"] += 1
             self._write_metadata()
+
+    # --------------------------------------------- write-audit-publish (WAP)
+    def stage_append(self, df: DataFrame, salts: int | None = None) -> int:
+        """Write-audit-publish, stage phase (Iceberg WAP): write and record
+        an append snapshot WITHOUT advancing ``current``. Readers are
+        unaffected; the auditor inspects the staged state with
+        ``scan(snapshot_id=staged_id)`` and then calls ``publish`` (one
+        metadata pointer swap) or ``discard_staged``. Returns the staged
+        snapshot id."""
+        for _ in range(5):
+            spec = self.spec_fingerprint()
+            files = self.write_data_files(df, salts=salts)
+            try:
+                return self.commit_append(
+                    files,
+                    staged_spec=spec,
+                    new_stats=self._collect_stats(files),
+                    stage=True,
+                )
+            except SpecConflictError:
+                self._refresh()
+        raise SpecConflictError("spec kept changing across 5 retries")
+
+    def publish(self, snapshot_id: int) -> None:
+        """Fast-forward ``current`` to a staged snapshot — the audit passed.
+
+        Optimistic-concurrency validated: if another commit advanced the
+        table since the stage (the staged manifest no longer extends
+        ``current``), raises ``SpecConflictError`` — re-stage against the
+        new state, exactly Iceberg's cherry-pick conflict rule."""
+        with self._process_commit_lock():
+            self._refresh()
+            snap = next(
+                (s for s in self.snapshots if s.snapshot_id == snapshot_id),
+                None,
+            )
+            if snap is None:
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            cur = self.current_snapshot.snapshot_id
+            if snap.parent_id != cur:
+                raise SpecConflictError(
+                    f"staged snapshot {snapshot_id} has parent "
+                    f"{snap.parent_id} but current is {cur}; re-stage"
+                )
+            self._meta["current_snapshot_id"] = snapshot_id
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+
+    def discard_staged(self, snapshot_id: int) -> int:
+        """Drop an unpublished staged snapshot — the audit failed.
+
+        Deletes the files only it referenced and removes it from history.
+        Refuses to drop the current snapshot, a snapshot with descendants,
+        or a tagged one. Returns files deleted."""
+        with self._process_commit_lock():
+            self._refresh()
+            snap = next(
+                (s for s in self.snapshots if s.snapshot_id == snapshot_id),
+                None,
+            )
+            if snap is None:
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            if any(s.parent_id == snapshot_id for s in self.snapshots):
+                raise ValueError(
+                    f"snapshot {snapshot_id} has descendants; not staged?"
+                )
+            if snapshot_id == self.current_snapshot.snapshot_id:
+                raise ValueError("cannot discard the current snapshot")
+            if snapshot_id in set(self._meta.get("refs", {}).values()):
+                raise ValueError(f"snapshot {snapshot_id} is tagged")
+            others: set[str] = set()
+            for s in self.snapshots:
+                if s.snapshot_id == snapshot_id:
+                    continue
+                for fs in s.files.values():
+                    others.update(fs)
+            dead = [
+                f
+                for fs in snap.files.values()
+                for f in fs
+                if f not in others
+            ]
+            for rel in dead:
+                full = os.path.join(self.root, rel)
+                for p in (
+                    full,
+                    os.path.join(
+                        os.path.dirname(full),
+                        "." + os.path.basename(full) + ".crc",
+                    ),
+                ):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+            self._meta["snapshots"] = [
+                s.to_json()
+                for s in self.snapshots
+                if s.snapshot_id != snapshot_id
+            ]
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+            return len(dead)
 
     def rollback(self, snapshot_id: int) -> None:
         """Restore the table's visible state to an earlier snapshot.

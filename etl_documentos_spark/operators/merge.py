@@ -188,6 +188,7 @@ def adaptive_salts(
     spark: SparkSession,
     floor: int = 2,
     cap: int = 32,
+    target_file_bytes: int | None = None,
 ) -> int:
     """Salt count sized from the table's OBSERVED bucket skew — no manual
     tuning, no extra Spark job (reads the file manifest via
@@ -201,16 +202,27 @@ def adaptive_salts(
     the write-side complement of `operators.skew.detect_hot_keys` (which
     measures row-level key skew before any files exist); here the snapshot
     manifest already encodes the skew for free.
+
+    ``target_file_bytes`` (read-optimize passes): additionally cap the salt
+    count by how many files the data actually warrants —
+    ``ceil(hot_bucket_bytes / target)`` — so a maintenance compaction of a
+    small bucket collapses it to ONE file instead of fragmenting it into
+    ``h*P`` shards, while a multi-GB bucket keeps its parallel spread. Same
+    semantic as Iceberg's ``rewrite_data_files`` target-file-size-bytes.
     """
     import math
 
     sizes = table.bucket_sizes(buckets)
     total = sum(sizes.values())
     if total <= 0:
-        return floor
-    h = max(sizes.values()) / total
+        return floor if target_file_bytes is None else 1
+    hot = max(sizes.values())
+    h = hot / total
     p = spark.sparkContext.defaultParallelism
-    return max(floor, min(cap, math.ceil(h * p)))
+    salts = max(floor, min(cap, math.ceil(h * p)))
+    if target_file_bytes is not None:
+        salts = max(1, min(salts, math.ceil(hot / target_file_bytes)))
+    return salts
 
 
 def merge_mor(
@@ -244,6 +256,7 @@ def compact(
     table: LakeTable,
     buckets: list[int] | None = None,
     expire_tombstones_before=None,
+    target_file_bytes: int = 128 << 20,
 ) -> None:
     """Rewrite buckets with the LWW reduction applied (read-optimize).
 
@@ -257,13 +270,19 @@ def compact(
     timestamp literal would be re-interpreted in the session zone and could
     expire tombstones hours early in a non-UTC session).
 
+    ``target_file_bytes``: output-file sizing for the rewrite (per-bucket
+    salt count is capped at ``ceil(bucket_bytes / target)``) — compaction is
+    a read-optimize pass, so it must REDUCE file counts on small buckets,
+    not re-fragment them at the parallel write width.
+
     Split-safe: retried whole against fresh metadata on ``SpecConflictError``
     (same contract as ``merge_into``).
     """
     for _ in range(5):
         try:
             return _compact_once(
-                spark, table, buckets, expire_tombstones_before
+                spark, table, buckets, expire_tombstones_before,
+                target_file_bytes,
             )
         except SpecConflictError:
             table._refresh()
@@ -276,6 +295,7 @@ def _compact_once(
     table: LakeTable,
     buckets: list[int] | None,
     expire_tombstones_before,
+    target_file_bytes: int,
 ) -> None:
     target = table.live_buckets() if buckets is None else buckets
     # capture the exact file lists this rewrite reads: the commit replaces
@@ -296,7 +316,9 @@ def _compact_once(
             (~F.coalesce(F.col("_deleted"), F.lit(False)))
             | (F.unix_micros(F.col("ts")) >= F.lit(int(expire_tombstones_before)))
         )
-    salts = adaptive_salts(table, target, spark)
+    salts = adaptive_salts(
+        table, target, spark, target_file_bytes=target_file_bytes
+    )
     # clustered rewrite: compaction is the read-optimize pass, so sort by
     # key — files then cover contiguous (conv_id, turn_idx) ranges, the
     # manifest min/max stats are tight, and point lookups prune to ~1 file

@@ -610,7 +610,9 @@ def test_adaptive_salts_spread_hot_bucket(spark, tmp_path):
     # is the hot set demands strictly more spread than the cold set)
     assert salts >= floor_salts
 
-    compact(spark, table)
+    # tiny target_file_bytes so the size cap doesn't bind at test scale —
+    # the point here is the PARALLELISM spread, asserted below
+    compact(spark, table, target_file_bytes=1)
     fresh = LakeTable.load(table_root)
     files = fresh.current_snapshot.files
     assert len(files[str(hot_b)]) >= salts // 2  # hot bucket spread out

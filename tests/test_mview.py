@@ -195,6 +195,40 @@ def test_streaming_attached_view_tracks_stream(spark, tmp_path):
     assert _got(spark, mv) == _expected(spark, pipeline2.table)
 
 
+def test_refresh_scans_only_touched_source_buckets(spark, src, tmp_path):
+    """The source side of a refresh is also scoped: only buckets holding
+    changed keys are scanned (plus the delta files the changelog names) —
+    the no-full-scan property that makes refresh O(delta) at 10^10 rows."""
+    mv = MaterializedView.create(
+        spark, src, str(tmp_path / "mv"), conv_stats_aggs()
+    )
+    for batch in BATCHES:
+        _append(spark, src, batch)
+    mv.refresh(spark, src)
+
+    scanned: list = []
+    orig = LakeTable.scan
+
+    def spy(self, spark_, buckets=None, **kw):
+        if self.root == src.root:
+            scanned.append(buckets)
+        return orig(self, spark_, buckets=buckets, **kw)
+
+    _append(spark, src, [ev("update", "c3", 7, 60, 11, "zzz v3")])
+    b3 = int(
+        spark.range(1).select(src.bucket_expr(F.lit("c3"))).first()[0]
+    )
+    try:
+        LakeTable.scan = spy
+        mv.refresh(spark, src)
+    finally:
+        LakeTable.scan = orig
+    assert scanned, "refresh never scanned the source?"
+    for buckets in scanned:
+        assert buckets is not None and set(buckets) == {b3}
+    assert _got(spark, mv) == _expected(spark, src)
+
+
 def test_untouched_buckets_not_rewritten(spark, src, tmp_path):
     """The view rewrite is scoped to the buckets of changed keys — the
     scale property (an idle conversation's view bucket never churns)."""
