@@ -1,0 +1,140 @@
+"""Predicate DML over a LakeTable: DELETE WHERE / UPDATE WHERE.
+
+The reference exposes row-lifecycle DML through its repository layer —
+delete-by-id (``/root/reference/app/database/repositories.py:70-83``) and
+field updates on existing documents (``repositories.py:51-68``) — always one
+row at a time. At lake scale the operations a real operator runs are
+set-oriented: "drop every turn of user X" (GDPR erasure), "retire transcripts
+older than the retention window", "redact a tool name everywhere". This
+module restates those as declarative predicate DML compiled onto the SAME
+version-checked merge primitive the CDC stream uses, so ad-hoc DML and
+streaming ingest can never disagree about visibility or ordering:
+
+1. read the CURRENT state (LWW winners, live rows) of the table and filter
+   it by the predicate — the matched rows are the DML's snapshot, exactly
+   like ``MERGE INTO t USING (SELECT ... FROM t WHERE p)`` in Iceberg/Delta;
+2. turn each matched row into a change event carrying the row's OWN version
+   plus one microsecond (``ts + 1µs``, same ``_lsn``): the generated event
+   out-versions precisely the row it read and nothing else. A concurrent
+   stream update with a newer event time still wins — predicate DML is
+   snapshot-consistent, it does not fence the future;
+3. route the events through ``merge_into`` — bucket pruning, adaptive
+   salting, tombstone fencing, atomic snapshot commit and time travel all
+   apply unchanged. Re-running a delete matches nothing (the victims are
+   gone) and commits an empty batch; re-running an update re-matches like
+   SQL UPDATE does and is value-idempotent for idempotent assignments.
+
+Deletes persist as ordinary ``_deleted`` tombstones, so a late-arriving
+pre-DML update cannot resurrect an erased key, and compaction's lateness
+watermark expires them on the normal schedule.
+
+Shuffle budget: one LWW hash-aggregation over the pruned current state to
+find victims + the merge's own combine. No sort, no driver-side rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_documentos_spark.lake.table import LakeTable
+from etl_documentos_spark.operators.lww import lww_dedup
+from etl_documentos_spark.operators.merge import SYSTEM_COL_NAMES, merge_into
+from etl_documentos_spark.schemas import KEY_COLS
+
+def _one_micro() -> Column:
+    """One version tick: the generated change out-versions the row it read.
+    (Built lazily — Column construction needs an active SparkContext.)"""
+    return F.expr("INTERVAL 1 MICROSECOND")
+
+
+def _current_rows(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Current live state WITH system columns (``_lsn`` feeds the version
+    tick; ``read_current`` drops it, so DML reduces the scan itself)."""
+    cur = lww_dedup(
+        table.scan(spark), key_cols=KEY_COLS, order_cols=("ts", "_lsn")
+    )
+    return cur.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+
+
+def _as_predicate(predicate: Column | str) -> Column:
+    return F.expr(predicate) if isinstance(predicate, str) else predicate
+
+
+def _apply(
+    spark: SparkSession, table: LakeTable, changes: DataFrame
+) -> int:
+    """Run the generated change batch through the version-checked merge;
+    returns the number of rows the DML affected."""
+    changes = changes.persist()
+    try:
+        stats = merge_into(spark, table, changes, compute_stats=True)
+        return int(stats.events_in)
+    finally:
+        changes.unpersist()
+
+
+def delete_where(
+    spark: SparkSession, table: LakeTable, predicate: Column | str
+) -> int:
+    """DELETE FROM table WHERE predicate — returns rows deleted.
+
+    Matched current rows become delete tombstones versioned one microsecond
+    above the row they erase (see module docstring for the consistency
+    contract). Payload columns ride along NULL; the tombstone's only job is
+    to out-version its victim and fence late duplicates.
+    """
+    victims = _current_rows(spark, table).filter(_as_predicate(predicate))
+    changes = victims.select(
+        F.lit("delete").alias("op"),
+        *[F.col(k) for k in KEY_COLS],
+        (F.col("ts") + _one_micro()).alias("ts"),
+        F.col("_lsn").alias("lsn"),
+    )
+    return _apply(spark, table, changes)
+
+
+def update_where(
+    spark: SparkSession,
+    table: LakeTable,
+    predicate: Column | str,
+    assignments: dict[str, Column],
+) -> int:
+    """UPDATE table SET col = expr, ... WHERE predicate — returns rows
+    updated.
+
+    ``assignments`` maps column name -> Column expression evaluated against
+    the matched row (so ``{"text": F.concat(F.col("text"), F.lit("!"))}``
+    works). Key columns cannot be assigned (that is a delete + insert, two
+    different keys); ``ts`` cannot be assigned (it IS the row version — the
+    engine advances it by the one-microsecond tick).
+    """
+    names = {f.name for f in table.schema.fields}
+    bad = set(assignments) - names
+    if bad:
+        raise ValueError(f"unknown columns: {sorted(bad)}")
+    fenced = set(assignments) & ({*KEY_COLS, "ts", *SYSTEM_COL_NAMES})
+    if fenced:
+        raise ValueError(
+            f"cannot assign {sorted(fenced)}: key columns identify the row; "
+            "ts and the system columns are the row version (engine-managed)"
+        )
+    victims = _current_rows(spark, table).filter(_as_predicate(predicate))
+    payload = [
+        f.name
+        for f in table.schema.fields
+        if f.name not in KEY_COLS
+        and f.name != "ts"
+        and f.name not in SYSTEM_COL_NAMES  # merge re-derives these
+    ]
+    changes = victims.select(
+        F.lit("update").alias("op"),
+        *[F.col(k) for k in KEY_COLS],
+        *[
+            (assignments[c] if c in assignments else F.col(c)).alias(c)
+            for c in payload
+        ],
+        (F.col("ts") + _one_micro()).alias("ts"),
+        F.col("_lsn").alias("lsn"),
+    )
+    return _apply(spark, table, changes)

@@ -223,6 +223,81 @@ _SCHEMA_EVOLUTION_SQL = f"""
 """
 
 
+def q_dml_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML through the real lake machinery: the change stream is
+    MERGEd into a scratch LakeTable, then a retention DELETE WHERE erases
+    every turn with ``turn_idx % 5 = 0`` and a redaction UPDATE WHERE
+    rewrites the text of every turn with ``turn_idx % 5 = 1`` (the
+    assignment reads the matched row's own columns). Both compile onto the
+    version-checked merge, so the final ``read_current`` equals the oracle's
+    closed form: LWW winners, minus the deleted stratum, with redacted text
+    and the engine's one-microsecond version tick on updated rows.
+
+    Result re-materialized locally (bounded: <=50 convs x 20 turns at any
+    SF) so the returned plan does not depend on the scratch table.
+
+    Reference parity: delete-by-id and field-update repository operations
+    (/root/reference/app/database/repositories.py:51-83), restated as
+    set-oriented predicate DML.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.dml import delete_where, update_where
+    from etl_documentos_spark.operators.merge import (
+        merge_into,
+        physical_schema,
+        read_current,
+    )
+
+    ch = _derive_changes(spark, sf_dir)
+    ch_types = {f.name: f.dataType for f in ch.schema.fields}
+    narrow = T.StructType(
+        [
+            T.StructField(c, ch_types[c], c not in ("conv_id", "turn_idx"))
+            for c in ("conv_id", "turn_idx", "role", "text", "ts")
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dml_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/transcripts", physical_schema(narrow), num_buckets=8
+        )
+        merge_into(spark, table, ch)
+        delete_where(spark, table, "turn_idx % 5 = 0")
+        update_where(
+            spark,
+            table,
+            "turn_idx % 5 = 1",
+            {"text": F.concat(F.lit("redacted:"), F.col("role"))},
+        )
+        cur = read_current(spark, table)
+        return spark.createDataFrame(cur.collect(), cur.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DML_RETENTION_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch),
+    cur AS (
+      SELECT conv_id, turn_idx, role, text, ts
+      FROM ranked WHERE rn = 1 AND op <> 'delete')
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN turn_idx % 5 = 1 THEN 'redacted:' || role
+                ELSE text END AS text,
+           CASE WHEN turn_idx % 5 = 1 THEN ts + INTERVAL 1 MICROSECOND
+                ELSE ts END AS ts
+    FROM cur WHERE turn_idx % 5 <> 0
+"""
+
+
 def q_mview_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained materialized view through the real lake
     machinery: three change tranches are MOR-appended to a scratch source
@@ -2431,6 +2506,7 @@ QUERIES: dict[str, Query] = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
+    "dml_retention": q_dml_retention,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2444,7 +2520,6 @@ QUERIES: dict[str, Query] = {
     "asof_join": q_asof_join,
     "gif_decode": q_gif_decode,
     "gif_frame_sample": q_gif_frame_sample,
-    "quality_scores": q_quality_scores,
     "near_dup_jaccard": q_near_dup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
@@ -2498,6 +2573,7 @@ QUERIES: dict[str, Query] = {
     "paginate_events": q_paginate_events,
     "customers_with_orders_by_region": q_customers_with_orders_by_region,
     "longest_text_per_lang": q_longest_text_per_lang,
+    "quality_scores": q_quality_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -2530,6 +2606,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
+    "dml_retention": _DML_RETENTION_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
