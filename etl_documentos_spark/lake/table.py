@@ -77,8 +77,82 @@ def _stat_json(v):
     return None
 
 
+# --------------------------------------------------------------------------
+# per-file bloom filters (Iceberg puffin-blob analogue) for point lookups
+# --------------------------------------------------------------------------
+#: bloom sizing: ~10 bits/distinct value at k=7 gives ~0.8% false positives;
+#: the cap bounds manifest growth per file (32 KiB raw, less after zlib)
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 7
+_BLOOM_MAX_BITS = 1 << 18
+
+
+def _bloom_canon(v) -> bytes | None:
+    """Canonical bytes for a bloom value — MUST agree between build time
+    (python objects out of pyarrow) and probe time (caller-supplied prune
+    literals). Strings hash as utf-8; everything else goes through
+    ``_stat_json`` (ints stay ints, timestamps become epoch micros) so both
+    sides collapse to the same representation. None = not canonizable —
+    the probe then keeps the file (never unsafe)."""
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    j = _stat_json(v)
+    if j is None or isinstance(j, float):
+        return None  # no portable exact representation -> no bloom
+    return str(j).encode("utf-8")
+
+
+def _bloom_positions(data: bytes, m: int, k: int):
+    """k bit positions via double hashing over one md5 (h1 + i*h2 mod m)."""
+    import hashlib
+
+    d = hashlib.md5(data).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_build(values) -> list | None:
+    """Build a serialized bloom filter over an iterable of values.
+
+    Returns ``[m_bits, k, zlib+base64 bitset]`` (JSON-friendly, rides in
+    the manifest's per-file stats) or None when nothing canonizable. Sized
+    at ~10 bits per distinct value, capped — a file with more distincts
+    than the cap supports still gets a (weaker) filter; correctness never
+    depends on the false-positive rate."""
+    import base64
+    import zlib
+
+    keys = {c for v in values if (c := _bloom_canon(v)) is not None}
+    if not keys:
+        return None
+    m = min(_BLOOM_MAX_BITS, max(64, _BLOOM_BITS_PER_VALUE * len(keys)))
+    m = (m + 7) & ~7
+    bits = bytearray(m // 8)
+    for c in keys:
+        for p in _bloom_positions(c, m, _BLOOM_K):
+            bits[p >> 3] |= 1 << (p & 7)
+    return [m, _BLOOM_K, base64.b64encode(zlib.compress(bytes(bits))).decode()]
+
+
+def bloom_might_contain(blob: list, v) -> bool:
+    """Probe a serialized bloom. True = maybe present (or not canonizable);
+    False = PROVABLY absent — the only answer that may skip a file."""
+    import base64
+    import zlib
+
+    c = _bloom_canon(v)
+    if c is None:
+        return True
+    m, k, b64 = int(blob[0]), int(blob[1]), blob[2]
+    bits = zlib.decompress(base64.b64decode(b64))
+    return all(
+        bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(c, m, k)
+    )
+
+
 def collect_parquet_stats(
-    root: str, files: list[str], cols: list[str]
+    root: str, files: list[str], cols: list[str], bloom_cols: list[str] | None = None
 ) -> dict[str, dict[str, list]]:
     """Per-file [min, max] for ``cols`` from parquet FOOTERS only.
 
@@ -95,10 +169,21 @@ def collect_parquet_stats(
     writer didn't record, is simply absent from that file's entry — scans
     then never skip that file on that column. NULL-only row groups
     contribute no bound.
+
+    ``bloom_cols`` (opt-in via the ``stats.bloom.cols`` table property):
+    additionally build a per-file bloom filter over each listed column's
+    DISTINCT values, stored under ``bloom:<col>`` (the Iceberg puffin-blob
+    analogue). Unlike min/max, this costs one column read per new file —
+    still O(files-per-commit) — and pays off exactly where min/max cannot:
+    point lookups against UNSORTED files (MOR delta files between
+    compactions), whose [min, max] spans the whole key space while the
+    bloom proves absence per key. Probed by ``LakeTable._stats_overlap``
+    for equality prunes.
     """
     import pyarrow.parquet as pq
 
     want = set(cols)
+    blooms = [c for c in (bloom_cols or []) if c]
     out: dict[str, dict[str, list]] = {}
     for rel in files:
         try:
@@ -106,6 +191,23 @@ def collect_parquet_stats(
         except OSError:
             continue
         per: dict[str, list] = {}
+        if blooms:
+            import pyarrow.compute as pc
+
+            try:
+                have = set(md.schema.names)
+                tbl = pq.read_table(
+                    os.path.join(root, rel),
+                    columns=[c for c in blooms if c in have],
+                )
+                for c in tbl.column_names:
+                    blob = bloom_build(
+                        pc.drop_null(tbl[c].combine_chunks().unique()).to_pylist()
+                    )
+                    if blob is not None:
+                        per[f"bloom:{c}"] = blob
+            except OSError:
+                pass
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -277,6 +379,17 @@ class LakeTable:
         names = {f.name for f in self.schema.fields}
         return [c for c in cols if c in names]
 
+    def stat_bloom_cols(self) -> list[str]:
+        """Columns with per-file bloom filters in the manifest (opt-in via
+        the ``stats.bloom.cols`` table property, comma list). Empty by
+        default — blooms cost a column read per newly committed file, so
+        tables that never serve point lookups on unsorted deltas skip it."""
+        prop = self._meta["properties"].get("stats.bloom.cols")
+        if not prop:
+            return []
+        names = {f.name for f in self.schema.fields}
+        return [c for c in prop.split(",") if c and c in names]
+
     def live_buckets(self) -> list[int]:
         """All addressable bucket ids under the current (possibly mixed)
         spec: unsplit base ids plus both children of each split base."""
@@ -360,15 +473,22 @@ class LakeTable:
 
     @staticmethod
     def _stats_overlap(st: dict | None, prune: dict[str, tuple]) -> bool:
-        """True unless the file's recorded ranges PROVE it cannot match."""
+        """True unless the file's recorded stats PROVE it cannot match:
+        the [min, max] range is disjoint from the prune range, or — for a
+        point prune (lo == hi) — the file's bloom filter proves the key
+        absent. Files missing a stat are always kept."""
         if not st:
             return True
         for col, (lo, hi) in prune.items():
             r = st.get(col)
-            if r is None:
-                continue
-            if (hi is not None and r[0] > hi) or (lo is not None and r[1] < lo):
+            if r is not None and (
+                (hi is not None and r[0] > hi) or (lo is not None and r[1] < lo)
+            ):
                 return False
+            if lo is not None and lo == hi:
+                blob = st.get(f"bloom:{col}")
+                if blob is not None and not bloom_might_contain(blob, lo):
+                    return False
         return True
 
     # -------------------------------------------------------------- commits
@@ -899,6 +1019,22 @@ class LakeTable:
                 self._refresh()  # restage under the new transform
         raise SpecConflictError("spec kept changing across 5 retries")
 
+    def epoch_append_stats(
+        self, files: dict[str, list[str]]
+    ) -> dict[str, dict] | None:
+        """Manifest stats for a HOT-PATH epoch append (the CDC pipeline's
+        per-epoch commit). Collected only when the table opts in — bloom
+        columns configured, or ``stats.on-epoch-append=true``: per-epoch
+        footer/column reads are a deliberate spend for tables that serve
+        point lookups on uncompacted deltas; pure-ingest tables skip them
+        here and get stats at compaction time instead."""
+        if (
+            self.stat_bloom_cols()
+            or self._meta["properties"].get("stats.on-epoch-append") == "true"
+        ):
+            return self._collect_stats(files)
+        return None
+
     def _collect_stats(
         self, files: dict[str, list[str]]
     ) -> dict[str, dict] | None:
@@ -908,10 +1044,11 @@ class LakeTable:
         invisible until commit), so the metadata-only critical section
         stays metadata-only."""
         cols = self.stat_cols()
-        if not cols:
+        blooms = self.stat_bloom_cols()
+        if not cols and not blooms:
             return None
         flat = [p for fs in files.values() for p in fs]
-        return collect_parquet_stats(self.root, flat, cols)
+        return collect_parquet_stats(self.root, flat, cols, bloom_cols=blooms)
 
     def write_data_files(
         self, df: DataFrame, salts: int | None = None

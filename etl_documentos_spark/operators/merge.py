@@ -360,6 +360,10 @@ def point_lookup(spark: SparkSession, table: LakeTable, conv_id) -> DataFrame:
     that bucket — after a sorted compaction each file covers a contiguous
     conv_id range, so the scan opens ~1 base file plus any still-uncompacted
     MOR delta files (kept conservatively: no stats or overlapping range).
+    With the ``stats.bloom.cols`` table property on, per-file bloom filters
+    additionally prove the key absent from most of those unsorted delta
+    files (min/max is blind there), closing the read-amplification gap
+    between compactions.
     The row-level filter + LWW reduction then run over that handful of
     files. No shuffle beyond the per-key aggregation of a few hundred rows.
     """

@@ -264,8 +264,12 @@ class CdcPipeline:
                 if not files:
                     break
                 try:
+                    # opt-in manifest stats (blooms), outside the lock
+                    new_stats = self.table.epoch_append_stats(files)
                     with self._commit_lock:
-                        self.table.commit_append(files, staged_spec=spec)
+                        self.table.commit_append(
+                            files, staged_spec=spec, new_stats=new_stats
+                        )
                     break
                 except SpecConflictError:
                     # a concurrent split/rebucket re-keyed the buckets:
@@ -412,8 +416,12 @@ class CdcPipeline:
                 if not files:
                     break
                 try:
+                    # opt-in manifest stats (blooms), outside the lock
+                    new_stats = self.table.epoch_append_stats(files)
                     with self._commit_lock:
-                        self.table.commit_append(files, staged_spec=spec)
+                        self.table.commit_append(
+                            files, staged_spec=spec, new_stats=new_stats
+                        )
                     break
                 except SpecConflictError:
                     # restage under the fresh spec; stats were already
