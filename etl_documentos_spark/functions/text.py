@@ -28,6 +28,8 @@ RE_CURRENCY_BRL = "R\\$ ?[0-9.,]+"
 RE_CPF = "[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}"
 RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 RE_WORD = "[A-Za-z0-9]+"
+RE_CNPJ_FMT = "[0-9]{2}\\.[0-9]{3}\\.[0-9]{3}/[0-9]{4}-[0-9]{2}"
+RE_PHONE_BR = "\\(?[0-9]{2}\\)? ?9?[0-9]{4}-[0-9]{4}"
 
 
 def extract_all(col: Column | str, pattern: str) -> Column:
@@ -35,6 +37,48 @@ def extract_all(col: Column | str, pattern: str) -> Column:
     regexp_extract_all default)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+
+
+#: PII redaction order: formats that embed other formats' shapes go first
+#: (CNPJ's digit groups would otherwise be half-eaten by the phone rule)
+_PII_RULES: list[tuple[str, str]] = [
+    (RE_EMAIL, "[email]"),
+    (RE_CNPJ_FMT, "[cnpj]"),
+    (RE_CPF, "[cpf]"),
+    (RE_PHONE_BR, "[phone]"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask personally identifying spans (emails, CPF/CNPJ documents,
+    Brazilian phone numbers) with typed placeholders — the set-oriented
+    redaction primitive for GDPR/LGPD pipelines (pair with
+    ``operators.dml.update_where`` to redact a lake table in place).
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, no UDF; the rule
+    list is mirrored verbatim by the DuckDB oracle (Spark's regexp_replace
+    is replace-all, DuckDB needs the 'g' flag). Pattern-based masking, not
+    validation: a formatted-but-invalid CPF still redacts (the right
+    default for an eraser); pair with ``cpf_valid``/``cnpj_valid`` when
+    only checksum-valid documents should count.
+
+    Reference parity: the same regex family the reference extracts
+    (``/root/reference/app/utils/text_utils.py:32-143``), turned from
+    extraction into erasure.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, mask in _PII_RULES:
+        c = F.regexp_replace(c, pat, mask)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Number of PII spans ``redact_pii`` would mask (pre-redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lit(0)
+    for pat, _ in _PII_RULES:
+        out = out + F.size(extract_all(c, pat))
+    return out
 
 
 #: Latin-1/Latin-Extended accent fold map (applied after lowercasing, so the

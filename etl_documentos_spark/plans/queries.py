@@ -1544,6 +1544,48 @@ _EXTRACT_SQL = r"""
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (GDPR/LGPD eraser) over seasoned text: emails, CPF,
+    formatted CNPJ and Brazilian phone numbers replaced with typed
+    placeholders via the codegen-only ``redact_pii`` chain; ``n_pii``
+    counts the spans masked. The oracle mirrors the rule list verbatim
+    with 'g'-flagged regexp_replace."""
+    d = load(spark, sf_dir, "documents")
+    seasoned = F.concat(
+        F.col("text"),
+        F.lit(
+            " contato a@b.com CPF 123.456.789-00 CNPJ 12.345.678/0001-90"
+            " tel (11) 98765-4321"
+        ),
+    )
+    t = d.select("doc_id", seasoned.alias("s"))
+    return t.select(
+        "doc_id",
+        tx.redact_pii(F.col("s")).alias("redacted"),
+        tx.pii_counts(F.col("s")).alias("n_pii"),
+    )
+
+
+_PII_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contato a@b.com CPF 123.456.789-00 CNPJ 12.345.678/0001-90 tel (11) 98765-4321' AS s
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[email]', 'g'),
+             '[0-9]{2}\.[0-9]{3}\.[0-9]{3}/[0-9]{4}-[0-9]{2}', '[cnpj]', 'g'),
+             '[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}', '[cpf]', 'g'),
+             '\(?[0-9]{2}\)? ?9?[0-9]{4}-[0-9]{4}', '[phone]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(s, '[0-9]{2}\.[0-9]{3}\.[0-9]{3}/[0-9]{4}-[0-9]{2}'))
+              + len(regexp_extract_all(s, '[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}'))
+              + len(regexp_extract_all(s, '\(?[0-9]{2}\)? ?9?[0-9]{4}-[0-9]{4}'))
+             AS INT) AS n_pii
+    FROM t
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: opaque blob column -> size + content hash
     (builtins only; the decode stub is `multimodal_decode` below)."""
@@ -2507,6 +2549,7 @@ QUERIES: dict[str, Query] = {
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
+    "pii_redaction": q_pii_redaction,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2523,7 +2566,6 @@ QUERIES: dict[str, Query] = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
-    "llm_cost_report": q_llm_cost_report,
     "simhash": q_simhash,
     "extract_patterns": q_extract_patterns,
     "multimodal_meta": q_multimodal_meta,
@@ -2574,6 +2616,7 @@ QUERIES: dict[str, Query] = {
     "customers_with_orders_by_region": q_customers_with_orders_by_region,
     "longest_text_per_lang": q_longest_text_per_lang,
     "quality_scores": q_quality_scores,
+    "llm_cost_report": q_llm_cost_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -2607,6 +2650,7 @@ ORACLES: dict[str, str] = {
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,
+    "pii_redaction": _PII_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,

@@ -42,44 +42,43 @@ def main() -> None:
     ap.add_argument("--skip-compact", action="store_true")
     ap.add_argument("--compact-at-files", type=int, default=8,
                     help="rewrite buckets holding more delta files than this")
+    ap.add_argument("--split-over-gb", type=float, default=None,
+                    help="power-of-two split base buckets larger than this")
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args()
 
+    from etl_documentos_spark.lake.maintenance import maintain
     from etl_documentos_spark.lake.table import LakeTable
-    from etl_documentos_spark.operators.merge import compact
     from etl_documentos_spark.session import get_spark
 
     table = LakeTable.load(args.table)
-    report: dict = {"table": args.table}
-
-    if not args.skip_compact:
-        # only buckets whose delta-file count crossed the threshold — the
-        # same policy the streaming pipeline applies inline
-        hot = [
-            int(b)
-            for b, fs in table.current_snapshot.files.items()
-            if len(fs) > args.compact_at_files
-        ]
-        report["compact_buckets"] = sorted(hot)
-        if hot:
-            spark = get_spark("maintain", master=args.master)
-            before = len(
-                [p for fs in table.current_snapshot.files.values() for p in fs]
-            )
-            compact(spark, table, buckets=hot)
-            table._refresh()
-            after = len(
-                [p for fs in table.current_snapshot.files.values() for p in fs]
-            )
-            report["compact_files_before"] = before
-            report["compact_files_after"] = after
-
-    report["snapshots_expired_files"] = table.expire_snapshots(
-        keep_last=args.keep_snapshots
+    spark = get_spark("maintain", master=args.master)
+    before = len(
+        [p for fs in table.current_snapshot.files.values() for p in fs]
     )
-    report["orphans_removed"] = table.remove_orphan_files(
-        grace_seconds=args.orphan_grace_hours * 3600
+    r = maintain(
+        spark,
+        table,
+        compact_over_files=(10**9 if args.skip_compact else args.compact_at_files),
+        keep_snapshots=args.keep_snapshots,
+        orphan_grace_seconds=args.orphan_grace_hours * 3600,
+        split_over_bytes=(
+            int(args.split_over_gb * (1 << 30)) if args.split_over_gb else None
+        ),
     )
+    table._refresh()
+    after = len(
+        [p for fs in table.current_snapshot.files.values() for p in fs]
+    )
+    report = {
+        "table": args.table,
+        "compact_buckets": r.buckets_compacted,
+        "split_buckets": r.buckets_split,
+        "compact_files_before": before,
+        "compact_files_after": after,
+        "snapshots_expired_files": r.expired_files_deleted,
+        "orphans_removed": r.orphan_files_deleted,
+    }
     print(report)
 
 
