@@ -687,6 +687,20 @@ class LakeTable:
         data_cols = [c for c in df.columns if c not in sidecar]
         with_key_sketch = stats and "_ch" in df.columns
 
+        # writer-inline manifest stats (same opt-in gate as
+        # `epoch_append_stats`): each write task folds min/max + bloom for
+        # the stat columns over the Arrow batches it already holds and
+        # ships them back as "m" rows — the cluster-scale form of
+        # `collect_parquet_stats`, which would otherwise re-read one column
+        # of every new file ON THE DRIVER per epoch (a driver bottleneck at
+        # 1000 executors). Cost when the table has not opted in: zero.
+        man_on = (
+            bool(self.stat_bloom_cols())
+            or self._meta["properties"].get("stats.on-epoch-append") == "true"
+        )
+        man_cols = [c for c in self.stat_cols() if c in data_cols]
+        man_blooms = [c for c in self.stat_bloom_cols() if c in data_cols]
+
         def write_partition(batches):
             import os as _os
             import uuid as _uuid
@@ -762,6 +776,35 @@ class LakeTable:
                         mask = keys == k
                         _np.maximum.at(reg, idx[mask], rho[mask])
 
+            # per-bucket-file manifest accumulators (only when opted in):
+            # running [lo, hi] per stat col and the distinct-value set per
+            # bloom col, folded at flush time from the Arrow buffers
+            man_range: dict[int, dict] = {}
+            man_vals: dict[int, dict] = {}
+
+            def _fold_manifest(b: int, tbl) -> None:
+                rng = man_range.setdefault(b, {})
+                vs = man_vals.setdefault(b, {})
+                for c in man_cols:
+                    mm = _pc.min_max(tbl.column(c))
+                    lo = _stat_json(mm["min"].as_py())
+                    hi = _stat_json(mm["max"].as_py())
+                    if lo is None or hi is None:
+                        continue
+                    cur = rng.get(c)
+                    rng[c] = (
+                        [lo, hi]
+                        if cur is None
+                        else [min(cur[0], lo), max(cur[1], hi)]
+                    )
+                for c in man_blooms:
+                    acc = vs.setdefault(c, set())
+                    acc.update(
+                        v
+                        for v in _pc.unique(tbl.column(c)).to_pylist()
+                        if v is not None
+                    )
+
             def flush(b: int) -> None:
                 parts = buf.get(b)
                 if not parts:
@@ -779,6 +822,8 @@ class LakeTable:
                     counts[b] = 0
                 w.write_table(tbl)
                 counts[b] += tbl.num_rows
+                if man_on:
+                    _fold_manifest(b, tbl)
                 buf[b] = []
                 buf_rows[b] = 0
 
@@ -872,6 +917,7 @@ class LakeTable:
                     ("max_lsn", _pa.int64()),
                     ("max_ts", _pa.int64()),
                     ("sketch", _pa.binary()),
+                    ("stats_json", _pa.string()),
                 ]
             )
             nil = [None] * len(names)
@@ -892,9 +938,44 @@ class LakeTable:
                         "max_lsn": nil,
                         "max_ts": nil,
                         "sketch": nil,
+                        "stats_json": nil,
                     },
                     schema=out_schema,
                 )
+            if man_on and names:
+                import json as _json
+
+                mstats: dict[int, str] = {}
+                for b, name in names.items():
+                    per = dict(man_range.get(b, {}))
+                    for c, vals in man_vals.get(b, {}).items():
+                        blob = bloom_build(vals)
+                        if blob is not None:
+                            per[f"bloom:{c}"] = blob
+                    if per:
+                        mstats[b] = _json.dumps(per)
+                if mstats:
+                    nm = [None] * len(mstats)
+                    yield _pa.RecordBatch.from_pydict(
+                        {
+                            "kind": ["m"] * len(mstats),
+                            "bucket": list(mstats.keys()),
+                            "path": [names[b] for b in mstats],
+                            "nrows": nm,
+                            "epoch": nm,
+                            "sp": nm,
+                            "h0": nm,
+                            "h1": nm,
+                            "h2": nm,
+                            "n": nm,
+                            "ndel": nm,
+                            "max_lsn": nm,
+                            "max_ts": nm,
+                            "sketch": nm,
+                            "stats_json": list(mstats.values()),
+                        },
+                        schema=out_schema,
+                    )
             if stat_parts:
                 merged = (
                     _pa.concat_tables(stat_parts)
@@ -941,6 +1022,7 @@ class LakeTable:
                             merged.column("ts_max_max"), _pa.int64()
                         ).combine_chunks(),
                         "sketch": [None] * k,
+                        "stats_json": [None] * k,
                     },
                     schema=out_schema,
                 )
@@ -964,6 +1046,7 @@ class LakeTable:
                         "max_lsn": none_k,
                         "max_ts": none_k,
                         "sketch": [sketches[k].tobytes() for k in ks],
+                        "stats_json": none_k,
                     },
                     schema=out_schema,
                 )
@@ -972,21 +1055,24 @@ class LakeTable:
             write_partition,
             "kind string, bucket int, path string, nrows long, epoch int, "
             "sp int, h0 long, h1 long, h2 long, n long, ndel long, "
-            "max_lsn long, max_ts long, sketch binary",
+            "max_lsn long, max_ts long, sketch binary, stats_json string",
         ).collect()
         files: dict[str, list[str]] = {}
         stat_rows = []
+        manifest: dict[str, dict] = {}
         for r in rows:
             if r["kind"] == "f":
                 files.setdefault(str(r["bucket"]), []).append(
                     f"{rel}/{r['path']}"
                 )
+            elif r["kind"] == "m":
+                manifest[f"{rel}/{r['path']}"] = json.loads(r["stats_json"])
             else:
                 stat_rows.append(r)
         files = {b: sorted(fs) for b, fs in files.items()}
         if stats:
-            return files, stat_rows
-        return files
+            return files, stat_rows, manifest or None
+        return files, manifest or None
 
     def write_data_files_direct(
         self,
@@ -996,24 +1082,29 @@ class LakeTable:
     ):
         """Stage files via the shuffle-free Arrow writer (no commit).
 
+        Returns ``(files, manifest_stats)`` — manifest_stats is the
+        writer-inline per-file stats dict (None unless the table opted in
+        via ``stats.bloom.cols`` / ``stats.on-epoch-append``).
         ``stats=True``: df carries ``_h``/``epoch``/``source_partition``
-        sidecar columns; returns ``(files, stats_rows)`` (see
-        ``_write_data_direct``)."""
+        sidecar columns; returns ``(files, stats_rows, manifest_stats)``
+        (see ``_write_data_direct``)."""
         return self._write_data_direct(df, target_tasks, stats=stats)
 
     def append_direct(
         self, df: DataFrame, target_tasks: int | None = None
     ) -> None:
         """Append via the shuffle-free Arrow writer (raw change batches).
-        Retries staging if a concurrent split/rebucket changes the spec."""
+        Retries staging if a concurrent split/rebucket changes the spec.
+        Manifest stats come from the write tasks themselves when the table
+        opted in (no file re-read); otherwise from the footer pass."""
         for _ in range(5):
             spec = self.spec_fingerprint()
-            files = self._write_data_direct(df, target_tasks)
+            files, man_stats = self._write_data_direct(df, target_tasks)
             try:
                 return self.commit_append(
                     files,
                     staged_spec=spec,
-                    new_stats=self._collect_stats(files),
+                    new_stats=man_stats or self._collect_stats(files),
                 )
             except SpecConflictError:
                 self._refresh()  # restage under the new transform

@@ -257,18 +257,18 @@ class CdcPipeline:
             )
 
             spec = table.spec_fingerprint()
-            files, stat_rows = table.write_data_files_direct(
+            files, stat_rows, man_stats = table.write_data_files_direct(
                 aug, stats=True
             )
             for _ in range(5):
                 if not files:
                     break
                 try:
-                    # opt-in manifest stats (blooms), outside the lock
-                    new_stats = self.table.epoch_append_stats(files)
+                    # manifest stats came inline from the write tasks when
+                    # the table opted in; nothing extra on the default path
                     with self._commit_lock:
                         self.table.commit_append(
-                            files, staged_spec=spec, new_stats=new_stats
+                            files, staged_spec=spec, new_stats=man_stats
                         )
                     break
                 except SpecConflictError:
@@ -277,7 +277,7 @@ class CdcPipeline:
                     # deterministically from the same batch)
                     table = self.table
                     spec = table.spec_fingerprint()
-                    files, stat_rows = table.write_data_files_direct(
+                    files, stat_rows, man_stats = table.write_data_files_direct(
                         aug, stats=True
                     )
             else:
@@ -408,7 +408,7 @@ class CdcPipeline:
                 obs, *self._observe_exprs_for(changes.columns)
             )
             spec = table.spec_fingerprint()
-            files = table.write_data_files_direct(
+            files, man_stats = table.write_data_files_direct(
                 changes_to_physical(observed, table.schema),
                 target_tasks=self._epoch_write_tasks,
             )
@@ -416,11 +416,11 @@ class CdcPipeline:
                 if not files:
                     break
                 try:
-                    # opt-in manifest stats (blooms), outside the lock
-                    new_stats = self.table.epoch_append_stats(files)
+                    # manifest stats came inline from the write tasks when
+                    # the table opted in; nothing extra on the default path
                     with self._commit_lock:
                         self.table.commit_append(
-                            files, staged_spec=spec, new_stats=new_stats
+                            files, staged_spec=spec, new_stats=man_stats
                         )
                     break
                 except SpecConflictError:
@@ -428,7 +428,7 @@ class CdcPipeline:
                     # captured by the first (observed) write job
                     fresh = self.table
                     spec = fresh.spec_fingerprint()
-                    files = fresh.write_data_files_direct(
+                    files, man_stats = fresh.write_data_files_direct(
                         changes_to_physical(changes, fresh.schema),
                         target_tasks=self._epoch_write_tasks,
                     )
