@@ -687,8 +687,8 @@ class LakeTable:
         data_cols = [c for c in df.columns if c not in sidecar]
         with_key_sketch = stats and "_ch" in df.columns
 
-        # writer-inline manifest stats (same opt-in gate as
-        # `epoch_append_stats`): each write task folds min/max + bloom for
+        # writer-inline manifest stats (opt-in): each write task folds
+        # running min/max + a bloom distinct-set for the stat columns for
         # the stat columns over the Arrow batches it already holds and
         # ships them back as "m" rows — the cluster-scale form of
         # `collect_parquet_stats`, which would otherwise re-read one column
@@ -1109,22 +1109,6 @@ class LakeTable:
             except SpecConflictError:
                 self._refresh()  # restage under the new transform
         raise SpecConflictError("spec kept changing across 5 retries")
-
-    def epoch_append_stats(
-        self, files: dict[str, list[str]]
-    ) -> dict[str, dict] | None:
-        """Manifest stats for a HOT-PATH epoch append (the CDC pipeline's
-        per-epoch commit). Collected only when the table opts in — bloom
-        columns configured, or ``stats.on-epoch-append=true``: per-epoch
-        footer/column reads are a deliberate spend for tables that serve
-        point lookups on uncompacted deltas; pure-ingest tables skip them
-        here and get stats at compaction time instead."""
-        if (
-            self.stat_bloom_cols()
-            or self._meta["properties"].get("stats.on-epoch-append") == "true"
-        ):
-            return self._collect_stats(files)
-        return None
 
     def _collect_stats(
         self, files: dict[str, list[str]]
