@@ -1,0 +1,146 @@
+"""Lake-to-lake incremental replication over the changelog.
+
+Contract: after every tick the target's current state equals the source's;
+ticks read only the delta (incremental mode on MOR sources); crash-replay
+of a tick is a no-op; source maintenance is invisible; COW overwrites and
+expired cursors degrade to a full resync, never to wrong data.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_documentos_spark.lake.table import LakeTable
+from etl_documentos_spark.operators.merge import (
+    compact,
+    merge_into,
+    merge_mor,
+    physical_schema,
+    read_current,
+)
+from etl_documentos_spark.operators.replicate import CURSOR_PROP, replicate
+from etl_documentos_spark.schemas import TRANSCRIPTS
+
+T0 = datetime.datetime(2024, 1, 1)
+SCHEMA = (
+    "op string, conv_id string, turn_idx int, role string, text string,"
+    " tool string, ts timestamp, lsn long, source_partition int"
+)
+
+
+def _batch(spark, lo, hi, deletes=False):
+    rows = []
+    for i in range(lo, hi):
+        op = "delete" if deletes and i % 7 == 3 else "insert"
+        rows.append(
+            (
+                op,
+                f"conv_{i % 9}",
+                i % 5,
+                None if op == "delete" else "user",
+                None if op == "delete" else f"v{i}",
+                None,
+                T0 + datetime.timedelta(seconds=i),
+                i,
+                0,
+            )
+        )
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(spark, table):
+    return sorted(tuple(r) for r in read_current(spark, table).collect())
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    src = LakeTable.create(
+        str(tmp_path / "src"), physical_schema(TRANSCRIPTS), num_buckets=2
+    )
+    dst = LakeTable.create(
+        str(tmp_path / "dst"), physical_schema(TRANSCRIPTS), num_buckets=4
+    )  # bucket counts may differ: replication is logical, not file copy
+    return src, dst
+
+
+def test_replication_tracks_source(spark, pair):
+    src, dst = pair
+    t1 = replicate(spark, src, dst)
+    assert t1.mode == "bootstrap" and t1.events == 0
+
+    merge_mor(spark, src, _batch(spark, 0, 60, deletes=True))
+    t2 = replicate(spark, src, dst)
+    assert t2.mode == "incremental" and t2.events == 60
+    assert _state(spark, dst) == _state(spark, src)
+
+    merge_mor(spark, src, _batch(spark, 60, 90, deletes=True))
+    t3 = replicate(spark, src, dst)
+    assert t3.mode == "incremental" and t3.events == 30
+    assert _state(spark, dst) == _state(spark, src)
+
+    # nothing new -> noop (cursor already at current)
+    t4 = replicate(spark, src, dst)
+    assert t4.mode == "noop" and t4.events == 0
+
+
+def test_crash_before_cursor_advance_is_idempotent(spark, pair):
+    src, dst = pair
+    merge_mor(spark, src, _batch(spark, 0, 40, deletes=True))
+    t1 = replicate(spark, src, dst)
+    want = _state(spark, dst)
+    # simulate crash AFTER the data merge, BEFORE the cursor advanced:
+    # rewind the cursor and tick again — the delta re-applies as a no-op
+    dst.set_property(CURSOR_PROP, str(t1.from_snapshot_id or src.snapshots[0].snapshot_id))
+    dst._refresh()
+    t2 = replicate(spark, src, dst)
+    assert t2.events > 0  # the delta really was re-shipped
+    assert _state(spark, dst) == want == _state(spark, src)
+
+
+def test_source_maintenance_is_invisible(spark, pair):
+    src, dst = pair
+    merge_mor(spark, src, _batch(spark, 0, 50))
+    replicate(spark, src, dst)
+    compact(spark, src)  # maintenance rewrite between ticks
+    merge_mor(spark, src, _batch(spark, 50, 70))
+    t = replicate(spark, src, dst)
+    assert t.mode == "incremental" and t.events == 20
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_cow_overwrite_degrades_to_resync(spark, pair):
+    src, dst = pair
+    merge_mor(spark, src, _batch(spark, 0, 30))
+    replicate(spark, src, dst)
+    merge_into(spark, src, _batch(spark, 30, 50))  # logical COW overwrite
+    t = replicate(spark, src, dst)
+    assert t.mode == "resync"
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_schema_evolution_replicates(spark, pair):
+    src, dst = pair
+    merge_mor(spark, src, _batch(spark, 0, 30))
+    replicate(spark, src, dst)
+    from etl_documentos_spark.operators.evolve import evolve_if_needed
+
+    wide = _batch(spark, 30, 45).withColumn(
+        "tool_tag", F.concat(F.lit("t"), (F.col("lsn") % 3).cast("string"))
+    )
+    assert evolve_if_needed(wide, src) == ["tool_tag"]
+    merge_mor(spark, src, wide)
+    t = replicate(spark, src, dst)
+    assert t.mode == "incremental"
+    assert "tool_tag" in [f.name for f in dst.schema.fields]
+    a = sorted(
+        tuple(r)
+        for r in read_current(spark, dst).select("conv_id", "turn_idx", "tool_tag").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in read_current(spark, src).select("conv_id", "turn_idx", "tool_tag").collect()
+    )
+    assert a == b
