@@ -1544,6 +1544,86 @@ _EXTRACT_SQL = r"""
 """
 
 
+def q_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake CDC chaining through the real machinery: the change
+    stream lands in a MOR source table in three tranches with a
+    ``replicate`` tick after each (manifest-diff delta -> version-checked
+    merge into a target table with a DIFFERENT bucket count), plus a crash
+    replay of the final tick (cursor rewound, delta re-applied) and a
+    source compaction between ticks. The target's final state must equal
+    the oracle's single LWW reduction — proving delta planning, tombstone
+    shipping, idempotent replay and maintenance-invisibility in one row.
+
+    Result re-materialized locally (bounded: <=50 convs x 20 turns).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import (
+        compact,
+        merge_mor,
+        physical_schema,
+        read_current,
+    )
+    from etl_documentos_spark.operators.replicate import (
+        CURSOR_PROP,
+        replicate,
+    )
+
+    ch = _derive_changes(spark, sf_dir)
+    mx = int(ch.agg(F.max("lsn")).first()[0])
+    cuts = [0, mx // 3, 2 * mx // 3, mx + 1]
+    ch_types = {f.name: f.dataType for f in ch.schema.fields}
+    narrow = T.StructType(
+        [
+            T.StructField(c, ch_types[c], c not in ("conv_id", "turn_idx"))
+            for c in ("conv_id", "turn_idx", "role", "text", "ts")
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="repl_q_")
+    try:
+        src = LakeTable.create(
+            f"{root}/src", physical_schema(narrow), num_buckets=8
+        )
+        dst = LakeTable.create(
+            f"{root}/dst", physical_schema(narrow), num_buckets=4
+        )
+        last = None
+        for i in range(3):
+            merge_mor(
+                spark,
+                src,
+                ch.filter(
+                    (F.col("lsn") >= cuts[i]) & (F.col("lsn") < cuts[i + 1])
+                ),
+            )
+            if i == 1:
+                compact(spark, src)  # maintenance must be invisible
+            last = replicate(spark, src, dst)
+        # crash replay: rewind the cursor to before the last tick, re-tick
+        dst.set_property(CURSOR_PROP, str(last.from_snapshot_id))
+        dst._refresh()
+        replicate(spark, src, dst)
+        cur = read_current(spark, dst)
+        return spark.createDataFrame(cur.collect(), cur.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_REPLICATION_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking (GDPR/LGPD eraser) over seasoned text: emails, CPF,
     formatted CNPJ and Brazilian phone numbers replaced with typed
@@ -2550,6 +2630,7 @@ QUERIES: dict[str, Query] = {
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
     "pii_redaction": q_pii_redaction,
+    "cdc_replication": q_cdc_replication,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2567,7 +2648,6 @@ QUERIES: dict[str, Query] = {
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
     "simhash": q_simhash,
-    "extract_patterns": q_extract_patterns,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
@@ -2617,6 +2697,7 @@ QUERIES: dict[str, Query] = {
     "longest_text_per_lang": q_longest_text_per_lang,
     "quality_scores": q_quality_scores,
     "llm_cost_report": q_llm_cost_report,
+    "extract_patterns": q_extract_patterns,
 }
 
 ORACLES: dict[str, str] = {
@@ -2651,6 +2732,7 @@ ORACLES: dict[str, str] = {
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,
     "pii_redaction": _PII_SQL,
+    "cdc_replication": _REPLICATION_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
