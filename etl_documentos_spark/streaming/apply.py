@@ -85,6 +85,7 @@ class EpochResult:
     events: int
     duration_s: float
     added_columns: list[str]
+    quarantined: int = 0
 
 
 class CdcPipeline:
@@ -113,6 +114,7 @@ class CdcPipeline:
         n_source_partitions: int | None = 8,
         lateness_seconds: float | None = None,
         commitlog_keep_last: int = 4096,
+        quarantine: bool = False,
     ):
         assert mode in ("mor", "cow")
         self.spark = spark
@@ -135,6 +137,14 @@ class CdcPipeline:
         self.commitlog = CommitLog(os.path.join(workdir, "commits"))
         self.lineage_path = os.path.join(workdir, "lineage")
         self.metrics_path = os.path.join(workdir, "metrics")
+        #: dead-letter queue: rows failing row-level validity (unknown op,
+        #: null key/version) divert to ``<workdir>/dlq/epoch=N`` instead of
+        #: poisoning the merge (a null conv_id has no bucket; an unknown op
+        #: would silently upsert). Opt-in — the validity split costs one
+        #: extra filter pass over each batch. Schema-LEVEL drift (type
+        #: changes) still raises: that is a pipeline bug, not a bad row.
+        self.quarantine = quarantine
+        self.dlq_path = os.path.join(workdir, "dlq")
         #: serializes metadata commits (schema evolution, snapshot append,
         #: compaction) — the data-file write jobs themselves run unlocked, so
         #: concurrent epoch applies overlap executor work and only the cheap
@@ -385,10 +395,64 @@ class CdcPipeline:
                         expire_tombstones_before=self.tombstone_expiry,
                     )
 
+    def _quarantine_split(
+        self, changes: DataFrame, epoch_id: int
+    ) -> tuple[DataFrame, int]:
+        """Divert row-level-invalid events to the DLQ; return (valid, n_bad).
+
+        Validity = known op + non-null key/version columns — exactly the
+        invariants the merge/bucketing relies on. The DLQ write is an
+        overwrite of ``dlq/epoch=N``, so a crash-replayed epoch rewrites
+        the same rows instead of duplicating them (idempotent like every
+        other per-epoch sink). Quarantined rows keep every source column
+        plus a ``_dlq_reason`` for triage/replay tooling.
+        """
+        reason = (
+            F.when(
+                ~F.col("op").isin("insert", "update", "delete"),
+                F.lit("unknown_op"),
+            )
+            .when(F.col("conv_id").isNull(), F.lit("null_conv_id"))
+            .when(F.col("turn_idx").isNull(), F.lit("null_turn_idx"))
+            .when(F.col("lsn").isNull(), F.lit("null_lsn"))
+            .when(F.col("ts").isNull(), F.lit("null_ts"))
+        )
+        bad = changes.withColumn("_dlq_reason", reason).filter(
+            F.col("_dlq_reason").isNotNull()
+        )
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(self.dlq_path, f"epoch={epoch_id}")
+            )
+        return changes.filter(reason.isNull()), n_bad
+
+    def read_dlq(self, epochs: list[int] | None = None) -> DataFrame:
+        """Quarantined events (all epochs or a subset) for triage/replay."""
+        import glob
+
+        dirs = (
+            sorted(glob.glob(os.path.join(self.dlq_path, "epoch=*")))
+            if epochs is None
+            else [
+                os.path.join(self.dlq_path, f"epoch={e}") for e in epochs
+            ]
+        )
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            raise FileNotFoundError(f"no DLQ entries under {self.dlq_path}")
+        return self.spark.read.option(
+            "basePath", self.dlq_path
+        ).parquet(*dirs)
+
     def apply_epoch(self, changes: DataFrame, epoch_id: int) -> EpochResult:
         t0 = time.monotonic()
         if self.commitlog.is_committed(epoch_id):
             return EpochResult(epoch_id, True, 0, 0.0, [])
+
+        n_bad = 0
+        if self.quarantine:
+            changes, n_bad = self._quarantine_split(changes, epoch_id)
 
         with self._commit_lock:
             table = self.table
@@ -470,7 +534,9 @@ class CdcPipeline:
 
         if stats.n_events == 0:
             self.commitlog.commit(epoch_id, stats.fingerprint, stats.offsets)
-            return EpochResult(epoch_id, False, 0, time.monotonic() - t0, added)
+            return EpochResult(
+                epoch_id, False, 0, time.monotonic() - t0, added, n_bad
+            )
 
         # lineage rows come from the collected stats (no second agg job)
         append_lineage_rows(
@@ -493,5 +559,6 @@ class CdcPipeline:
             # max_offsets scans) bounded at millions of epochs
             self.commitlog.compact_log(self.commitlog_keep_last)
         return EpochResult(
-            epoch_id, False, stats.n_events, time.monotonic() - t0, added
+            epoch_id, False, stats.n_events, time.monotonic() - t0, added,
+            n_bad,
         )
