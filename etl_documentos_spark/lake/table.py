@@ -379,6 +379,13 @@ class LakeTable:
         names = {f.name for f in self.schema.fields}
         return [c for c in cols if c in names]
 
+    def write_compression(self) -> str:
+        """Parquet codec for data files (``write.compression`` property,
+        default snappy). zstd trades ~10-20% write CPU for ~30% smaller
+        files — at 100 TB that is storage AND scan bandwidth; both the
+        shuffled and the Arrow-direct writer honor it uniformly."""
+        return self._meta["properties"].get("write.compression", "snappy")
+
     def stat_bloom_cols(self) -> list[str]:
         """Columns with per-file bloom filters in the manifest (opt-in via
         the ``stats.bloom.cols`` table property, comma list). Empty by
@@ -598,7 +605,9 @@ class LakeTable:
             max_rows = int(
                 self._meta["properties"].get("write.max-records-per-file", 0)
             )
-            writer = part.write.mode("overwrite")
+            writer = part.write.mode("overwrite").option(
+                "compression", self.write_compression()
+            )
             if max_rows > 0:
                 writer = writer.option("maxRecordsPerFile", max_rows)
             writer.partitionBy("_bucket").parquet(out)
@@ -608,6 +617,7 @@ class LakeTable:
                     self.num_buckets * salt_k, F.col("_bucket"), salt
                 )
                 .write.mode("overwrite")
+                .option("compression", self.write_compression())
                 .partitionBy("_bucket")
                 .parquet(out)
             )
@@ -700,6 +710,7 @@ class LakeTable:
         )
         man_cols = [c for c in self.stat_cols() if c in data_cols]
         man_blooms = [c for c in self.stat_bloom_cols() if c in data_cols]
+        codec = self.write_compression()
 
         def write_partition(batches):
             import os as _os
@@ -817,7 +828,7 @@ class LakeTable:
                     writers[b] = w = _pq.ParquetWriter(
                         _os.path.join(out, name),
                         tbl.schema,
-                        compression="snappy",
+                        compression=codec,
                     )
                     counts[b] = 0
                 w.write_table(tbl)
