@@ -1544,6 +1544,56 @@ _EXTRACT_SQL = r"""
 """
 
 
+def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule invariant as a query: per-turn text equality UNDER
+    STABLE TURN ORDERING. The LWW final state is assembled into one
+    transcript string per conversation — turns sorted by turn_idx, each
+    rendered ``idx|role:text`` — so any ordering or text divergence
+    anywhere in the pipeline flips the hash. (Scalar output shape: the
+    sorted array is joined to a string, same driver-comparability lesson
+    as winnow_fingerprints.)
+
+    Reference parity: transcript re-assembly for display/export
+    (/root/reference/app/api/documentos.py list/detail endpoints).
+    """
+    ch = _derive_changes(spark, sf_dir)
+    win = lww.lww_dedup(ch).filter(F.col("op") != "delete")
+    turn = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text"))
+    )
+    return win.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                turn,
+                lambda s: F.concat(
+                    s.turn_idx.cast("string"),
+                    F.lit("|"),
+                    s.role,
+                    F.lit(":"),
+                    s.text,
+                ),
+            ),
+            "\n",
+        ).alias("transcript"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+_ASSEMBLY_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch),
+    cur AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+    SELECT conv_id,
+           string_agg(CAST(turn_idx AS VARCHAR) || '|' || role || ':' || text,
+                      chr(10) ORDER BY turn_idx) AS transcript,
+           COUNT(*) AS n_turns
+    FROM cur GROUP BY conv_id
+"""
+
+
 def q_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake-to-lake CDC chaining through the real machinery: the change
     stream lands in a MOR source table in three tranches with a
@@ -2631,6 +2681,7 @@ QUERIES: dict[str, Query] = {
     "dml_retention": q_dml_retention,
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
+    "transcript_assembly": q_transcript_assembly,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2648,7 +2699,6 @@ QUERIES: dict[str, Query] = {
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
     "simhash": q_simhash,
-    "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "near_dup_embedding": q_near_dup_embedding,
@@ -2698,6 +2748,7 @@ QUERIES: dict[str, Query] = {
     "quality_scores": q_quality_scores,
     "llm_cost_report": q_llm_cost_report,
     "extract_patterns": q_extract_patterns,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 ORACLES: dict[str, str] = {
@@ -2733,6 +2784,7 @@ ORACLES: dict[str, str] = {
     "dml_retention": _DML_RETENTION_SQL,
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
+    "transcript_assembly": _ASSEMBLY_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,

@@ -156,6 +156,8 @@ class CdcPipeline:
         #: derived tables maintained in-stream (lake/mview.py); refreshed
         #: after each micro-batch by start_stream's foreachBatch handler
         self._views: list = []
+        #: downstream lake tables replicated in-stream (operators/replicate)
+        self._replicas: list = []
 
     def attach_view(self, view) -> None:
         """Maintain a `lake.mview.MaterializedView` continuously: the
@@ -168,7 +170,19 @@ class CdcPipeline:
         not a correctness one."""
         self._views.append(view)
 
+    def attach_replica(self, target) -> None:
+        """Continuously replicate into another `LakeTable`: one
+        ``operators.replicate`` tick after every applied micro-batch.
+        Same freshness-not-correctness contract as ``attach_view`` — a
+        replica may lag and catch up from the changelog at any time."""
+        self._replicas.append(target)
+
     def refresh_views(self) -> None:
+        if self._replicas:
+            from etl_documentos_spark.operators.replicate import replicate
+
+            for t in self._replicas:
+                replicate(self.spark, self.table, t)
         if not self._views:
             return
         table = self.table

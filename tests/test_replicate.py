@@ -144,3 +144,30 @@ def test_schema_evolution_replicates(spark, pair):
         for r in read_current(spark, src).select("conv_id", "turn_idx", "tool_tag").collect()
     )
     assert a == b
+
+
+def test_streaming_attach_replica(spark, pair, tmp_path):
+    """Continuous replication riding the Structured Streaming tail."""
+    from etl_documentos_spark import datagen, oracle
+    from etl_documentos_spark.streaming.apply import CdcPipeline
+    from etl_documentos_spark.streaming.stream import run_stream_until_drained
+
+    src, dst = pair
+    events = str(tmp_path / "events")
+    df = datagen.change_stream(spark, n_events=4_000, events_per_epoch=1000)
+    datagen.write_epochs(df, events)
+    pipe = CdcPipeline(spark, src.root, str(tmp_path / "w"))
+    pipe.attach_replica(dst)
+    run_stream_until_drained(
+        pipe, events, str(tmp_path / "ckpt"), max_files_per_trigger=16
+    )
+    want = oracle.reduce_events([r.asDict() for r in df.collect()])
+    got = [
+        r.asDict()
+        for r in read_current(spark, dst)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert all(g[c] == w[c] for c in g)
