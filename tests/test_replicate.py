@@ -171,3 +171,90 @@ def test_streaming_attach_replica(spark, pair, tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert all(g[c] == w[c] for c in g)
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary batch/tick/crash/compact interleavings track the oracle
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+COLS = [f.name for f in CHANGE_EVENTS.fields]
+
+
+@st.composite
+def schedules(draw):
+    """A short random program over {batch, tick, crash-tick, compact}."""
+    n = draw(st.integers(min_value=12, max_value=40))
+    events = []
+    for lsn in range(n):
+        op = draw(st.sampled_from(["insert", "update", "delete"]))
+        events.append(
+            (
+                op,
+                f"c{draw(st.integers(0, 3))}",
+                draw(st.integers(0, 2)),
+                None if op == "delete" else "user",
+                None if op == "delete" else f"t{lsn}",
+                None,
+                T0 + datetime.timedelta(seconds=draw(st.integers(0, 6))),
+                lsn,
+                0,
+            )
+        )
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        {0, n, *(draw(st.integers(0, n)) for _ in range(n_batches - 1))}
+    )
+    batches = [events[a:b] for a, b in zip(cuts, cuts[1:])]
+    actions = []
+    for b in batches:
+        actions.append(("batch", b))
+        for a in draw(
+            st.lists(
+                st.sampled_from(["tick", "crash_tick", "compact"]), max_size=2
+            )
+        ):
+            actions.append((a, None))
+    actions.append(("tick", None))  # final catch-up
+    return events, actions
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(schedules())
+def test_replication_converges_under_arbitrary_schedules(spark, sched):
+    import shutil
+    import tempfile
+
+    events, actions = sched
+    root = tempfile.mkdtemp(prefix="prop_repl_")
+    try:
+        src = LakeTable.create(
+            f"{root}/src", physical_schema(TRANSCRIPTS), num_buckets=2
+        )
+        dst = LakeTable.create(
+            f"{root}/dst", physical_schema(TRANSCRIPTS), num_buckets=4
+        )
+        prev_cursor = None
+        for kind, payload in actions:
+            if kind == "batch" and payload:
+                merge_mor(
+                    spark, src, spark.createDataFrame(payload, SCHEMA)
+                )
+            elif kind == "compact":
+                compact(spark, src)
+            elif kind in ("tick", "crash_tick"):
+                t = replicate(spark, src, dst)
+                if kind == "crash_tick" and t.from_snapshot_id is not None:
+                    # crash before cursor advance: rewind, forcing a replay
+                    dst.set_property(CURSOR_PROP, str(t.from_snapshot_id))
+                    dst._refresh()
+        assert _state(spark, dst) == _state(spark, src)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
