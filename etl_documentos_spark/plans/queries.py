@@ -1544,6 +1544,70 @@ _EXTRACT_SQL = r"""
 """
 
 
+def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level LWW (the partial-update merge engine) over a SPARSE
+    change stream: update events null out role / text on a deterministic
+    schedule, and each column independently takes its latest non-null
+    value, fenced by deletes (`operators/partial.py`). The oracle folds
+    the same semantics with filtered arg_max over a lexicographic version
+    string.
+
+    Reference parity: PATCH-style field updates on existing documents
+    (/root/reference/app/database/repositories.py:51-68).
+    """
+    from etl_documentos_spark.operators.partial import partial_update_dedup
+
+    ch = _derive_changes(spark, sf_dir)
+    sparse = ch.select(
+        "op",
+        "conv_id",
+        "turn_idx",
+        F.when(
+            (F.col("op") == "update") & (F.col("lsn") % 3 == 0), F.lit(None)
+        )
+        .otherwise(F.col("role"))
+        .alias("role"),
+        F.when(
+            (F.col("op") == "update") & (F.col("lsn") % 3 == 1), F.lit(None)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "ts",
+        "lsn",
+    )
+    return partial_update_dedup(
+        sparse, payload_cols=["role", "text"]
+    )
+
+
+_PARTIAL_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    sparse AS (
+      SELECT op, conv_id, turn_idx,
+             CASE WHEN op = 'update' AND lsn % 3 = 0 THEN NULL
+                  ELSE role END AS role,
+             CASE WHEN op = 'update' AND lsn % 3 = 1 THEN NULL
+                  ELSE text END AS text,
+             ts, lsn,
+             printf('%030d', epoch_us(ts)) || '|' || printf('%020d', lsn)
+               AS vs
+      FROM ch),
+    fence AS (
+      SELECT conv_id, turn_idx,
+             max(CASE WHEN op = 'delete' THEN vs END) AS dv
+      FROM sparse GROUP BY conv_id, turn_idx),
+    alive AS (
+      SELECT sparse.* FROM sparse JOIN fence USING (conv_id, turn_idx)
+      WHERE op <> 'delete' AND (dv IS NULL OR vs > dv))
+    SELECT conv_id, turn_idx,
+           arg_max(role, vs) FILTER (role IS NOT NULL) AS role,
+           arg_max(text, vs) FILTER (text IS NOT NULL) AS text,
+           arg_max(ts, vs) AS ts,
+           arg_max(lsn, vs) AS lsn
+    FROM alive GROUP BY conv_id, turn_idx
+"""
+
+
 def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule invariant as a query: per-turn text equality UNDER
     STABLE TURN ORDERING. The LWW final state is assembled into one
@@ -2682,6 +2746,7 @@ QUERIES: dict[str, Query] = {
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
     "transcript_assembly": q_transcript_assembly,
+    "cdc_partial_update": q_cdc_partial_update,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2700,7 +2765,6 @@ QUERIES: dict[str, Query] = {
     "knn_cosine": q_knn_cosine,
     "simhash": q_simhash,
     "multimodal_decode": q_multimodal_decode,
-    "frame_sample": q_frame_sample,
     "near_dup_embedding": q_near_dup_embedding,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -2749,6 +2813,7 @@ QUERIES: dict[str, Query] = {
     "llm_cost_report": q_llm_cost_report,
     "extract_patterns": q_extract_patterns,
     "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2785,6 +2850,7 @@ ORACLES: dict[str, str] = {
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
     "transcript_assembly": _ASSEMBLY_SQL,
+    "cdc_partial_update": _PARTIAL_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
