@@ -93,6 +93,31 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # driver-parity type guard: this script normalizes Decimal ->
+            # float, so a DuckDB DECIMAL column (e.g. integer sum()) against
+            # a Spark integral column passes HERE but hash-fails the driver.
+            # Surface the known failure class as a hard FAIL locally.
+            import pyarrow as _pa
+
+            atypes = {
+                f.name: f.type
+                for f in con.execute(oracles[name]).fetch_arrow_table().schema
+            }
+            stypes = dict(sdf.dtypes)
+            drift = [
+                c
+                for c, t in atypes.items()
+                if _pa.types.is_decimal(t)
+                and stypes.get(c, "").startswith(("int", "bigint", "smallint"))
+            ]
+            if drift:
+                failures.append((name, f"type drift (decimal vs int): {drift}"))
+                print(
+                    f"FAIL {name}: oracle returns DECIMAL for {drift} but "
+                    "spark returns integral — cast the SQL (the driver "
+                    "compares types strictly)"
+                )
+                continue
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
