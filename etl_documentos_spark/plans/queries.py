@@ -1608,6 +1608,67 @@ _PARTIAL_SQL = f"""
 """
 
 
+def q_cdc_usage_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation merge engine over the change stream: per key, ``tokens``
+    folds by SUM (replay-safe counter), ``cost`` by MAX, ``model`` by
+    last-non-null, with deletes resetting the key
+    (`operators/aggregate_engine.py`) — the reference's per-client usage
+    counters (analytics_service.py:280-292) as a fold of the log instead
+    of read-modify-write."""
+    from etl_documentos_spark.operators.aggregate_engine import (
+        aggregate_dedup,
+    )
+
+    ch = _derive_changes(spark, sf_dir)
+    metered = ch.select(
+        "op",
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("op") != "delete", F.col("lsn") % 100).alias("tokens"),
+        F.when(
+            F.col("op") != "delete", (F.col("lsn") % 7) / F.lit(4.0)
+        ).alias("cost"),
+        F.when(
+            (F.col("op") == "update") & (F.col("lsn") % 2 == 0),
+            F.concat(F.lit("model_"), (F.col("lsn") % 3).cast("string")),
+        ).alias("model"),
+        "ts",
+        "lsn",
+    )
+    return aggregate_dedup(
+        metered, {"tokens": "sum", "cost": "max", "model": "last_non_null"}
+    )
+
+
+_USAGE_COUNTERS_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    metered AS (
+      SELECT op, conv_id, turn_idx,
+             CASE WHEN op <> 'delete' THEN lsn % 100 END AS tokens,
+             CASE WHEN op <> 'delete' THEN (lsn % 7) / 4.0 END AS cost,
+             CASE WHEN op = 'update' AND lsn % 2 = 0
+                  THEN 'model_' || CAST(lsn % 3 AS VARCHAR) END AS model,
+             ts, lsn,
+             printf('%030d', epoch_us(ts)) || '|' || printf('%020d', lsn)
+               AS vs
+      FROM ch),
+    fence AS (
+      SELECT conv_id, turn_idx,
+             max(CASE WHEN op = 'delete' THEN vs END) AS dv
+      FROM metered GROUP BY conv_id, turn_idx),
+    alive AS (
+      SELECT metered.* FROM metered JOIN fence USING (conv_id, turn_idx)
+      WHERE op <> 'delete' AND (dv IS NULL OR vs > dv))
+    SELECT conv_id, turn_idx,
+           CAST(sum(tokens) AS BIGINT) AS tokens,
+           CAST(max(cost) AS DOUBLE) AS cost,
+           arg_max(model, vs) FILTER (model IS NOT NULL) AS model,
+           arg_max(ts, vs) AS ts,
+           arg_max(lsn, vs) AS lsn
+    FROM alive GROUP BY conv_id, turn_idx
+"""
+
+
 def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule invariant as a query: per-turn text equality UNDER
     STABLE TURN ORDERING. The LWW final state is assembled into one
@@ -2747,6 +2808,7 @@ QUERIES: dict[str, Query] = {
     "cdc_replication": q_cdc_replication,
     "transcript_assembly": q_transcript_assembly,
     "cdc_partial_update": q_cdc_partial_update,
+    "cdc_usage_counters": q_cdc_usage_counters,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2764,7 +2826,6 @@ QUERIES: dict[str, Query] = {
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
     "simhash": q_simhash,
-    "multimodal_decode": q_multimodal_decode,
     "near_dup_embedding": q_near_dup_embedding,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -2814,6 +2875,7 @@ QUERIES: dict[str, Query] = {
     "extract_patterns": q_extract_patterns,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -2851,6 +2913,7 @@ ORACLES: dict[str, str] = {
     "cdc_replication": _REPLICATION_SQL,
     "transcript_assembly": _ASSEMBLY_SQL,
     "cdc_partial_update": _PARTIAL_SQL,
+    "cdc_usage_counters": _USAGE_COUNTERS_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
