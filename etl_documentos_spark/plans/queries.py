@@ -1669,6 +1669,87 @@ _USAGE_COUNTERS_SQL = f"""
 """
 
 
+def q_dlq_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter queue through the real pipeline: the change stream is
+    deterministically poisoned (unknown ops, null keys/versions on modular
+    schedules), applied as one quarantined epoch, and the DLQ contents come
+    back with their typed reasons. The oracle recomputes the poison + the
+    reason precedence (unknown_op > null_conv_id > null_turn_idx > null_ts)
+    in SQL; valid-row application is covered by the cdc_* replay queries.
+    """
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import physical_schema
+    from etl_documentos_spark.streaming.apply import CdcPipeline
+
+    ch = _derive_changes(spark, sf_dir)
+    poisoned = ch.select(
+        F.when(F.col("lsn") % 97 == 0, F.lit("noop"))
+        .otherwise(F.col("op"))
+        .alias("op"),
+        F.when(F.col("lsn") % 89 == 3, F.lit(None))
+        .otherwise(F.col("conv_id"))
+        .alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        F.when(F.col("lsn") % 83 == 7, F.lit(None))
+        .otherwise(F.col("ts"))
+        .cast("timestamp")  # pipeline stats use unix_micros (TIMESTAMP;
+        .alias("ts"),       # session is UTC so ntz -> ltz preserves values)
+        "lsn",
+        "source_partition",
+    )
+    root = tempfile.mkdtemp(prefix="dlq_q_")
+    try:
+        from pyspark.sql import types as T
+
+        ch_types = {f.name: f.dataType for f in ch.schema.fields}
+        ch_types["ts"] = T.TimestampType()  # matches the cast above
+        narrow = T.StructType(
+            [
+                T.StructField(c, ch_types[c], True)
+                for c in ("conv_id", "turn_idx", "role", "text", "ts")
+            ]
+        )
+        LakeTable.create(
+            f"{root}/t", physical_schema(narrow), num_buckets=8
+        )
+        pipe = CdcPipeline(
+            spark, f"{root}/t", f"{root}/w", quarantine=True
+        )
+        pipe.apply_epoch(poisoned, 0)
+        dlq = pipe.read_dlq().select("lsn", "op", "_dlq_reason")
+        return spark.createDataFrame(dlq.collect(), dlq.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_DLQ_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    poisoned AS (
+      SELECT CASE WHEN lsn % 97 = 0 THEN 'noop' ELSE op END AS op,
+             CASE WHEN lsn % 89 = 3 THEN NULL ELSE conv_id END AS conv_id,
+             turn_idx,
+             CASE WHEN lsn % 83 = 7 THEN NULL ELSE ts END AS ts,
+             lsn
+      FROM ch)
+    SELECT lsn, op,
+           CASE WHEN op NOT IN ('insert', 'update', 'delete')
+                  THEN 'unknown_op'
+                WHEN conv_id IS NULL THEN 'null_conv_id'
+                WHEN turn_idx IS NULL THEN 'null_turn_idx'
+                WHEN lsn IS NULL THEN 'null_lsn'
+                WHEN ts IS NULL THEN 'null_ts'
+           END AS _dlq_reason
+    FROM poisoned
+    WHERE op NOT IN ('insert', 'update', 'delete')
+       OR conv_id IS NULL OR turn_idx IS NULL OR ts IS NULL
+"""
+
+
 def q_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule invariant as a query: per-turn text equality UNDER
     STABLE TURN ORDERING. The LWW final state is assembled into one
@@ -2809,6 +2890,7 @@ QUERIES: dict[str, Query] = {
     "transcript_assembly": q_transcript_assembly,
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_usage_counters": q_cdc_usage_counters,
+    "dlq_triage": q_dlq_triage,
     "winnow_fingerprints": q_winnow_fingerprints,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
@@ -2829,7 +2911,6 @@ QUERIES: dict[str, Query] = {
     "near_dup_embedding": q_near_dup_embedding,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "cpf_validation": q_cpf_validation,
     "cnpj_validation": q_cnpj_validation,
     "quality_fallback": q_quality_fallback,
     "session_windows": q_session_windows,
@@ -2875,6 +2956,7 @@ QUERIES: dict[str, Query] = {
     "extract_patterns": q_extract_patterns,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
+    "cpf_validation": q_cpf_validation,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -2914,6 +2996,7 @@ ORACLES: dict[str, str] = {
     "transcript_assembly": _ASSEMBLY_SQL,
     "cdc_partial_update": _PARTIAL_SQL,
     "cdc_usage_counters": _USAGE_COUNTERS_SQL,
+    "dlq_triage": _DLQ_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
