@@ -177,6 +177,7 @@ def _replay(
         epochs = [
             e for e in list_epochs(events_path) if e % epoch_mod == epoch_rem
         ]
+    s0 = _proc_stat()
     t0 = time.monotonic()
     if file_shard:
         from pyspark.sql import functions as F
@@ -207,9 +208,17 @@ def _replay(
             concurrency=concurrency,
         )
     dt = time.monotonic() - t0
+    s1 = _proc_stat()
+    d = [b - a for a, b in zip(s0, s1)]
     n = sum(r.events for r in results)
     return {"events": n, "seconds": dt, "events_per_sec": n / dt,
-            "mode": "bulk" if bulk else f"micro-batch(x{concurrency})"}
+            "mode": "bulk" if bulk else f"micro-batch(x{concurrency})",
+            # host-wide steal/idle during this run's window: best-of
+            # replay selection uses it to stop early once a run landed in
+            # a clean window (the host is KVM time-shared; see the ladder
+            # methodology in BENCH/BASELINE.md)
+            "host_steal_frac": round(d[7] / max(sum(d), 1), 3),
+            "host_idle_frac": round(d[3] / max(sum(d), 1), 3)}
 
 
 def _proc_stat() -> list[int]:

@@ -210,12 +210,18 @@ class CdcPipeline:
 
     @property
     def _epoch_write_tasks(self) -> int:
-        """Writer-task bound for per-epoch MOR appends: enough parallelism
-        to keep an epoch's append off the critical path (concurrent epochs
-        overlap anyway), low enough that delta-file churn between
-        compactions stays bounded (files/bucket/epoch <= tasks)."""
-        p = self.spark.sparkContext.defaultParallelism
-        return max(2, min(8, p // 4))
+        """Default writer-task bound for a per-epoch MOR append when the
+        caller gives no hint: full parallelism. apply_epoch's callers are
+        serial by default (the streaming tail applies one micro-batch at a
+        time), so the lone in-flight epoch should own the cluster — a lower
+        bound here just idles cores on the critical path. Concurrent
+        replayers (``stream.replay_epochs``) pass an explicit per-epoch
+        ``write_tasks`` sized byte-proportionally across the in-flight
+        window instead. File churn stays bounded either way: each task
+        writes at most one file per bucket, the ``coalesce`` can't raise a
+        small batch's scan-partition count, and threshold compaction folds
+        the deltas."""
+        return max(2, self.spark.sparkContext.defaultParallelism)
 
     def apply_epochs_bulk(
         self, changes: DataFrame, epoch_ids: list[int], persist: bool = True
@@ -459,10 +465,23 @@ class CdcPipeline:
             "basePath", self.dlq_path
         ).parquet(*dirs)
 
-    def apply_epoch(self, changes: DataFrame, epoch_id: int) -> EpochResult:
+    def apply_epoch(
+        self,
+        changes: DataFrame,
+        epoch_id: int,
+        write_tasks: int | None = None,
+    ) -> EpochResult:
+        """Exactly-once apply of one micro-batch.
+
+        ``write_tasks``: writer-task count for this epoch's append job.
+        Concurrent replayers pass a byte-proportional share of the cluster
+        (see ``stream.replay_epochs``) so overlapped epochs split the cores
+        instead of piling 2x-parallelism jobs onto the scheduler; serial
+        callers leave it None and get full parallelism."""
         t0 = time.monotonic()
         if self.commitlog.is_committed(epoch_id):
             return EpochResult(epoch_id, True, 0, 0.0, [])
+        write_tasks = write_tasks or self._epoch_write_tasks
 
         n_bad = 0
         if self.quarantine:
@@ -488,7 +507,7 @@ class CdcPipeline:
             spec = table.spec_fingerprint()
             files, man_stats = table.write_data_files_direct(
                 changes_to_physical(observed, table.schema),
-                target_tasks=self._epoch_write_tasks,
+                target_tasks=write_tasks,
             )
             for _ in range(5):
                 if not files:
@@ -508,7 +527,7 @@ class CdcPipeline:
                     spec = fresh.spec_fingerprint()
                     files, man_stats = fresh.write_data_files_direct(
                         changes_to_physical(changes, fresh.schema),
-                        target_tasks=self._epoch_write_tasks,
+                        target_tasks=write_tasks,
                     )
             else:
                 raise SpecConflictError("spec kept changing across 5 retries")
@@ -527,7 +546,7 @@ class CdcPipeline:
                         with self._commit_lock:
                             merge_mor(
                                 self.spark, self.table, changes,
-                                target_tasks=self._epoch_write_tasks,
+                                target_tasks=write_tasks,
                             )
                         self._maybe_compact(self.table)
                     else:

@@ -58,12 +58,39 @@ def replay_epochs(
     spark = pipeline.spark
     epoch_ids = epochs if epochs is not None else list_epochs(events_path)
 
+    # Byte-proportional writer-task allocation across the in-flight window:
+    # overlapped epochs split the cores in proportion to their input size,
+    # so a small epoch doesn't hold as many writer slots as a 2x-larger one
+    # (the tail of the big epoch would otherwise run on a fraction of the
+    # cluster while the small epoch's tasks are long gone). Mild overcommit
+    # (1.2x cores across the window) keeps every core fed through task-end
+    # skew. Epoch byte sizes come from the source listing — a binlog/Kafka
+    # source exposes the same per-batch size metadata.
+    p = spark.sparkContext.defaultParallelism
+    window = max(1, min(concurrency, len(epoch_ids)))
+    sizes: dict[int, int] = {}
+    for ep in epoch_ids:
+        d = os.path.join(events_path, f"epoch={ep}")
+        try:
+            sizes[ep] = sum(
+                e.stat().st_size
+                for e in os.scandir(d)
+                if e.name.endswith(".parquet")
+            )
+        except OSError:
+            sizes[ep] = 0
+    avg = max(1, sum(sizes.values()) // max(1, len(sizes)))
+
+    def tasks_for(ep: int) -> int:
+        share = 1.2 * p * sizes.get(ep, avg) / (avg * window)
+        return max(2, min(2 * p, round(share)))
+
     def one(ep: int) -> EpochResult:
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
         changes = reader.parquet(os.path.join(events_path, f"epoch={ep}"))
-        return pipeline.apply_epoch(changes, ep)
+        return pipeline.apply_epoch(changes, ep, write_tasks=tasks_for(ep))
 
     if concurrency <= 1:
         return [one(ep) for ep in epoch_ids]
