@@ -73,7 +73,17 @@ def redact_pii(col: Column | str) -> Column:
 
 
 def pii_counts(col: Column | str) -> Column:
-    """Number of PII spans ``redact_pii`` would mask (pre-redaction)."""
+    """Number of PII pattern matches in the ORIGINAL string, each rule
+    counted independently (the DuckDB oracle mirrors exactly this).
+
+    Deliberately NOT "placeholders redact_pii emits": redaction applies
+    rules sequentially, so a span consumed by an earlier rule (a CPF-shaped
+    substring inside an email) is counted here but never surfaces as its
+    own placeholder. Independent counting is the audit-friendly semantics —
+    "how many pattern hits does this text contain" — and stays one
+    codegen'd expression; count on the progressively redacted string would
+    serialize the rules into data dependencies.
+    """
     c = F.col(col) if isinstance(col, str) else col
     out = F.lit(0)
     for pat, _ in _PII_RULES:

@@ -69,7 +69,7 @@ class Catalog:
         out = []
         for dirpath, dirnames, filenames in os.walk(self.root):
             if _HINT in filenames:
-                if not dirpath.endswith(".dropped"):
+                if ".dropped" not in os.path.basename(dirpath):
                     rel = os.path.relpath(dirpath, self.root)
                     out.append(rel.replace(os.sep, "."))
                 dirnames.clear()  # tables do not nest
@@ -87,14 +87,27 @@ class Catalog:
         if purge:
             shutil.rmtree(path)
         else:
-            os.rename(path, path + ".dropped")
+            # unique aside name: drop/recreate/drop must not collide with
+            # the remains of an earlier non-purge drop of the same name
+            import uuid
+
+            os.rename(path, f"{path}.dropped-{uuid.uuid4().hex[:8]}")
 
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
         """Run SQL over every table in the catalog (names with dots are
         registered with underscores: ``raw.transcripts`` ->
-        ``raw_transcripts`` — Spark temp views cannot hold dots)."""
-        tables = {
-            name.replace(".", "_"): self.load_table(name)
-            for name in self.list_tables()
-        }
+        ``raw_transcripts`` — Spark temp views cannot hold dots).
+
+        DML statements (``DELETE FROM t WHERE ...`` / ``UPDATE t SET ...``)
+        are dispatched onto the version-checked predicate DML
+        (`operators.dml`) against the named table — see `lake.sql.sql`."""
+        tables: dict[str, LakeTable] = {}
+        for name in self.list_tables():
+            view = name.replace(".", "_")
+            if view in tables:
+                raise ValueError(
+                    f"view name collision: two catalog tables map to "
+                    f"{view!r} after dot->underscore folding (rename one)"
+                )
+            tables[view] = self.load_table(name)
         return lake_sql.sql(spark, tables, query)

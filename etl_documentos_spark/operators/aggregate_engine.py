@@ -9,8 +9,12 @@ The reference maintains exactly this shape imperatively: per-client usage
 counters incremented on every processed document
 (``/root/reference/app/services/analytics_service.py:280-292``, quota
 fields updated in place); here the counter IS the fold of the change
-stream, so replays and out-of-order delivery cannot double-count —
-idempotence comes from folding the log, not from fragile read-modify-write.
+stream. Out-of-order delivery is safe by construction (the folds are
+order-insensitive), and epoch replays are safe because the pipeline's
+commit log deduplicates whole epochs before they reach the log — a
+duplicated individual event that somehow entered the log twice WOULD sum
+twice (folds have no per-(key, ts, lsn) dedup; add a dropDuplicates on
+keys + order columns upstream if the source is not exactly-once).
 
 Delete fence semantics match `partial_update_dedup`: a delete resets the
 key — only events strictly newer than the last delete contribute — so

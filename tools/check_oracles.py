@@ -97,18 +97,17 @@ def main() -> int:
             # float, so a DuckDB DECIMAL column (e.g. integer sum()) against
             # a Spark integral column passes HERE but hash-fails the driver.
             # Surface the known failure class as a hard FAIL locally.
-            import pyarrow as _pa
-
-            atypes = {
-                f.name: f.type
-                for f in con.execute(oracles[name]).fetch_arrow_table().schema
-            }
+            # Types come from the lazy relation API (planning only — the
+            # query is NOT executed a second time).
+            rel = con.sql(oracles[name])
+            otypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
             stypes = dict(sdf.dtypes)
             drift = [
                 c
-                for c, t in atypes.items()
-                if _pa.types.is_decimal(t)
-                and stypes.get(c, "").startswith(("int", "bigint", "smallint"))
+                for c, t in otypes.items()
+                if t.upper().startswith("DECIMAL")
+                and stypes.get(c) in _INTEGRAL
             ]
             if drift:
                 failures.append((name, f"type drift (decimal vs int): {drift}"))
