@@ -332,11 +332,23 @@ def _compact_once(
     )
 
 
-def read_current(spark: SparkSession, table: LakeTable) -> DataFrame:
+def read_current(
+    spark: SparkSession,
+    table: LakeTable,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
     """Reader view: LWW winner per key, live rows only, system columns
     dropped. Correct over any mix of compacted base files and MOR deltas
-    (on a fully-compacted table the reduction is a no-op)."""
-    df = lww_dedup(table.scan(spark), key_cols=KEY_COLS, order_cols=("ts", "_lsn"))
+    (on a fully-compacted table the reduction is a no-op).
+
+    ``snapshot_id``/``ref`` pin the read to an older snapshot or a named
+    tag (time travel) — same contract as ``LakeTable.scan``."""
+    df = lww_dedup(
+        table.scan(spark, snapshot_id=snapshot_id, ref=ref),
+        key_cols=KEY_COLS,
+        order_cols=("ts", "_lsn"),
+    )
     live = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     return live.drop(*SYSTEM_COL_NAMES)
 

@@ -36,6 +36,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_DETACH_ROOT: str | None = None
+
+
+def _detached(df: DataFrame) -> DataFrame:
+    """Persist a showcase result and return a LAZY reader over the copy.
+
+    Queries that build a scratch lake table ``rmtree`` it on return, so the
+    returned plan must not reference the scratch path. Formerly these
+    round-tripped rows through the driver (``createDataFrame(collect())``)
+    — fine for bounded results, the wrong shape at 100x. A parquet persist
+    to a session-scoped spill dir keeps the rows executor-side and the
+    return lazy; the dir is removed at interpreter exit."""
+    global _DETACH_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    if _DETACH_ROOT is None:
+        _DETACH_ROOT = tempfile.mkdtemp(prefix="spark_graft_detached_")
+        atexit.register(shutil.rmtree, _DETACH_ROOT, ignore_errors=True)
+    out = os.path.join(_DETACH_ROOT, uuid.uuid4().hex[:12])
+    df.write.parquet(out)
+    return df.sparkSession.read.schema(df.schema).parquet(out)
+
+
 # ---------------------------------------------------------------------------
 # CDC core family — change stream derived from `events` by pure arithmetic
 # ---------------------------------------------------------------------------
@@ -146,8 +173,8 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single global-SQL reduction the oracle computes.
 
     The final state is bounded (at most 50 convs x 20 turns at any SF), so
-    it is re-materialized as a local DataFrame and the temp table removed —
-    the returned plan does not depend on the scratch directory's lifetime.
+    it is detached to a session-scoped parquet spill (executor-side, lazy
+    return — see ``_detached``) so the plan outlives the scratch directory.
 
     Reference parity: additive field evolution resolved by Alembic
     autogenerate (/root/reference/app/database/migrations.py:49-107) over
@@ -201,7 +228,7 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("schema evolution rewrote data files")
         merge_into(spark, table, wide)
         cur = read_current(spark, table)
-        return spark.createDataFrame(cur.collect(), cur.schema)
+        return _detached(cur)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -233,8 +260,8 @@ def q_dml_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form: LWW winners, minus the deleted stratum, with redacted text
     and the engine's one-microsecond version tick on updated rows.
 
-    Result re-materialized locally (bounded: <=50 convs x 20 turns at any
-    SF) so the returned plan does not depend on the scratch table.
+    Result detached via ``_detached`` (parquet spill + lazy read) so the
+    returned plan does not depend on the scratch table.
 
     Reference parity: delete-by-id and field-update repository operations
     (/root/reference/app/database/repositories.py:51-83), restated as
@@ -275,7 +302,7 @@ def q_dml_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"text": F.concat(F.lit("redacted:"), F.col("role"))},
         )
         cur = read_current(spark, table)
-        return spark.createDataFrame(cur.collect(), cur.schema)
+        return _detached(cur)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -298,6 +325,145 @@ _DML_RETENTION_SQL = f"""
 """
 
 
+def _narrow_schema(ch: DataFrame):
+    """v1 transcripts table schema derived from the change stream's types
+    (so parquet timestamp flavors round-trip exactly)."""
+    from pyspark.sql import types as T
+
+    ch_types = {f.name: f.dataType for f in ch.schema.fields}
+    return T.StructType(
+        [
+            T.StructField(c, ch_types[c], c not in ("conv_id", "turn_idx"))
+            for c in ("conv_id", "turn_idx", "role", "text", "ts")
+        ]
+    )
+
+
+def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML through the SQL door: the change stream is MERGEd into a scratch
+    LakeTable, then mutated with textual ``DELETE FROM``/``UPDATE`` routed
+    by `lake.sql.sql` onto the version-checked predicate DML — the same
+    statements a user of the reference issues through its repository layer
+    (/root/reference/app/database/repositories.py:51-83). The final state
+    is read back through the SAME SQL door, proving query and mutation
+    share one visibility contract (each statement is snapshot-atomic: one
+    metadata commit).
+
+    Oracle closed form: LWW winners, minus the deleted stratum
+    (``turn_idx % 4 = 2``), with the updated stratum (``turn_idx % 4 = 3``)
+    rewritten and carrying the engine's one-microsecond version tick.
+    Result detached via ``_detached`` (parquet spill + lazy read)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake import sql as lake_sql
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import merge_into, physical_schema
+
+    ch = _derive_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sqldml_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/transcripts", physical_schema(_narrow_schema(ch)),
+            num_buckets=8,
+        )
+        merge_into(spark, table, ch)
+        tables = {"t": table}
+        lake_sql.sql(spark, tables, "DELETE FROM t WHERE turn_idx % 4 = 2")
+        lake_sql.sql(
+            spark, tables,
+            "UPDATE t SET text = concat('sql:', role) WHERE turn_idx % 4 = 3",
+        )
+        cur = lake_sql.sql(
+            spark, {"t": LakeTable.load(table.root)},
+            "SELECT conv_id, turn_idx, role, text, ts FROM t",
+        )
+        return _detached(cur)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_DML_SQL = """
+    WITH ch AS ({derive}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch),
+    cur AS (
+      SELECT conv_id, turn_idx, role, text, ts
+      FROM ranked WHERE rn = 1 AND op <> 'delete')
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN turn_idx % 4 = 3 THEN 'sql:' || role
+                ELSE text END AS text,
+           CASE WHEN turn_idx % 4 = 3 THEN ts + INTERVAL 1 MICROSECOND
+                ELSE ts END AS ts
+    FROM cur WHERE turn_idx % 4 <> 2
+"""
+
+
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the SQL door: tranche 1 of the change stream is
+    merged and tagged ``v1``; tranche 2 merges after. ONE SQL statement
+    then reads both worlds — ``FROM t VERSION AS OF 'v1'`` (Iceberg time
+    travel syntax, rewritten onto a snapshot-pinned view by `lake.sql.sql`)
+    joined against the current state — returning per-conversation row
+    counts at the tag vs now. The pinned read must see the pre-tranche-2
+    LWW reduction even though the table has long since moved on.
+
+    Result detached via ``_detached`` (parquet spill + lazy read)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake import sql as lake_sql
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import merge_into, physical_schema
+
+    ch = _derive_changes(spark, sf_dir)
+    thr = int(ch.agg(F.max("lsn")).first()[0]) * 3 // 5
+    root = tempfile.mkdtemp(prefix="sqltt_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/transcripts", physical_schema(_narrow_schema(ch)),
+            num_buckets=8,
+        )
+        merge_into(spark, table, ch.filter(F.col("lsn") < thr))
+        table.tag("v1")
+        merge_into(spark, table, ch.filter(F.col("lsn") >= thr))
+        out = lake_sql.sql(
+            spark, {"t": LakeTable.load(table.root)},
+            "SELECT coalesce(c.conv_id, o.conv_id) AS conv_id,"
+            " coalesce(c.n, 0) AS n_cur, coalesce(o.n, 0) AS n_v1"
+            " FROM (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id) c"
+            " FULL OUTER JOIN (SELECT conv_id, count(*) AS n"
+            "   FROM t VERSION AS OF 'v1' GROUP BY conv_id) o"
+            " ON c.conv_id = o.conv_id",
+        )
+        return _detached(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_TIME_TRAVEL_SQL = """
+    WITH ch AS ({derive}),
+    thr AS (SELECT (max(lsn) * 3) // 5 AS v FROM ch),
+    cur AS (
+      SELECT conv_id, count(*) AS n FROM (
+        SELECT conv_id, turn_idx, op, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM ch) x
+      WHERE rn = 1 AND op <> 'delete' GROUP BY conv_id),
+    old AS (
+      SELECT conv_id, count(*) AS n FROM (
+        SELECT conv_id, turn_idx, op, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM ch, thr WHERE lsn < thr.v) x
+      WHERE rn = 1 AND op <> 'delete' GROUP BY conv_id)
+    SELECT coalesce(cur.conv_id, old.conv_id) AS conv_id,
+           coalesce(cur.n, 0) AS n_cur, coalesce(old.n, 0) AS n_v1
+    FROM cur FULL OUTER JOIN old ON cur.conv_id = old.conv_id
+"""
+
+
 def q_mview_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained materialized view through the real lake
     machinery: three change tranches are MOR-appended to a scratch source
@@ -308,8 +474,8 @@ def q_mview_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites are invisible to the feed. The final view rows must equal the
     single global SQL aggregation the oracle computes over LWW winners.
 
-    Result re-materialized locally so the returned plan does not depend on
-    the scratch tables' lifetime (bounded: <=50 convs at any SF).
+    Result detached via ``_detached`` (parquet spill + lazy read) so the
+    returned plan does not depend on the scratch tables' lifetime.
 
     Reference parity: the incrementally-updated derived metrics table
     (/root/reference/app/models/database.py:212-229, upsert at
@@ -363,7 +529,7 @@ def q_mview_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = mv.read(spark).select(
             "conv_id", "n_turns", "last_ts", "total_chars", "n_roles"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _detached(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -393,7 +559,7 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction leaves each file covering a contiguous conv_id range, the
     Iceberg lower/upper-bounds analogue). The "show me this transcript"
     operation — at 10^10 rows it opens ~1 file instead of a bucket's whole
-    history. Result re-materialized locally so the returned plan does not
+    history. Result detached via ``_detached`` so the returned plan does not
     depend on the scratch table's lifetime.
 
     Reference parity: GET /documentos/{id} single-document fetch
@@ -436,7 +602,7 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             "ts",
         )
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _detached(got)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1182,7 +1348,7 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     list-partitioned parquet index, reload it from disk, probe one list
     through a partition-pruned scan — same result contract (and oracle) as
     the in-memory ``ann_ivf``, but the probe never opens unprobed lists'
-    files. Top-k rows are re-materialized locally so the scratch index can
+    files. Top-k rows are detached via ``_detached`` so the scratch index can
     be removed.
 
     Reference parity: FAISS store persisted + reloaded per document type
@@ -1205,7 +1371,7 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         idx = IvfVectorIndex.load(spark, f"{root}/ivf")
         res = idx.search(spark, qvec, k=10, n_probe=1)
-        return spark.createDataFrame(res.collect(), res.schema)
+        return _detached(res)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1722,7 +1888,7 @@ def q_dlq_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pipe.apply_epoch(poisoned, 0)
         dlq = pipe.read_dlq().select("lsn", "op", "_dlq_reason")
-        return spark.createDataFrame(dlq.collect(), dlq.schema)
+        return _detached(dlq)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1810,7 +1976,7 @@ def q_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's single LWW reduction — proving delta planning, tombstone
     shipping, idempotent replay and maintenance-invisibility in one row.
 
-    Result re-materialized locally (bounded: <=50 convs x 20 turns).
+    Result detached via ``_detached`` (parquet spill + lazy read).
     """
     import shutil
     import tempfile
@@ -1864,7 +2030,7 @@ def q_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst._refresh()
         replicate(spark, src, dst)
         cur = read_current(spark, dst)
-        return spark.createDataFrame(cur.collect(), cur.schema)
+        return _detached(cur)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -2885,6 +3051,8 @@ QUERIES: dict[str, Query] = {
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
+    "sql_dml": q_sql_dml,
+    "sql_time_travel": q_sql_time_travel,
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
     "transcript_assembly": q_transcript_assembly,
@@ -2991,6 +3159,8 @@ ORACLES: dict[str, str] = {
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,
+    "sql_dml": _SQL_DML_SQL.format(derive=_DERIVE_SQL),
+    "sql_time_travel": _SQL_TIME_TRAVEL_SQL.format(derive=_DERIVE_SQL),
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
     "transcript_assembly": _ASSEMBLY_SQL,

@@ -92,3 +92,76 @@ def test_metadata_tables(spark, sql_table):
 
     refs = {r.name: r.snapshot_id for r in refs_df(spark, sql_table).collect()}
     assert refs["release"] == sql_table.current_snapshot.snapshot_id
+
+
+def test_sql_delete_where(spark, sql_table):
+    before = sql(
+        spark, {"t": sql_table}, "SELECT count(*) AS n FROM t"
+    ).first().n
+    res = sql(
+        spark, {"t": sql_table}, "DELETE FROM t WHERE role = 'bot'"
+    ).first()
+    assert res.operation == "delete" and res.affected_rows > 0
+    after = sql(spark, {"t": sql_table}, "SELECT count(*) AS n FROM t").first().n
+    assert after == before - res.affected_rows
+    assert (
+        sql(
+            spark, {"t": sql_table},
+            "SELECT count(*) AS n FROM t WHERE role = 'bot'",
+        ).first().n
+        == 0
+    )
+
+
+def test_sql_update_where_snapshot_atomic(spark, sql_table):
+    snaps_before = len(sql_table.snapshots)
+    res = sql(
+        spark,
+        {"t": sql_table},
+        "UPDATE t SET text = concat(text, ' [edited]'),"
+        " tool = upper(coalesce(tool, 'none'))"
+        " WHERE role = 'user' AND turn_idx < 2",
+    ).first()
+    assert res.operation == "update" and res.affected_rows > 0
+    fresh = LakeTable.load(sql_table.root)
+    # the whole UPDATE landed as ONE snapshot commit (atomic)
+    assert len(fresh.snapshots) == snaps_before + 1
+    rows = sql(
+        spark, {"t": fresh},
+        "SELECT count(*) AS n FROM t WHERE text LIKE '%[edited]'",
+    ).first()
+    assert rows.n == res.affected_rows
+    # non-matching rows untouched
+    untouched = sql(
+        spark, {"t": fresh},
+        "SELECT count(*) AS n FROM t"
+        " WHERE role = 'bot' AND text LIKE '%[edited]'",
+    ).first()
+    assert untouched.n == 0
+
+
+def test_sql_time_travel_version_as_of(spark, sql_table):
+    v1 = sql_table.current_snapshot.snapshot_id
+    sql_table.tag("before_edit", v1)
+    n1 = sql(spark, {"t": sql_table}, "SELECT count(*) AS n FROM t").first().n
+    sql(spark, {"t": sql_table}, "DELETE FROM t WHERE role = 'bot'")
+    fresh = LakeTable.load(sql_table.root)
+    # current view sees the delete; the pinned reads do not
+    cur = sql(spark, {"t": fresh}, "SELECT count(*) AS n FROM t").first().n
+    by_id = sql(
+        spark, {"t": fresh},
+        f"SELECT count(*) AS n FROM t VERSION AS OF {v1}",
+    ).first().n
+    by_tag = sql(
+        spark, {"t": fresh},
+        "SELECT count(*) AS n FROM t VERSION AS OF 'before_edit'",
+    ).first().n
+    assert by_id == n1 and by_tag == n1 and cur < n1
+    # pinned and current state can join in ONE statement
+    drift = sql(
+        spark, {"t": fresh},
+        f"SELECT count(*) AS n FROM t VERSION AS OF {v1} old"
+        " LEFT ANTI JOIN t ON old.conv_id = t.conv_id"
+        " AND old.turn_idx = t.turn_idx",
+    ).first().n
+    assert drift == by_id - cur
