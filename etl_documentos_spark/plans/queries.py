@@ -2227,6 +2227,35 @@ _PNG_SQL = """
 """
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end, from scratch: synthesize spec-valid
+    baseline grayscale TIFFs (even ids uncompressed, odd ids LZW — the
+    TIFF-variant MSB-first early-change LZW written for this engine), then
+    parse them back (IFD walk, strip reassembly, LZW decompress). The
+    oracle predicts width/height/compression/pixel-sum from the generation
+    rule, so a wrong decode anywhere in the path is a value mismatch. No
+    stub, no image library."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_tiff_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_tiff(d)
+
+
+_TIFF_SQL = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 5 END AS INT)
+               AS compression,
+           CAST(list_sum(list_transform(
+                   generate_series(0, (16 + doc_id % 32) * (8 + doc_id % 16) - 1),
+                   i -> (doc_id + (i % (16 + doc_id % 32))
+                         + (i // (16 + doc_id % 32))) % 256))
+                AS BIGINT) AS sum_pixels
+    FROM documents
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (deterministic term tiebreak)."""
     return analytics.tfidf_top_terms(
@@ -3071,6 +3100,7 @@ QUERIES: dict[str, Query] = {
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
     "gif_decode": q_gif_decode,
+    "tiff_decode": q_tiff_decode,
     "gif_frame_sample": q_gif_frame_sample,
     "near_dup_jaccard": q_near_dup_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -3239,6 +3269,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_multiprobe": _ANN_LSH_MP_SQL,
     "png_decode": _PNG_SQL,
     "gif_decode": _GIF_SQL,
+    "tiff_decode": _TIFF_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,
     "cnpj_validation": _CNPJ_SQL,

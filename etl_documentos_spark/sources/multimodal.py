@@ -1184,3 +1184,248 @@ def sample_gif_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(sample, GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline grayscale, Compression 1 = none / 5 = LZW) — from scratch
+# ---------------------------------------------------------------------------
+TIFF_META_SCHEMA = (
+    "doc_id long, width int, height int, compression int, sum_pixels long"
+)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): 8-bit symbols, ClearCode=256,
+    EOI=257, MSB-first bit packing, and EARLY code-width change (width
+    bumps when the next code to be ADDED is ``2^width - 1`` — one code
+    earlier than the GIF variant in ``_lzw_encode``; everything else is
+    the same string-table algorithm)."""
+    CLEAR, EOI = 256, 257
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = EOI + 1
+    put(CLEAR, width)
+    s = b""
+    for ch in data:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        put(table[s], width)
+        table[sc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= 4094:  # table nearly full: spec-mandated CLEAR
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = EOI + 1
+            width = 9
+        s = bytes([ch])
+    if s:
+        put(table[s], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW decompress (MSB-first, early change) — mirror of
+    ``_tiff_lzw_encode``; same cScSc special case as the GIF decoder."""
+    CLEAR, EOI = 256, 257
+
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return v
+
+    out = bytearray()
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    next_code = EOI + 1
+    while True:
+        code = get(width)
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            next_code = EOI + 1
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:  # first code after CLEAR must be a literal
+            if code >= 256:
+                raise ValueError(f"bad first TIFF LZW code {code}")
+            out += table[code]
+            prev = table[code]
+            continue
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code:  # cScSc
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} ahead of table {next_code}")
+        out += entry
+        table.append(prev + entry[:1])
+        next_code += 1
+        # EARLY CHANGE, decoder side: the decoder's table runs one entry
+        # behind the encoder's (its first post-CLEAR code adds nothing),
+        # so where the encoder bumps at 2^w - 1 the decoder must bump one
+        # entry sooner — at 2^w - 2 — for both sides to agree on the width
+        # of every code (TIFF 6.0 §13 / libtiff behavior).
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def _encode_tiff(i: int) -> bytes:
+    """One little-endian baseline TIFF: 8-bit grayscale, single strip,
+    pixel(x, y) = (id + x + y) % 256 (the same rule as the BMP/PNG
+    fixtures), Compression = 1 (none) for even ids, 5 (LZW) for odd ids —
+    every replay exercises both paths."""
+    import struct
+
+    import numpy as np
+
+    w, h = 16 + i % 32, 8 + i % 16
+    x = np.arange(w)
+    raster = np.concatenate(
+        [((i + x + y) % 256).astype(np.uint8) for y in range(h)]
+    ).tobytes()
+    compression = 1 if i % 2 == 0 else 5
+    strip = raster if compression == 1 else _tiff_lzw_encode(raster)
+
+    # layout: 8-byte header | strip data | IFD
+    strip_off = 8
+    ifd_off = strip_off + len(strip)
+    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    SHORT, LONG = 3, 4
+    entries = [
+        entry(256, LONG, 1, w),            # ImageWidth
+        entry(257, LONG, 1, h),            # ImageLength
+        entry(258, SHORT, 1, 8),           # BitsPerSample
+        entry(259, SHORT, 1, compression), # Compression
+        entry(262, SHORT, 1, 1),           # Photometric: BlackIsZero
+        entry(273, LONG, 1, strip_off),    # StripOffsets
+        entry(277, SHORT, 1, 1),           # SamplesPerPixel
+        entry(278, LONG, 1, h),            # RowsPerStrip
+        entry(279, LONG, 1, len(strip)),   # StripByteCounts
+    ]
+    ifd = (
+        struct.pack("<H", len(entries))
+        + b"".join(entries)
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    return header + strip + ifd
+
+
+def synth_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (spec-valid) baseline TIFF per row — see
+    ``_encode_tiff`` for the generation rule. Ids alternate between
+    uncompressed and LZW strips, so a replay proves BOTH decode paths."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return pd.Series([_encode_tiff(int(i)) for i in ids])
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+def decode_tiff(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL TIFF decode over mapInPandas: parse the header + IFD (both
+    byte orders), reassemble the strip, LZW-decompress when Compression=5
+    (from-scratch MSB-first early-change LZW — ``_tiff_lzw_decode``), and
+    emit dimensions, compression and the exact pixel sum. Wrong bytes
+    raise — no stub. Docling-formats parity: the reference accepts TIFF
+    among its image formats (/root/reference/app/providers/
+    docling_provider.py:64-74); here decode is a real parser instead of a
+    vendored library."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(data)
+                if data[:2] == b"II":
+                    bo = "<"
+                elif data[:2] == b"MM":
+                    bo = ">"
+                else:
+                    raise ValueError(f"not a TIFF payload for id {doc_id}")
+                magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
+                if magic != 42:
+                    raise ValueError(f"bad TIFF magic {magic}")
+                (n_entries,) = struct.unpack(
+                    bo + "H", data[ifd_off : ifd_off + 2]
+                )
+                tags: dict[int, int] = {}
+                for k in range(n_entries):
+                    off = ifd_off + 2 + 12 * k
+                    tag, typ, _count, raw = struct.unpack(
+                        bo + "HHI4s", data[off : off + 12]
+                    )
+                    if typ == 3:  # SHORT packed into the value field
+                        tags[tag] = struct.unpack(bo + "HH", raw)[0]
+                    else:  # LONG
+                        tags[tag] = struct.unpack(bo + "I", raw)[0]
+                w, h = tags[256], tags[257]
+                comp = tags.get(259, 1)
+                strip = data[tags[273] : tags[273] + tags[279]]
+                if comp == 5:
+                    raster = _tiff_lzw_decode(strip)
+                elif comp == 1:
+                    raster = strip
+                else:
+                    raise ValueError(f"unsupported TIFF compression {comp}")
+                if len(raster) != w * h:
+                    raise ValueError(
+                        f"raster {len(raster)} != {w}x{h} for id {doc_id}"
+                    )
+                px = np.frombuffer(raster, np.uint8)
+                rows.append(
+                    (doc_id, w, h, comp, int(px.sum(dtype="int64")))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "compression",
+                         "sum_pixels"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, TIFF_META_SCHEMA)

@@ -607,3 +607,64 @@ def test_gif_animated_roundtrip_and_frame_sampling(spark):
         assert r["frame_sum"] == sum(
             (i + x + y + 7 * fi) % 256 for y in range(h) for x in range(w)
         )
+
+
+def test_tiff_lzw_roundtrip():
+    """TIFF-variant LZW (MSB-first, early change) roundtrips arbitrary
+    bytes, including inputs long enough to force width 12 + table resets,
+    and actually compresses repetitive input."""
+    import random
+
+    from etl_documentos_spark.sources.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randrange(0, 4000)
+        data = (
+            bytes(rng.randrange(256) for _ in range(n))
+            if trial % 3
+            else bytes(rng.choices(range(4), k=n))
+        )
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+    long_run = bytes([1, 2, 3] * 30_000)  # forces CLEAR-based table resets
+    assert _tiff_lzw_decode(_tiff_lzw_encode(long_run)) == long_run
+    wide = bytes(range(256)) * 60  # forces the 12-bit width ceiling
+    assert _tiff_lzw_decode(_tiff_lzw_encode(wide)) == wide
+    rep = b"abcabcabc" * 1000
+    assert len(_tiff_lzw_encode(rep)) < len(rep) // 4
+
+
+def test_tiff_decode_both_compressions(spark):
+    """synth_tiff_payload -> decode_tiff reproduces the generation rule for
+    both Compression=1 (even ids) and Compression=5/LZW (odd ids); payloads
+    are spec-valid little-endian baseline TIFF."""
+    import struct
+
+    from etl_documentos_spark.sources import multimodal
+
+    ids = [0, 1, 2, 7, 31, 996, 997]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    with_tiff = multimodal.synth_tiff_payload(df)
+
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in with_tiff.collect()}
+    for i, data in payloads.items():
+        assert data[:4] == b"II" + struct.pack("<H", 42)
+
+    decoded = {
+        r["doc_id"]: r for r in multimodal.decode_tiff(with_tiff).collect()
+    }
+    for i in ids:
+        w, h = 16 + i % 32, 8 + i % 16
+        want = sum((i + x + y) % 256 for y in range(h) for x in range(w))
+        r = decoded[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["compression"] == (1 if i % 2 == 0 else 5)
+        assert r["sum_pixels"] == want, i
+    # LZW strips must be smaller than raw on these gradient rasters
+    for i in ids:
+        if i % 2 == 1:
+            w, h = 16 + i % 32, 8 + i % 16
+            assert len(payloads[i]) < 8 + w * h + 2 + 9 * 12 + 4
