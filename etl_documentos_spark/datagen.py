@@ -54,6 +54,7 @@ def change_stream(
     evolve_from_lsn: int | None = None,
     ts_quantum: int = 4,
     late_range: int = 64,
+    lsn_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Generate the CDC change stream as a DataFrame.
 
@@ -67,8 +68,13 @@ def change_stream(
       tie-break) and late arrivals (older ts at higher lsn) both occur.
     - ~``hot_frac`` of events land on a single hot conversation.
     - exact duplicates (same lsn, same payload) are unioned in at ``dup_pct``%.
+    - ``lsn_range=(lo, hi)`` generates only that offset slice — every column
+      derives per-row from the lsn, so the slice is byte-identical to
+      filtering the full stream (the offset-addressed read contract a
+      Kafka/binlog source offers; see ``stream.SyntheticChangeSource``).
     """
-    e = spark.range(0, n_events).withColumnRenamed("id", "lsn")
+    lo, hi = (0, n_events) if lsn_range is None else lsn_range
+    e = spark.range(lo, hi).withColumnRenamed("id", "lsn")
 
     is_hot = _u(F.col("lsn"), seed, 1_000_000) < int(hot_frac * 1_000_000)
     conv_id = F.when(is_hot, F.lit("conv_hot")).otherwise(

@@ -101,6 +101,82 @@ def replay_epochs(
         return list(pool.map(one, epoch_ids))
 
 
+class SyntheticChangeSource:
+    """Offset-addressed synthetic change source — the rate/Kafka shape.
+
+    The WAL here is the integer lsn range ``[0, n_events)``; epoch ``k``
+    is exactly the offset slice ``[k*B, (k+1)*B)``. Events derive from the
+    lsn by pure column arithmetic (`datagen.change_stream` with
+    ``lsn_range``), so any reader at any parallelism regenerates
+    byte-identical batches from the offsets alone — no storage, no file
+    listing. This is the same checkpointed-offset contract the file source
+    satisfies (epoch id -> deterministic batch), proving the pipeline's
+    epoch/offset abstraction is not file-format-bound: `CdcPipeline`
+    fingerprints agree across sources, so an epoch committed from one
+    source is a replay no-op from the other.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        n_events: int,
+        events_per_epoch: int = 1000,
+        **gen_kwargs,
+    ):
+        from etl_documentos_spark import datagen
+
+        self.spark = spark
+        self.n_events = n_events
+        self.events_per_epoch = events_per_epoch
+        self.gen_kwargs = gen_kwargs
+        self._gen = datagen.change_stream
+
+    def epochs(self) -> list[int]:
+        b = self.events_per_epoch
+        return list(range((self.n_events + b - 1) // b))
+
+    def read_epoch(self, epoch_id: int):
+        b = self.events_per_epoch
+        lo, hi = epoch_id * b, min((epoch_id + 1) * b, self.n_events)
+        if lo >= hi:
+            raise IndexError(f"epoch {epoch_id} past the log end")
+        return self._gen(
+            self.spark,
+            self.n_events,
+            events_per_epoch=b,
+            lsn_range=(lo, hi),
+            **self.gen_kwargs,
+        ).drop("epoch")
+
+
+def replay_source(
+    pipeline: CdcPipeline,
+    source,
+    epochs: list[int] | None = None,
+    concurrency: int = 1,
+) -> list[EpochResult]:
+    """Apply epochs from any offset-addressed source object
+    (``.epochs() -> list[int]`` + ``.read_epoch(k) -> DataFrame``) through
+    the same exactly-once path as the file replay. Writer tasks split the
+    cluster evenly across the in-flight window (a synthetic source has no
+    byte sizes to weight by; epochs are uniform by construction)."""
+    epoch_ids = epochs if epochs is not None else source.epochs()
+    p = pipeline.spark.sparkContext.defaultParallelism
+    window = max(1, min(concurrency, len(epoch_ids)))
+    tasks = max(2, min(2 * p, round(1.2 * p / window)))
+
+    def one(ep: int) -> EpochResult:
+        return pipeline.apply_epoch(source.read_epoch(ep), ep, write_tasks=tasks)
+
+    if concurrency <= 1:
+        return [one(ep) for ep in epoch_ids]
+    assert pipeline.mode == "mor", "concurrent replay requires merge-on-read"
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        return list(pool.map(one, epoch_ids))
+
+
 def replay_bulk(
     pipeline: CdcPipeline,
     events_path: str,
