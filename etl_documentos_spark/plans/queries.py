@@ -140,6 +140,43 @@ _LWW_SQL = f"""
 """
 
 
+def q_cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope wire adapter, proven lossless.
+
+    The derived change stream is serialized to Debezium-style JSON
+    envelopes (op code, before/after image, source.lsn/partition; epoch-
+    micro timestamps) and parsed back to canonical change rows through
+    ``sources/envelope.py`` — one ``from_json`` pass, no Python. The oracle
+    is the plain derivation: equality proves parse(to_envelope(x)) == x
+    field-for-field, including delete before-images and null tools."""
+    from etl_documentos_spark.sources.envelope import (
+        parse_envelope,
+        to_envelope,
+    )
+
+    ch = _derive_changes(spark, sf_dir).withColumn(
+        "tool",
+        F.when(F.col("lsn") % 7 == 0, F.lit("search")).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    parsed = parse_envelope(to_envelope(ch))
+    return parsed.select(
+        "op", "conv_id", "turn_idx", "role", "text", "tool",
+        # back to the derivation's NTZ domain (UTC session tz: lossless)
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "lsn", "source_partition",
+    )
+
+
+_ENVELOPE_SQL = f"""
+    SELECT op, conv_id, turn_idx, role, text,
+           CASE WHEN lsn % 7 = 0 THEN 'search' END AS tool,
+           ts, lsn, source_partition
+    FROM ({_DERIVE_SQL})
+"""
+
+
 def q_cdc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-partition high-water offsets (the commit-log record)."""
     ch = _derive_changes(spark, sf_dir)
@@ -3149,6 +3186,7 @@ _ASOF_SQL = """
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
     "cdc_lww_window": q_cdc_lww_window,
+    "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
     "cdc_offsets": q_cdc_offsets,
     "cdc_epoch_stats": q_cdc_epoch_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -3244,6 +3282,7 @@ ORACLES: dict[str, str] = {
     "conversation_timeline": _TIMELINE_SQL,
     "cdc_lww_replay": _LWW_SQL,
     "cdc_lww_window": _LWW_SQL,
+    "cdc_envelope_roundtrip": _ENVELOPE_SQL,
     "cdc_offsets": f"""
         WITH ch AS ({_DERIVE_SQL})
         SELECT source_partition, max(lsn) AS max_lsn, count(*) AS n_events

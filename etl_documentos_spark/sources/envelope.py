@@ -1,0 +1,148 @@
+"""Debezium-style JSON change-envelope adapter.
+
+Real binlog/WAL tails rarely arrive as clean columnar change rows: the
+dominant wire format is the Debezium envelope — one JSON document per
+change with ``op`` (``c``/``u``/``d``/``r``), a ``before`` image, an
+``after`` image, and a ``source`` block carrying the log position. The
+reference ingests one upload per document over HTTP and logs the operation
+as a JSON payload row (``/root/reference/app/models/database.py:90-108``,
+``op`` + JSON detail per operation); this module is the same envelope
+contract at wire speed.
+
+``parse_envelope`` turns a DataFrame of raw envelope strings into the
+engine's canonical ``CHANGE_EVENTS`` rows in ONE ``from_json`` pass plus
+pure column expressions — no Python in the loop, fully codegen'd, so the
+adapter adds a parse step to the scan and nothing else. Op mapping follows
+Debezium semantics: ``c`` (create) and ``r`` (snapshot read) are inserts,
+``u`` updates, ``d`` deletes; deletes carry only a ``before`` image, so key
+and payload columns coalesce ``after`` over ``before``. Timestamps travel
+as epoch microseconds (lossless and engine-portable; ISO strings round-trip
+differently across formatters).
+
+Rows whose envelope does not parse, or whose ``op`` is unknown, surface
+with a NULL ``op`` — exactly the shape ``CdcPipeline``'s dead-letter queue
+quarantines (``streaming/apply.py`` ``_quarantine_split``), so malformed
+wire data diverts instead of poisoning the merge.
+
+``to_envelope`` is the inverse (canonical rows -> envelope strings), used
+by tests, the round-trip oracle query, and as the wire format for shipping
+a changelog to an external consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_documentos_spark.schemas import KEY_COLS, PAYLOAD_COLS
+
+#: row-image struct inside the envelope: the transcript row with the event
+#: timestamp as epoch micros (``ts_us``) instead of a formatted string
+_IMAGE = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+    ]
+)
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), True),
+        T.StructField("before", _IMAGE, True),
+        T.StructField("after", _IMAGE, True),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("lsn", T.LongType(), True),
+                    T.StructField("partition", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+#: Debezium op code -> canonical op. ``r`` is the snapshot-read op the
+#: connector emits while bootstrapping — an insert by the time it reaches
+#: the lake.
+_OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
+
+
+def _image_field(env: Column, field: str) -> Column:
+    """after-image value, falling back to the before image (deletes)."""
+    return F.coalesce(env["after"][field], env["before"][field])
+
+
+def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Envelope strings -> canonical CHANGE_EVENTS columns.
+
+    One ``from_json`` over ``value_col``; every derived column is a pure
+    expression on the parsed struct. Unknown ops and unparseable documents
+    yield NULL ``op`` (and NULL key) rows for the DLQ split — they are NOT
+    dropped here, so at-least-once accounting upstream still sees them.
+    """
+    env = F.from_json(F.col(value_col), ENVELOPE_SCHEMA)
+    op = env["op"]
+    canonical = F.when(
+        op.isNotNull(),
+        # build a CASE over the 4 known codes; unknown codes fall through
+        # to NULL via the when-chain's implicit else
+        F.when(op == "c", F.lit("insert"))
+        .when(op == "r", F.lit("insert"))
+        .when(op == "u", F.lit("update"))
+        .when(op == "d", F.lit("delete")),
+    )
+    return df.select(
+        canonical.alias("op"),
+        _image_field(env, "conv_id").alias("conv_id"),
+        _image_field(env, "turn_idx").alias("turn_idx"),
+        _image_field(env, "role").alias("role"),
+        _image_field(env, "text").alias("text"),
+        _image_field(env, "tool").alias("tool"),
+        F.timestamp_micros(_image_field(env, "ts_us")).alias("ts"),
+        env["source"]["lsn"].alias("lsn"),
+        env["source"]["partition"].alias("source_partition"),
+    )
+
+
+def to_envelope(changes: DataFrame, value_col: str = "value") -> DataFrame:
+    """Canonical CHANGE_EVENTS rows -> one envelope JSON string per row.
+
+    Deletes emit a ``before`` image only; inserts/updates an ``after``
+    image only (the engine's change rows carry a single image — emitting it
+    under the op-appropriate key is what makes ``parse_envelope`` a true
+    inverse). Timestamps serialize as epoch micros.
+    """
+    image = F.struct(
+        *[F.col(c).alias(c) for c in KEY_COLS],
+        *[
+            F.col(c).alias(c)
+            for c in PAYLOAD_COLS
+            if c != "ts"
+        ],
+        # NTZ-tolerant: the session timezone is UTC (session.py), so the
+        # cast reinterprets a TIMESTAMP_NTZ column losslessly
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    is_del = F.col("op") == "delete"
+    doc = F.struct(
+        F.when(is_del, F.lit("d"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .otherwise(F.lit("c"))
+        .alias("op"),
+        F.when(is_del, image).alias("before"),
+        F.when(~is_del, image).alias("after"),
+        F.struct(
+            F.col("lsn").alias("lsn"),
+            F.col("source_partition").alias("partition"),
+        ).alias("source"),
+    )
+    return changes.select(
+        F.to_json(doc, {"ignoreNullFields": "true"}).alias(value_col)
+    )

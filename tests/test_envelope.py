@@ -1,0 +1,78 @@
+"""Debezium-envelope adapter: op mapping, before/after images, round trip.
+
+The wire contract under test: ``c``/``r`` -> insert, ``u`` -> update,
+``d`` -> delete (image under ``before``); unknown ops and unparseable
+documents surface as NULL-op rows that the DLQ split quarantines; and
+``parse_envelope(to_envelope(x)) == x`` for every canonical change row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_documentos_spark import datagen
+from etl_documentos_spark.schemas import CHANGE_EVENTS
+from etl_documentos_spark.sources.envelope import parse_envelope, to_envelope
+
+
+def _raw(spark, docs: list[str]):
+    return spark.createDataFrame([(d,) for d in docs], "value string")
+
+
+def test_op_mapping_and_images(spark):
+    docs = [
+        # create: after image only
+        '{"op":"c","after":{"conv_id":"a","turn_idx":1,"role":"user",'
+        '"text":"hi","tool":null,"ts_us":1000000},'
+        '"source":{"lsn":1,"partition":0}}',
+        # snapshot read: also an insert
+        '{"op":"r","after":{"conv_id":"a","turn_idx":2,"role":"agent",'
+        '"text":"yo","tool":"search","ts_us":2000000},'
+        '"source":{"lsn":2,"partition":0}}',
+        # update
+        '{"op":"u","after":{"conv_id":"a","turn_idx":1,"role":"user",'
+        '"text":"hi!","tool":null,"ts_us":3000000},'
+        '"source":{"lsn":3,"partition":1}}',
+        # delete: BEFORE image carries the key
+        '{"op":"d","before":{"conv_id":"a","turn_idx":2,"role":"agent",'
+        '"text":"yo","tool":"search","ts_us":2000000},'
+        '"source":{"lsn":4,"partition":1}}',
+    ]
+    rows = {
+        (r["lsn"]): r
+        for r in parse_envelope(_raw(spark, docs)).collect()
+    }
+    assert rows[1]["op"] == "insert" and rows[1]["text"] == "hi"
+    assert rows[2]["op"] == "insert" and rows[2]["tool"] == "search"
+    assert rows[3]["op"] == "update" and rows[3]["text"] == "hi!"
+    # delete reconstructs key and payload from the before image
+    assert rows[4]["op"] == "delete"
+    assert rows[4]["conv_id"] == "a" and rows[4]["turn_idx"] == 2
+    assert rows[1]["ts"].microsecond == 0 and rows[1]["ts"].second == 1
+
+
+def test_bad_rows_surface_as_null_op_for_dlq(spark):
+    docs = [
+        "this is not json",
+        '{"op":"x","after":{"conv_id":"z","turn_idx":0},"source":{"lsn":9}}',
+        '{"op":"c","after":{"conv_id":"ok","turn_idx":0,"role":"u",'
+        '"text":"t","tool":null,"ts_us":1},"source":{"lsn":10,"partition":0}}',
+    ]
+    out = parse_envelope(_raw(spark, docs))
+    assert out.filter(F.col("op").isNull()).count() == 2
+    good = out.filter(F.col("op").isNotNull()).collect()
+    assert len(good) == 1 and good[0]["conv_id"] == "ok"
+
+
+def test_round_trip_is_lossless(spark):
+    ch = datagen.change_stream(spark, n_events=4_000, events_per_epoch=1_000)
+    ch = ch.select(*[f.name for f in CHANGE_EVENTS.fields])
+    back = parse_envelope(to_envelope(ch))
+    # exact multiset equality both directions (exceptAll is order-free)
+    assert back.exceptAll(ch).count() == 0
+    assert ch.exceptAll(back).count() == 0
+    # parse output is nullable everywhere (wire data proves nothing about
+    # nullability); names and types must match exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in ch.schema.fields
+    ]

@@ -17,14 +17,24 @@ def main() -> str:
     os.makedirs(dist, exist_ok=True)
     out = os.path.join(dist, "etl_documentos_spark.zip")
     pkg = os.path.join(ROOT, "etl_documentos_spark")
+    # Deterministic archive: sorted entry order and a fixed timestamp, so
+    # rebuilding from the same sources is byte-identical (the test suite
+    # rebuilds it; content-addressed noise in git otherwise).
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in filenames:
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                entries.append((os.path.relpath(full, ROOT), full))
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for dirpath, _dirnames, filenames in os.walk(pkg):
-            if "__pycache__" in dirpath:
-                continue
-            for fn in filenames:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    z.write(full, os.path.relpath(full, ROOT))
+        for arcname, full in sorted(entries):
+            info = zipfile.ZipInfo(arcname, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as f:
+                z.writestr(info, f.read())
     print(out)
     return out
 
