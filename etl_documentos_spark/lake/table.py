@@ -1710,6 +1710,10 @@ class LakeTable:
                 new_stats=dict(target.file_stats),
             )
 
+    def get_property(self, key: str, default=None):
+        """Read one table property from current metadata (no refresh)."""
+        return self._meta["properties"].get(key, default)
+
     def set_property(self, key: str, value) -> None:
         """Set one table property as a metadata-only commit (Iceberg
         ``ALTER TABLE ... SET TBLPROPERTIES``). Used by derived-table

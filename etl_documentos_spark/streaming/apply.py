@@ -78,6 +78,11 @@ def merge_hll_counts(sketch_rows) -> dict[tuple[int, int], int]:
     return out
 
 
+#: table property holding the snapshot-bootstrap log position (see
+#: ``CdcPipeline.bootstrap``)
+BOOTSTRAP_WM_PROP = "bootstrap.watermark-lsn"
+
+
 @dataclass
 class EpochResult:
     epoch_id: int
@@ -153,6 +158,10 @@ class CdcPipeline:
         #: cached observe expressions (rebuilt only when the batch column
         #: set changes — expression construction is driver-side py4j cost)
         self._obs_exprs: tuple[tuple[str, ...], list] | None = None
+        #: snapshot-bootstrap watermark cache: "unloaded" until first read
+        #: (one table-metadata lookup per pipeline lifetime), then the int
+        #: log position or None. See ``bootstrap``.
+        self._bootstrap_wm: int | None | str = "unloaded"
         #: derived tables maintained in-stream (lake/mview.py); refreshed
         #: after each micro-batch by start_stream's foreachBatch handler
         self._views: list = []
@@ -209,6 +218,67 @@ class CdcPipeline:
         return LakeTable.load(self.table_root)
 
     @property
+    def bootstrap_watermark(self) -> int | None:
+        """Log position the initial snapshot covered, or None.
+
+        Persisted as a table property (crash-safe, restart-visible); cached
+        after the first read so the steady-state apply path pays a plain
+        attribute check, nothing else, when no bootstrap happened."""
+        if self._bootstrap_wm == "unloaded":
+            v = self.table.get_property(BOOTSTRAP_WM_PROP)
+            self._bootstrap_wm = None if v is None else int(v)
+        return self._bootstrap_wm
+
+    def bootstrap(
+        self,
+        snapshot: DataFrame,
+        watermark_lsn: int,
+        epoch_id: int = 0,
+        write_tasks: int | None = None,
+    ) -> EpochResult:
+        """Initial-snapshot load + change-stream handoff (Debezium's
+        snapshot->streaming transition).
+
+        ``snapshot`` is the upstream table's consistent state AS OF log
+        position ``watermark_lsn`` (key + payload columns; no op/lsn). It
+        loads through the same exactly-once epoch apply as any batch —
+        rows become inserts versioned at (row ts, watermark) — and the
+        watermark then persists as a table property. Every subsequent
+        ``apply_epoch`` filters its batch to ``lsn > watermark``: events at
+        or before the snapshot position are already reflected in the
+        snapshot, and REPLAYING them would resurrect rows whose delete
+        predates the snapshot (the snapshot has no tombstone for them — the
+        stale insert would win against nothing). The filter is a pushed-down
+        range predicate, so parquet/Kafka sources prune pre-watermark
+        files/offsets without scanning them.
+
+        Crash-safe and idempotent: the snapshot apply commits under
+        ``epoch_id`` in the commit log, so a re-call after any crash skips
+        straight to re-persisting the watermark property. Must complete
+        before the tail starts (the handoff contract; the property write is
+        the commit point). The reference's analogue is the initial bulk
+        document load before incremental processing
+        (``/root/reference/app/services/document_processor.py:126-143`` —
+        first insert, then per-event updates).
+        """
+        wm = int(watermark_lsn)
+        n_parts = self.n_source_partitions or 8
+        payload = [c for c in snapshot.columns if c not in ("conv_id",)]
+        changes = snapshot.select(
+            F.lit("insert").alias("op"),
+            F.col("conv_id"),
+            *[F.col(c) for c in payload],
+            F.lit(wm).cast("long").alias("lsn"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_parts))
+            .cast("int")
+            .alias("source_partition"),
+        )
+        res = self.apply_epoch(changes, epoch_id, write_tasks=write_tasks)
+        self.table.set_property(BOOTSTRAP_WM_PROP, wm)
+        self._bootstrap_wm = wm
+        return res
+
+    @property
     def _epoch_write_tasks(self) -> int:
         """Default writer-task bound for a per-epoch MOR append when the
         caller gives no hint: full parallelism. apply_epoch's callers are
@@ -249,6 +319,10 @@ class CdcPipeline:
         """
         assert self.mode == "mor", "bulk backfill requires merge-on-read"
         t0 = time.monotonic()
+        # same snapshot-bootstrap fence as apply_epoch (see there)
+        wm = self.bootstrap_watermark
+        if wm is not None:
+            changes = changes.filter(F.col("lsn") > F.lit(wm))
         todo = [e for e in epoch_ids if not self.commitlog.is_committed(e)]
         skipped = [
             EpochResult(e, True, 0, 0.0, []) for e in epoch_ids if e not in todo
@@ -482,6 +556,15 @@ class CdcPipeline:
         if self.commitlog.is_committed(epoch_id):
             return EpochResult(epoch_id, True, 0, 0.0, [])
         write_tasks = write_tasks or self._epoch_write_tasks
+
+        # snapshot-bootstrap handoff: events at or before the snapshot's
+        # log position are already in the table state and must not replay
+        # (a pre-snapshot insert would resurrect a pre-snapshot delete).
+        # Plain attribute check when no bootstrap happened; when set, a
+        # pushed-down range predicate that prunes pre-watermark files.
+        wm = self.bootstrap_watermark
+        if wm is not None:
+            changes = changes.filter(F.col("lsn") > F.lit(wm))
 
         n_bad = 0
         if self.quarantine:
