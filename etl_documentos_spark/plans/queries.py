@@ -287,6 +287,107 @@ _SCHEMA_EVOLUTION_SQL = f"""
 """
 
 
+def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot bootstrap -> change-stream handoff through the real pipeline.
+
+    The upstream state AS OF log position ``wm`` (LWW winners of the
+    pre-watermark stream, deletes dropped — exactly what a Debezium initial
+    snapshot ships) loads via ``CdcPipeline.bootstrap``; then the WHOLE
+    stream replays from offset 0, the at-least-once worst case. The
+    persisted watermark fences every pre-snapshot event (pushed-down range
+    predicate), so pre-watermark epochs no-op instead of resurrecting rows
+    whose delete predates the snapshot.
+
+    The oracle states the handoff contract itself: snapshot rows re-enter
+    the log as inserts versioned at (own ts, lsn=wm), unioned with the
+    ``lsn > wm`` tail, reduced by LWW. (Equality with a plain full replay
+    additionally holds whenever per-key ts order agrees with lsn order
+    across the watermark — asserted by ``tests/test_bootstrap.py`` on the
+    generator stream — but the contract form is exact for ANY input.)
+
+    Result detached via ``_detached``; scratch table removed on return.
+
+    Reference parity: initial bulk document load before incremental
+    per-event processing
+    (/root/reference/app/services/document_processor.py:126-143).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators import lww
+    from etl_documentos_spark.operators.merge import (
+        physical_schema,
+        read_current,
+    )
+    from etl_documentos_spark.streaming.apply import CdcPipeline
+
+    ch = _derive_changes(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # pipeline version domain
+    )
+    max_lsn = int(ch.agg(F.max("lsn")).first()[0])
+    wm = max_lsn // 2
+    snapshot = (
+        lww.lww_dedup(ch.filter(F.col("lsn") <= wm))
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+    )
+    root = tempfile.mkdtemp(prefix="bootstrap_q_")
+    try:
+        ch_types = {f.name: f.dataType for f in ch.schema.fields}
+        narrow = T.StructType(
+            [
+                T.StructField(c, ch_types[c], c not in ("conv_id", "turn_idx"))
+                for c in ("conv_id", "turn_idx", "role", "text", "ts")
+            ]
+        )
+        LakeTable.create(f"{root}/t", physical_schema(narrow), num_buckets=8)
+        pipe = CdcPipeline(spark, f"{root}/t", f"{root}/w")
+        pipe.bootstrap(snapshot, wm, epoch_id=0)
+        # full at-least-once replay: 4 epochs spanning lsn 0..max — the
+        # pre-watermark ones must no-op behind the persisted fence
+        span = max_lsn // 4 + 1
+        for k in range(4):
+            pipe.apply_epoch(
+                ch.filter(F.floor(F.col("lsn") / span) == k), k + 1
+            )
+        cur = read_current(spark, pipe.table).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+        return _detached(cur)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_BOOTSTRAP_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    t AS (SELECT max(lsn) // 2 AS wm FROM ch),
+    pre AS (
+      SELECT ch.*, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch, t WHERE lsn <= t.wm),
+    boot AS (
+      SELECT 'insert' AS op, conv_id, turn_idx, role, text, ts,
+             (SELECT wm FROM t) AS lsn
+      FROM pre WHERE rn = 1 AND op <> 'delete'
+      UNION ALL
+      SELECT op, conv_id, turn_idx, role, text, ts, lsn
+      FROM ch, t WHERE lsn > t.wm),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM boot)
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_dml_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate DML through the real lake machinery: the change stream is
     MERGEd into a scratch LakeTable, then a retention DELETE WHERE erases
@@ -2293,6 +2394,90 @@ _TIFF_SQL = """
 """
 
 
+def q_docx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DOCX decode end-to-end: synthesize container-valid DOCX files
+    (deflated ZIP + WordprocessingML, paragraphs split across one run per
+    word) and extract text by walking w:p/w:r/w:t — the oracle predicts the
+    merged paragraphs from the generation rule, so dropped runs, broken
+    paragraph merging or a bad ZIP read all surface as value mismatches.
+    Stdlib-only (zipfile + ElementTree); payload bytes stay executor-side.
+
+    Reference parity: DOCX is in Docling's accepted-format list
+    (/root/reference/app/providers/docling_provider.py:64-74)."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_docx_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_docx(d)
+
+
+_DOCX_SQL = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 5 AS INT) AS n_paragraphs,
+           CAST(len(array_to_string(list_transform(
+               generate_series(0, doc_id % 5),
+               j -> 'Paragraph ' || j || ' of document ' || doc_id || '.'),
+               chr(10))) AS INT) AS n_chars,
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 5),
+               j -> 'Paragraph ' || j || ' of document ' || doc_id || '.'),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
+def q_xlsx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL XLSX decode end-to-end: synthesize SpreadsheetML worksheets
+    (A1-referenced cells, one inline-string label per row plus numeric
+    columns) and parse them back with cell-type dispatch. The oracle
+    predicts row/cell counts and the exact integer value sum; summing the
+    label cells or missing a row breaks equality."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_xlsx_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_xlsx(d)
+
+
+_XLSX_SQL = """
+    SELECT doc_id,
+           CAST(2 + doc_id % 4 AS INT) AS n_rows,
+           CAST((2 + doc_id % 4) * (1 + doc_id % 3) AS INT)
+               AS n_numeric_cells,
+           CAST(2 + doc_id % 4 AS INT) AS n_string_cells,
+           CAST(list_sum(list_transform(
+               generate_series(0, (2 + doc_id % 4) * (1 + doc_id % 3) - 1),
+               i -> (doc_id + 7 * (i // (1 + doc_id % 3))
+                     + 3 * (i % (1 + doc_id % 3))) % 100))
+               AS BIGINT) AS sum_values
+    FROM documents
+"""
+
+
+def q_pdf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF decode end-to-end: synthesize spec-valid single-page PDFs
+    (computed xref byte offsets, zlib FlateDecode content streams) and
+    extract text by inflating the streams and evaluating Tj show-text
+    operators. The oracle predicts object count, line count and the exact
+    text — a wrong xref walk, a bad inflate or broken escape handling all
+    surface as mismatches. PDF is the reference's primary ingest format
+    (/root/reference/app/providers/docling_provider.py:64-74)."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_pdf_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_pdf(d)
+
+
+_PDF_SQL = """
+    SELECT doc_id,
+           CAST(5 AS INT) AS n_objects,
+           CAST(1 + doc_id % 4 AS INT) AS n_lines,
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 4),
+               j -> 'Line ' || j || ' of PDF ' || doc_id),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (deterministic term tiebreak)."""
     return analytics.tfidf_top_terms(
@@ -3190,6 +3375,10 @@ QUERIES: dict[str, Query] = {
     "cdc_offsets": q_cdc_offsets,
     "cdc_epoch_stats": q_cdc_epoch_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_bootstrap": q_cdc_bootstrap,
+    "docx_decode": q_docx_decode,
+    "xlsx_decode": q_xlsx_decode,
+    "pdf_decode": q_pdf_decode,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
@@ -3300,6 +3489,10 @@ ORACLES: dict[str, str] = {
         FROM ch GROUP BY 1
     """,
     "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
+    "cdc_bootstrap": _BOOTSTRAP_SQL,
+    "docx_decode": _DOCX_SQL,
+    "xlsx_decode": _XLSX_SQL,
+    "pdf_decode": _PDF_SQL,
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,
