@@ -98,9 +98,10 @@ class Catalog:
         registered with underscores: ``raw.transcripts`` ->
         ``raw_transcripts`` — Spark temp views cannot hold dots).
 
-        DML statements (``DELETE FROM t WHERE ...`` / ``UPDATE t SET ...``)
-        are dispatched onto the version-checked predicate DML
-        (`operators.dml`) against the named table — see `lake.sql.sql`."""
+        DML statements (``DELETE FROM t WHERE ...`` / ``UPDATE t SET ...``
+        / ``INSERT INTO t ...`` / ``MERGE INTO t USING ...``) are
+        dispatched onto the version-checked DML (`operators.dml`) against
+        the named table — see `lake.sql.sql`."""
         tables: dict[str, LakeTable] = {}
         for name in self.list_tables():
             view = name.replace(".", "_")

@@ -44,7 +44,7 @@ def current_view(
 
 #: DML statements are dispatched onto `operators.dml` instead of Spark SQL
 #: (temp views are not writable targets)
-_DML_HEAD = re.compile(r"^\s*(delete|update)\b", re.IGNORECASE)
+_DML_HEAD = re.compile(r"^\s*(delete|update|insert|merge)\b", re.IGNORECASE)
 
 #: Iceberg-style time travel: ``FROM t VERSION AS OF 3`` (snapshot id) or
 #: ``FROM t VERSION AS OF 'tag'`` (named ref). Rewritten onto pinned views.
@@ -97,6 +97,285 @@ def _find_where(text: str) -> int:
     return -1
 
 
+def _find_kw(text: str, kw: str, start: int = 0) -> int:
+    """Index of the first top-level occurrence of keyword ``kw`` (-1 if
+    none), paren/quote aware, word-bounded, case-insensitive."""
+    depth, quote, i, n, k = 0, False, start, len(text), len(kw)
+    up = kw.upper()
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == "'":
+                quote = False
+        elif ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + k].upper() == up:
+            before_ok = i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] == "_"
+            )
+            after = text[i + k : i + k + 1]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def _match_paren(text: str, i: int) -> int:
+    """Index just past the ')' matching the '(' at ``text[i]``."""
+    depth, quote = 0, False
+    for j in range(i, len(text)):
+        ch = text[j]
+        if quote:
+            if ch == "'":
+                quote = False
+        elif ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise ValueError(f"unbalanced parentheses in: {text!r}")
+
+
+def _logical_cols(table: LakeTable) -> list[str]:
+    from etl_documentos_spark.operators.merge import SYSTEM_COL_NAMES
+
+    return [
+        f.name
+        for f in table.schema.fields
+        if f.name not in SYSTEM_COL_NAMES
+    ]
+
+
+def _run_insert(
+    spark: SparkSession, tables: dict[str, LakeTable], q: str
+) -> DataFrame:
+    """``INSERT INTO t [(cols)] VALUES (...), ... | SELECT ...`` onto
+    `operators.dml.insert_into`. The SELECT sees every catalog table's
+    state as of THIS statement (same snapshot isolation as queries)."""
+    from etl_documentos_spark.operators import dml
+
+    m = re.match(r"^\s*INSERT\s+INTO\s+(\w+)\s*", q, re.I)
+    if not m:
+        raise ValueError(f"unsupported INSERT statement: {q!r}")
+    name, rest = m.group(1), q[m.end() :].strip()
+    if name not in tables:
+        raise KeyError(f"no such table {name!r}")
+    table = tables[name]
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        end = _match_paren(rest, 0)
+        cols = [c.strip().strip("`") for c in _split_top(rest[1:end - 1])]
+        rest = rest[end:].strip()
+    for n, t in tables.items():
+        current_view(spark, t, n)
+    head = rest.split(None, 1)[0].upper() if rest else ""
+    if head == "VALUES":
+        names = cols or _logical_cols(table)
+        rows = spark.sql(
+            f"SELECT * FROM ({rest}) AS __ins({', '.join(names)})"
+        )
+    elif head in ("SELECT", "WITH", "TABLE"):
+        rows = spark.sql(rest)
+        if cols:
+            rows = rows.toDF(*cols)
+    else:
+        raise ValueError(f"expected VALUES or SELECT after INSERT INTO: {q!r}")
+    n_rows = dml.insert_into(spark, table, rows)
+    return spark.createDataFrame(
+        [(name, "insert", n_rows)],
+        "table string, operation string, affected_rows long",
+    )
+
+
+def _parse_on_keys(
+    cond: str, target_alias: str, source_alias: str
+) -> None:
+    """Validate the MERGE ON condition: a conjunction of the table's key
+    equalities (either side order), nothing else — the restriction that
+    keeps MERGE bucket-prunable (see `operators.dml.merge_when`)."""
+    from etl_documentos_spark.schemas import KEY_COLS
+
+    seen = set()
+    for part in re.split(r"\bAND\b", cond, flags=re.I):
+        m = re.match(
+            r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", part.strip()
+        )
+        if not m:
+            raise ValueError(
+                f"MERGE ON must be key equalities, got {part.strip()!r}"
+            )
+        a, ca, b, cb = m.groups()
+        if ca != cb or {a, b} != {target_alias, source_alias}:
+            raise ValueError(
+                f"MERGE ON must equate {target_alias}.<key> with "
+                f"{source_alias}.<key>, got {part.strip()!r}"
+            )
+        seen.add(ca)
+    if seen != set(KEY_COLS):
+        raise ValueError(
+            f"MERGE ON must cover exactly the key columns {KEY_COLS}, "
+            f"got {sorted(seen)} (row-level conditions go on the WHEN "
+            "clauses)"
+        )
+
+
+def _run_merge(
+    spark: SparkSession, tables: dict[str, LakeTable], q: str
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` onto `operators.dml.merge_when` — one atomic
+    snapshot commit for the whole statement.
+
+    Grammar (Iceberg/Delta MERGE, ON restricted to the key equality)::
+
+        MERGE INTO t [AS] [alias] USING (subquery)|name [AS] [alias]
+        ON <key equalities>
+        WHEN MATCHED [AND cond] THEN UPDATE SET a = expr, ... |
+        WHEN MATCHED [AND cond] THEN DELETE |
+        WHEN NOT MATCHED [AND cond] THEN INSERT * |
+                                         INSERT (cols) VALUES (exprs)
+
+    Clause conditions and expressions may reference both sides through the
+    aliases; first matching WHEN clause wins per row, as in SQL.
+    """
+    from etl_documentos_spark.operators import dml
+
+    m = re.match(
+        r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(?!USING\b)(\w+))?"
+        r"\s+USING\s+",
+        q,
+        re.I,
+    )
+    if not m:
+        raise ValueError(f"unsupported MERGE statement: {q!r}")
+    name, t_alias = m.group(1), m.group(2) or m.group(1)
+    if name not in tables:
+        raise KeyError(f"no such table {name!r}")
+    table = tables[name]
+    pos = m.end()
+
+    for n, t in tables.items():
+        current_view(spark, t, n)
+    if q[pos] == "(":
+        end = _match_paren(q, pos)
+        source = spark.sql(q[pos + 1 : end - 1])
+        src_name = None
+        pos = end
+    else:
+        m2 = re.match(r"(\w+)", q[pos:])
+        src_name = m2.group(1)
+        source = spark.table(src_name)
+        pos += m2.end()
+    m3 = re.match(r"\s+(?:AS\s+)?(?!ON\b)(\w+)", q[pos:], re.I)
+    if m3:
+        s_alias = m3.group(1)
+        pos += m3.end()
+    else:
+        s_alias = src_name or "s"
+
+    on_at = _find_kw(q, "ON", pos)
+    if on_at < 0:
+        raise ValueError(f"MERGE without ON condition: {q!r}")
+    first_when = _find_kw(q, "WHEN", on_at)
+    if first_when < 0:
+        raise ValueError(f"MERGE without WHEN clauses: {q!r}")
+    _parse_on_keys(q[on_at + 2 : first_when], t_alias, s_alias)
+
+    # split the WHEN clauses at top level
+    starts = []
+    at = first_when
+    while at >= 0:
+        starts.append(at)
+        at = _find_kw(q, "WHEN", at + 4)
+    matched: list = []
+    not_matched = None
+    for i, s0 in enumerate(starts):
+        s1 = starts[i + 1] if i + 1 < len(starts) else len(q)
+        clause = q[s0 + 4 : s1].strip().rstrip(";").strip()
+        then_at = _find_kw(clause, "THEN")
+        if then_at < 0:
+            raise ValueError(f"WHEN clause without THEN: {clause!r}")
+        head, action = clause[:then_at].strip(), clause[then_at + 4 :].strip()
+        hm = re.match(r"^(NOT\s+)?MATCHED\s*(?:AND\s+(.*))?$", head, re.I | re.S)
+        if not hm:
+            raise ValueError(f"bad WHEN clause head: {head!r}")
+        is_not, cond = bool(hm.group(1)), hm.group(2)
+        if is_not:
+            im = re.match(
+                r"^INSERT\s*(\*|\(.*)$", action, re.I | re.S
+            )
+            if not im:
+                raise ValueError(
+                    f"WHEN NOT MATCHED supports only INSERT, got {action!r}"
+                )
+            if not_matched is not None:
+                raise ValueError("at most one WHEN NOT MATCHED clause")
+            if im.group(1) == "*":
+                values = None
+            else:
+                rest = action[action.upper().index("INSERT") + 6 :].strip()
+                cend = _match_paren(rest, 0)
+                ins_cols = [
+                    c.strip().strip("`")
+                    for c in _split_top(rest[1:cend - 1])
+                ]
+                after = rest[cend:].strip()
+                if not after.upper().startswith("VALUES"):
+                    raise ValueError(f"INSERT (cols) needs VALUES: {action!r}")
+                vpart = after[6:].strip()
+                vend = _match_paren(vpart, 0)
+                exprs = _split_top(vpart[1:vend - 1])
+                if len(exprs) != len(ins_cols):
+                    raise ValueError(
+                        f"INSERT has {len(ins_cols)} columns but "
+                        f"{len(exprs)} values"
+                    )
+                values = {
+                    c: F.expr(e) for c, e in zip(ins_cols, exprs)
+                }
+            not_matched = (cond, values)
+        elif re.match(r"^DELETE\s*;?\s*$", action, re.I):
+            matched.append(("delete", cond, None))
+        else:
+            um = re.match(r"^UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+            if not um:
+                raise ValueError(
+                    f"WHEN MATCHED supports UPDATE SET / DELETE, got "
+                    f"{action!r}"
+                )
+            assignments = {}
+            for item in _split_top(um.group(1)):
+                col, eq, expr = item.partition("=")
+                if not eq or not col.strip() or not expr.strip():
+                    raise ValueError(f"bad SET assignment: {item!r}")
+                key = col.strip().strip("`")
+                # allow `t.col = ...`-style targets, normalized to col
+                key = key.split(".")[-1]
+                assignments[key] = F.expr(expr.strip())
+            matched.append(("update", cond, assignments))
+
+    counts = dml.merge_when(
+        spark,
+        table,
+        source,
+        matched=matched,
+        not_matched=not_matched,
+        target_alias=t_alias,
+        source_alias=s_alias,
+    )
+    return spark.createDataFrame(
+        [(name, counts["updated"], counts["deleted"], counts["inserted"])],
+        "table string, updated long, deleted long, inserted long",
+    )
+
+
 def _run_dml(
     spark: SparkSession, tables: dict[str, LakeTable], query: str
 ) -> DataFrame:
@@ -109,6 +388,10 @@ def _run_dml(
     from etl_documentos_spark.operators import dml
 
     q = query.strip().rstrip(";")
+    if re.match(r"^\s*INSERT\b", q, re.I):
+        return _run_insert(spark, tables, q)
+    if re.match(r"^\s*MERGE\b", q, re.I):
+        return _run_merge(spark, tables, q)
     m = re.match(r"^\s*DELETE\s+FROM\s+(\w+)\s*(.*)$", q, re.I | re.S)
     if m:
         name, rest = m.group(1), m.group(2).strip()
@@ -161,7 +444,10 @@ def sql(
 
     Extras beyond SELECT:
     - **DML**: ``DELETE FROM t WHERE ...`` / ``UPDATE t SET ... WHERE ...``
-      route to `operators.dml`'s version-checked merge (see `_run_dml`).
+      / ``INSERT INTO t VALUES|SELECT ...`` / full ``MERGE INTO t USING ...
+      WHEN [NOT] MATCHED ...`` route to `operators.dml`'s version-checked
+      merge (see `_run_dml`, `_run_insert`, `_run_merge`); each statement
+      is one atomic snapshot commit.
     - **Time travel**: ``FROM t VERSION AS OF <snapshot_id|'tag'>`` pins
       that name to the older snapshot for this statement (Iceberg SQL
       syntax); the same name can appear unpinned elsewhere in the query

@@ -138,3 +138,212 @@ def update_where(
         F.col("_lsn").alias("lsn"),
     )
     return _apply(spark, table, changes)
+
+
+def insert_into(
+    spark: SparkSession, table: LakeTable, rows: DataFrame
+) -> int:
+    """INSERT INTO table — returns rows inserted.
+
+    ``rows`` carries the key columns, any subset of payload columns
+    (missing ones land NULL) and ``ts`` (the row version; inserts supply
+    their own, unlike UPDATE/DELETE which tick the matched row's). Rows
+    enter the version-checked merge as ``op='insert'`` events at
+    ``lsn = 0``: a key that already exists with a newer version keeps
+    winning (LWW) — INSERT is snapshot-consistent upsert-by-version, the
+    only insert semantics compatible with a keyed change-log table.
+    """
+    names = {f.name for f in rows.schema.fields}
+    missing = {*KEY_COLS, "ts"} - names
+    if missing:
+        raise ValueError(f"INSERT rows must carry {sorted(missing)}")
+    payload = [
+        f.name
+        for f in table.schema.fields
+        if f.name not in KEY_COLS
+        and f.name != "ts"
+        and f.name not in SYSTEM_COL_NAMES
+    ]
+    changes = rows.select(
+        F.lit("insert").alias("op"),
+        *[F.col(k) for k in KEY_COLS],
+        *[
+            (F.col(c) if c in names else F.lit(None)).alias(c)
+            for c in payload
+        ],
+        F.col("ts"),
+        F.lit(0).cast("long").alias("lsn"),
+    )
+    return _apply(spark, table, changes)
+
+
+def merge_when(
+    spark: SparkSession,
+    table: LakeTable,
+    source: DataFrame,
+    matched: list[tuple[str, Column | str | None, dict[str, Column] | None]]
+    | None = None,
+    not_matched: tuple[Column | str | None, dict[str, Column] | None]
+    | None = None,
+    target_alias: str = "t",
+    source_alias: str = "s",
+) -> dict[str, int]:
+    """MERGE INTO table USING source ON <key equality> — one atomic commit.
+
+    The ANSI MERGE statement compiled onto the engine's version-checked
+    merge. The join is ALWAYS the table's key equality (conv_id, turn_idx)
+    — the restriction that keeps MERGE bucket-prunable at 10^10 rows
+    (arbitrary ON conditions are a different operator: use a join + DML).
+    Row-level conditions go on the clauses instead, exactly like
+    Iceberg/Delta MERGE:
+
+    - ``matched``: ordered WHEN MATCHED clauses, each
+      ``("update", cond, assignments)`` or ``("delete", cond, None)``;
+      ``cond`` (Column or SQL string, None = always) may reference both
+      sides via the aliases (default ``t.``/``s.``); first matching clause
+      wins per row, as in SQL.
+    - ``not_matched``: one WHEN NOT MATCHED clause ``(cond, values)``;
+      ``values`` maps column -> expression over the source row (must cover
+      ``ts``) — None means INSERT * (take the source's columns, which must
+      then include ``ts``).
+
+    All clauses compile into ONE change batch applied by ONE
+    ``merge_into`` call: matched rows tick their own version (+1µs, same
+    contract as UPDATE/DELETE WHERE), inserts enter at the source-provided
+    version — so the whole statement is a single snapshot commit, atomic
+    under concurrent readers and crash-safe like any other commit.
+
+    Returns ``{"updated": n, "deleted": n, "inserted": n}``.
+
+    Reference parity: upsert-by-id is the reference repository's
+    create-or-update path (/root/reference/app/database/repositories.py:
+    23-68), restated set-oriented.
+    """
+    matched = matched or []
+    payload = [
+        f.name
+        for f in table.schema.fields
+        if f.name not in KEY_COLS
+        and f.name != "ts"
+        and f.name not in SYSTEM_COL_NAMES
+    ]
+    ta, sa = target_alias, source_alias
+
+    def as_cond(c: Column | str | None) -> Column:
+        if c is None:
+            return F.lit(True)
+        return F.expr(c) if isinstance(c, str) else c
+
+    cur = _current_rows(spark, table).alias(ta)
+    src = source.alias(sa)
+    key_eq = [
+        F.col(f"{ta}.{k}") == F.col(f"{sa}.{k}") for k in KEY_COLS
+    ]
+    branches: list[DataFrame] = []
+
+    if matched:
+        on = key_eq[0]
+        for e in key_eq[1:]:
+            on = on & e
+        joined = cur.join(src, on=on, how="inner")
+        guard = F.lit(True)  # NOT of every earlier clause's condition
+        for action, cond, assignments in matched:
+            take = guard & as_cond(cond)
+            guard = guard & ~as_cond(cond)
+            if action == "update":
+                assignments = assignments or {}
+                fenced = set(assignments) & (
+                    {*KEY_COLS, "ts", *SYSTEM_COL_NAMES}
+                )
+                if fenced:
+                    raise ValueError(
+                        f"cannot assign {sorted(fenced)} in WHEN MATCHED "
+                        "UPDATE: keys identify the row; ts/system columns "
+                        "are the row version (engine-managed)"
+                    )
+                branches.append(
+                    joined.filter(take).select(
+                        F.lit("update").alias("op"),
+                        *[F.col(f"{ta}.{k}").alias(k) for k in KEY_COLS],
+                        *[
+                            (
+                                assignments[c]
+                                if c in assignments
+                                else F.col(f"{ta}.{c}")
+                            ).alias(c)
+                            for c in payload
+                        ],
+                        (F.col(f"{ta}.ts") + _one_micro()).alias("ts"),
+                        F.col(f"{ta}._lsn").alias("lsn"),
+                    )
+                )
+            elif action == "delete":
+                branches.append(
+                    joined.filter(take).select(
+                        F.lit("delete").alias("op"),
+                        *[F.col(f"{ta}.{k}").alias(k) for k in KEY_COLS],
+                        (F.col(f"{ta}.ts") + _one_micro()).alias("ts"),
+                        F.col(f"{ta}._lsn").alias("lsn"),
+                    )
+                )
+            else:
+                raise ValueError(f"unknown MATCHED action {action!r}")
+
+    if not_matched is not None:
+        cond, values = not_matched
+        fresh = src.join(
+            cur.select(*KEY_COLS), on=KEY_COLS, how="left_anti"
+        ).filter(as_cond(cond))
+        src_names = {f.name for f in source.schema.fields}
+        if values is None:  # INSERT *
+            missing = {*KEY_COLS, "ts"} - src_names
+            if missing:
+                raise ValueError(
+                    f"INSERT * needs source columns {sorted(missing)}"
+                )
+            values = {}
+        if "ts" not in values and "ts" not in src_names:
+            raise ValueError("WHEN NOT MATCHED INSERT must provide ts")
+        branches.append(
+            fresh.select(
+                F.lit("insert").alias("op"),
+                *[
+                    (values[k] if k in values else F.col(k)).alias(k)
+                    for k in KEY_COLS
+                ],
+                *[
+                    (
+                        values[c]
+                        if c in values
+                        else (
+                            F.col(c) if c in src_names else F.lit(None)
+                        )
+                    ).alias(c)
+                    for c in payload
+                ],
+                (
+                    values["ts"] if "ts" in values else F.col("ts")
+                ).alias("ts"),
+                F.lit(0).cast("long").alias("lsn"),
+            )
+        )
+
+    if not branches:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    changes = branches[0]
+    for b in branches[1:]:
+        changes = changes.unionByName(b, allowMissingColumns=True)
+    changes = changes.persist()
+    try:
+        counts = {
+            r["op"]: r["count"]
+            for r in changes.groupBy("op").count().collect()
+        }
+        merge_into(spark, table, changes)
+        return {
+            "updated": int(counts.get("update", 0)),
+            "deleted": int(counts.get("delete", 0)),
+            "inserted": int(counts.get("insert", 0)),
+        }
+    finally:
+        changes.unpersist()

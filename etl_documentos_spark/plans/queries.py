@@ -539,6 +539,89 @@ _SQL_DML_SQL = """
 """
 
 
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``MERGE INTO`` through the SQL door — the statement a CDC lake
+    user actually writes (Iceberg/Delta MERGE), parsed by `lake.sql` and
+    compiled onto the engine's version-checked merge as ONE atomic commit.
+    One statement exercises all three branches with first-clause-wins
+    semantics: the ``turn_idx % 10 = 0`` stratum deletes, the rest of the
+    ``% 5 = 0`` stratum updates from the source row, and a synthetic
+    ``turn_idx = 99`` key per conversation inserts (it never exists). The
+    USING subquery reads the SAME table it mutates — snapshot-isolated at
+    statement start, so no Halloween effect.
+
+    Oracle closed form over the LWW reduction: delete stratum removed,
+    update stratum rewritten with the engine's one-microsecond version
+    tick, one inserted row per distinct conv_id. Result detached via
+    ``_detached``.
+
+    Reference parity: create-or-update upsert in the repository layer
+    (/root/reference/app/database/repositories.py:23-68), restated
+    set-oriented."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake import sql as lake_sql
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import merge_into, physical_schema
+
+    ch = _derive_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sqlmerge_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/transcripts", physical_schema(_narrow_schema(ch)),
+            num_buckets=8,
+        )
+        merge_into(spark, table, ch)
+        lake_sql.sql(
+            spark,
+            {"t": table},
+            """
+            MERGE INTO t USING (
+              SELECT conv_id, turn_idx, role FROM t WHERE turn_idx % 5 = 0
+              UNION ALL
+              SELECT DISTINCT conv_id, 99 AS turn_idx, 'synthetic' AS role
+              FROM t
+            ) s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND t.turn_idx % 10 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET text = concat('merged:', s.role)
+            WHEN NOT MATCHED THEN INSERT (conv_id, turn_idx, role, text, ts)
+              VALUES (s.conv_id, s.turn_idx, s.role, 'inserted',
+                      TIMESTAMP_NTZ '2030-01-01')
+            """,
+        )
+        cur = lake_sql.sql(
+            spark, {"t": LakeTable.load(table.root)},
+            "SELECT conv_id, turn_idx, role, text, ts FROM t",
+        )
+        return _detached(cur)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_MERGE_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch),
+    cur AS (
+      SELECT conv_id, turn_idx, role, text, ts
+      FROM ranked WHERE rn = 1 AND op <> 'delete')
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN turn_idx % 5 = 0 THEN 'merged:' || role
+                ELSE text END AS text,
+           CASE WHEN turn_idx % 5 = 0 THEN ts + INTERVAL 1 MICROSECOND
+                ELSE ts END AS ts
+    FROM cur WHERE turn_idx % 10 <> 0
+    UNION ALL
+    SELECT DISTINCT conv_id, 99 AS turn_idx, 'synthetic' AS role,
+           'inserted' AS text, TIMESTAMP '2030-01-01' AS ts
+    FROM cur
+"""
+
+
 def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through the SQL door: tranche 1 of the change stream is
     merged and tagged ``v1``; tranche 2 merges after. ONE SQL statement
@@ -3364,8 +3447,9 @@ _ASOF_SQL = """
 #: Driver correctness window = the FIRST 50 entries (the driver checks 50
 #: per round). Rotation rule: any query whose implementation changed since
 #: its last driver-green check sits inside the window — this round that is
-#: the new SQL-DML/time-travel/TIFF rows, every scratch-table query touched
-#: by the lazy `_detached` returns + read_current snapshot pinning, and the
+#: the new SQL-DML/time-travel/TIFF/MERGE-INTO rows, the new
+#: bootstrap/DOCX/XLSX/PDF rows, every scratch-table query touched by the
+#: lazy `_detached` returns + read_current snapshot pinning, and the
 #: analytics/text rows last driver-checked in r1/r2 whose modules gained
 #: edits since. Rows 51+ are unchanged since their last green check.
 QUERIES: dict[str, Query] = {
@@ -3383,6 +3467,7 @@ QUERIES: dict[str, Query] = {
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
     "sql_dml": q_sql_dml,
+    "sql_merge": q_sql_merge,
     "sql_time_travel": q_sql_time_travel,
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
@@ -3497,6 +3582,7 @@ ORACLES: dict[str, str] = {
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,
     "sql_dml": _SQL_DML_SQL.format(derive=_DERIVE_SQL),
+    "sql_merge": _SQL_MERGE_SQL,
     "sql_time_travel": _SQL_TIME_TRAVEL_SQL.format(derive=_DERIVE_SQL),
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
