@@ -52,6 +52,16 @@ _ASOF = re.compile(
     r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+|'[^']*')", re.IGNORECASE
 )
 
+#: Incremental changelog read (CDC-out through the SQL door):
+#: ``FROM t CHANGES BETWEEN <snapshot_id|'tag'> AND <snapshot_id|'tag'|CURRENT>``
+#: — rewritten onto a `lake.changelog.read_changes` view (manifest-diff
+#: planning, reads only the added files).
+_CHANGES = re.compile(
+    r"\b(\w+)\s+CHANGES\s+BETWEEN\s+(\d+|'[^']*')\s+AND\s+"
+    r"(\d+|'[^']*'|CURRENT)(?!\w)",  # (?!\w): a plain \b cannot match
+    re.IGNORECASE,                   # after a closing quote
+)
+
 
 def _split_top(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren depth 0 outside single-quoted literals."""
@@ -452,9 +462,40 @@ def sql(
       that name to the older snapshot for this statement (Iceberg SQL
       syntax); the same name can appear unpinned elsewhere in the query
       and reads the current state.
+    - **Changelog (CDC-out)**: ``FROM t CHANGES BETWEEN <snapshot|'tag'>
+      AND <snapshot|'tag'|CURRENT>`` reads the rows added in that snapshot
+      range via `lake.changelog.read_changes` — manifest-diff planning,
+      so the statement reads the delta files only, never the table; rows
+      carry ``_change_op``/``_change_snapshot_id``/``_change_ts_ms``.
     """
     if _DML_HEAD.match(query):
         return _run_dml(spark, tables, query)
+
+    def pin_changes(m: re.Match) -> str:
+        from etl_documentos_spark.lake.changelog import read_changes
+
+        name = m.group(1)
+        if name not in tables:
+            return m.group(0)  # not ours — leave for Spark to reject
+        t = tables[name]
+
+        def resolve(token: str) -> int:
+            if token.upper() == "CURRENT":
+                return t.current_snapshot.snapshot_id
+            if token.startswith("'"):
+                refs = t.refs
+                r = token.strip("'")
+                if r not in refs:
+                    raise KeyError(f"no ref {r!r} on table {name!r}")
+                return refs[r]
+            return int(token)
+
+        lo, hi = resolve(m.group(2)), resolve(m.group(3))
+        view = f"{name}__changes_{lo}_{hi}"
+        read_changes(spark, t, lo, hi).createOrReplaceTempView(view)
+        return view
+
+    query = _CHANGES.sub(pin_changes, query)
 
     def pin(m: re.Match) -> str:
         name, token = m.group(1), m.group(2)

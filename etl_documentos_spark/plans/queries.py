@@ -622,6 +622,68 @@ _SQL_MERGE_SQL = f"""
 """
 
 
+def q_sql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out through the SQL door: tranche 1 of the change stream commits
+    and is tagged ``v1``; tranche 2 commits after. One statement then reads
+    ``FROM t CHANGES BETWEEN 'v1' AND CURRENT`` — rewritten by `lake.sql`
+    onto the manifest-diff changelog (`lake/changelog.py`), so planning is
+    metadata-only and execution reads exactly tranche 2's delta files,
+    never the table. The oracle is the tranche-2 slice of the derivation
+    with the tombstone fold (op -> upsert/delete) — equality proves the
+    manifest diff attributes precisely the added rows.
+
+    Result detached via ``_detached``. Reference parity: per-document
+    processing history served as an audit feed
+    (/root/reference/app/api/documentos.py list endpoints)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake import sql as lake_sql
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import (
+        changes_to_physical,
+        physical_schema,
+    )
+
+    ch = _derive_changes(spark, sf_dir)
+    thr = int(ch.agg(F.max("lsn")).first()[0]) * 3 // 5
+    root = tempfile.mkdtemp(prefix="sqlchanges_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/t", physical_schema(_narrow_schema(ch)), num_buckets=8
+        )
+        table.append(
+            changes_to_physical(
+                ch.filter(F.col("lsn") < thr), table.schema
+            )
+        )
+        table.tag("v1")
+        table.append(
+            changes_to_physical(
+                ch.filter(F.col("lsn") >= thr), table.schema
+            )
+        )
+        cur = lake_sql.sql(
+            spark,
+            {"t": table},
+            "SELECT conv_id, turn_idx, role, text, ts, _change_op "
+            "FROM t CHANGES BETWEEN 'v1' AND CURRENT",
+        )
+        return _detached(cur)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_CHANGES_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    t AS (SELECT (max(lsn) * 3) // 5 AS thr FROM ch)
+    SELECT conv_id, turn_idx, role, text, ts,
+           CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END
+             AS _change_op
+    FROM ch, t WHERE lsn >= t.thr
+"""
+
+
 def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through the SQL door: tranche 1 of the change stream is
     merged and tagged ``v1``; tranche 2 merges after. ONE SQL statement
@@ -3468,6 +3530,7 @@ QUERIES: dict[str, Query] = {
     "dml_retention": q_dml_retention,
     "sql_dml": q_sql_dml,
     "sql_merge": q_sql_merge,
+    "sql_changes": q_sql_changes,
     "sql_time_travel": q_sql_time_travel,
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
@@ -3583,6 +3646,7 @@ ORACLES: dict[str, str] = {
     "dml_retention": _DML_RETENTION_SQL,
     "sql_dml": _SQL_DML_SQL.format(derive=_DERIVE_SQL),
     "sql_merge": _SQL_MERGE_SQL,
+    "sql_changes": _SQL_CHANGES_SQL,
     "sql_time_travel": _SQL_TIME_TRAVEL_SQL.format(derive=_DERIVE_SQL),
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
