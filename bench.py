@@ -678,6 +678,12 @@ def run_default(sf_dir: str, cpus: int) -> None:
                 "cdc_bulk_events_per_sec": round(
                     cdc_bulk["events_per_sec"], 1
                 ),
+                # host-steal fraction during the chosen (best) replay
+                # windows — a recorded number > ~0.05 means the host, not
+                # the engine, bounded this round's figure (ladder
+                # methodology, BENCH/BASELINE.md)
+                "cdc_steal_frac": cdc.get("host_steal_frac"),
+                "cdc_bulk_steal_frac": cdc_bulk.get("host_steal_frac"),
                 "cpus": cpus,
             }
         )
