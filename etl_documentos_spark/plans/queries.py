@@ -2623,6 +2623,28 @@ _PDF_SQL = """
 """
 
 
+def q_csv_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL CSV decode end-to-end with RFC 4180 quoting: odd rows carry a
+    quoted note containing a comma AND a doubled quote, so a parser that
+    naively splits on commas shifts the value column and breaks the sum
+    the oracle predicts (tests assert this sensitivity explicitly)."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_csv_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_csv(d)
+
+
+_CSV_SQL = """
+    SELECT doc_id,
+           CAST(2 + doc_id % 4 AS INT) AS n_rows,
+           CAST((2 + doc_id % 4) // 2 AS INT) AS n_quoted_notes,
+           CAST(list_sum(list_transform(
+               generate_series(0, 1 + doc_id % 4),
+               r -> (doc_id + 3 * r) % 50)) AS BIGINT) AS sum_values
+    FROM documents
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (deterministic term tiebreak)."""
     return analytics.tfidf_top_terms(
@@ -3525,6 +3547,7 @@ QUERIES: dict[str, Query] = {
     "docx_decode": q_docx_decode,
     "xlsx_decode": q_xlsx_decode,
     "pdf_decode": q_pdf_decode,
+    "csv_decode": q_csv_decode,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
@@ -3641,6 +3664,7 @@ ORACLES: dict[str, str] = {
     "docx_decode": _DOCX_SQL,
     "xlsx_decode": _XLSX_SQL,
     "pdf_decode": _PDF_SQL,
+    "csv_decode": _CSV_SQL,
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,

@@ -44,6 +44,8 @@ __all__ = [
     "decode_xlsx",
     "synth_pdf_payload",
     "decode_pdf",
+    "synth_csv_payload",
+    "decode_csv",
 ]
 
 _W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
@@ -436,3 +438,77 @@ def decode_pdf(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, PDF_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# CSV (RFC 4180 quoting)
+# --------------------------------------------------------------------------
+def _csv_rows(i: int) -> list[tuple[str, str, int]]:
+    """Generation rule mirrored by the oracle: odd rows carry a quoted
+    note containing a comma AND an escaped (doubled) quote, so a naive
+    split-on-comma parser shifts the value column and breaks the sum."""
+    out = []
+    for r in range(2 + i % 4):
+        note = f'says "hi", {r}' if r % 2 else f"plain {r}"
+        out.append((f"n{r}", note, (i + 3 * r) % 50))
+    return out
+
+
+def synth_csv_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL RFC-4180 CSV per row (header + data rows; fields
+    containing commas/quotes are quoted with doubled inner quotes)."""
+    import csv as _csv
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            buf = io.StringIO()
+            w = _csv.writer(buf, lineterminator="\r\n")
+            w.writerow(["name", "note", "value"])
+            w.writerows(_csv_rows(int(i)))
+            out.append(buf.getvalue().encode("utf-8"))
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+CSV_META_SCHEMA = (
+    "doc_id long, n_rows int, n_quoted_notes int, sum_values bigint"
+)
+
+
+def decode_csv(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL CSV parse over ``mapInPandas`` via the stdlib ``csv`` reader —
+    RFC 4180 quoting honored (a comma inside a quoted note must not shift
+    the value column; doubled quotes must unescape). Wrong column count
+    raises."""
+    import csv as _csv
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                text = bytes(data).decode("utf-8")
+                rd = _csv.reader(io.StringIO(text))
+                header = next(rd)
+                if header != ["name", "note", "value"]:
+                    raise ValueError(f"bad CSV header for id {doc_id}")
+                n = quoted = 0
+                total = 0
+                for rec in rd:
+                    if len(rec) != 3:
+                        raise ValueError(
+                            f"ragged CSV row for id {doc_id}: {rec!r}"
+                        )
+                    n += 1
+                    if "," in rec[1]:
+                        quoted += 1
+                    total += int(rec[2])
+                rows.append((int(doc_id), n, quoted, total))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_rows", "n_quoted_notes", "sum_values"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, CSV_META_SCHEMA)

@@ -96,3 +96,32 @@ def test_malformed_payload_raises(spark, decode):
     )
     with pytest.raises(Exception, match="not a (ZIP container|PDF payload)"):
         decode(bad).collect()
+
+
+def test_csv_roundtrip_quoting(spark):
+    with_csv = D.synth_csv_payload(_df(spark))
+    # the quoted notes genuinely contain commas + doubled quotes on the wire
+    sample = bytes(with_csv.filter("doc_id = 3").collect()[0]["payload"])
+    assert b'"says ""hi"", 1"' in sample
+    decoded = {r["doc_id"]: r for r in D.decode_csv(with_csv).collect()}
+    for i in IDS:
+        n_rows = 2 + i % 4
+        want_sum = sum((i + 3 * r) % 50 for r in range(n_rows))
+        r = decoded[i]
+        assert r["n_rows"] == n_rows
+        assert r["n_quoted_notes"] == n_rows // 2
+        assert r["sum_values"] == want_sum, i
+
+
+def test_csv_naive_split_would_fail(spark):
+    """Sanity that the oracle is sensitive: a naive comma-split of the
+    quoted rows yields the wrong field count (i.e. a parser without RFC
+    4180 quoting cannot pass the round-trip)."""
+    with_csv = D.synth_csv_payload(_df(spark))
+    text = bytes(
+        with_csv.filter("doc_id = 3").collect()[0]["payload"]
+    ).decode()
+    quoted_lines = [ln for ln in text.splitlines()[1:] if '"' in ln]
+    assert quoted_lines and all(
+        len(ln.split(",")) != 3 for ln in quoted_lines
+    )
