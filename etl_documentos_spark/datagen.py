@@ -171,4 +171,20 @@ def write_epochs(df: DataFrame, path: str, files_per_epoch: int = 32) -> int:
         .partitionBy("epoch")
         .parquet(path)
     )
+    # Stamp file mtimes in epoch order: a parallel write leaves arbitrary
+    # mtimes, and Spark's FileStreamSource admits files oldest-mtime-first —
+    # so a throttled stream (maxFilesPerTrigger) would otherwise replay
+    # epochs in RANDOM order, teleporting the event-time watermark ahead
+    # and dropping whole earlier epochs as late. A real binlog tail arrives
+    # in log order; the fixture should too. (The exactly-once CDC apply is
+    # deliberately order-insensitive, but watermark-driven operators —
+    # session windows, stateful timeouts — are entitled to in-order files.)
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 2 * int(n_epochs) - 2
+    for k in range(int(n_epochs)):
+        for f in _glob.glob(_os.path.join(path, f"epoch={k}", "*.parquet")):
+            _os.utime(f, (base + 2 * k, base + 2 * k))
     return int(n_epochs)

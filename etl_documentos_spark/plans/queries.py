@@ -1247,9 +1247,11 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_WINDOWS_SQL = """
     WITH flagged AS (
       SELECT user_id, ts,
-        -- session_window is half-open [start, last+gap): an event exactly
-        -- gap seconds after the last one starts a NEW session (>=, not >)
-        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+        -- session_window merges INCLUSIVELY at the boundary: an event
+        -- exactly gap seconds after the last one still extends the session
+        -- (verified against the built-in on exact-gap pairs), so only a
+        -- STRICTLY larger gap starts a new session
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     sess AS (
       SELECT user_id, ts,
@@ -2326,6 +2328,123 @@ _REPLICATION_SQL = f"""
       FROM ch)
     SELECT conv_id, turn_idx, role, text, ts
     FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``)
+    driven end-to-end: the derived change stream is staged as mtime-ordered
+    files, ``track_conversations`` runs as a REAL streaming query
+    (event-time timeouts + per-key open-session registers), and the emitted
+    closed sessions must equal the oracle's gaps-and-islands sessionization
+    with the custom per-session columns the built-in ``session_window``
+    cannot carry (tombstone count, last role by VERSION ``(ts, lsn)``).
+
+    Emission completeness is made deterministic without relying on no-data
+    timer batches: two "flush" files on sentinel keys follow the data —
+    the first advances the watermark past every real session's close, the
+    second is the data batch in whose timeout pass every real conversation
+    key (having no data in it) fires. Sentinel sessions stay open forever
+    and are never emitted, so emitted == ALL real sessions, exactly.
+
+    Reference: session close on idle — the ``fim_sessao`` transition
+    (/root/reference/app/core/document_tracking.py:328-351)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from etl_documentos_spark.streaming.stateful import track_conversations
+
+    gap_s = 3600
+    # watermarks require TIMESTAMP (session-tz); the session tz is pinned
+    # UTC, so the NTZ->TZ cast is value-preserving vs the naive oracle
+    ch = _derive_changes(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    mx = ch.agg(F.max("ts")).first()[0]
+    root = tempfile.mkdtemp(prefix="stateful_q_")
+    try:
+        src_dir = os.path.join(root, "ev")
+        os.makedirs(src_dir)
+        stamp = time.time() - 60
+
+        def stage(df, name, order):
+            tmp = os.path.join(root, f"stage_{name}")
+            df.coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (stamp + order, stamp + order))
+
+        def sentinel(key, ts):
+            return spark.createDataFrame(
+                [("update", key, 0, "sys", "flush", ts, 0, 0)], ch.schema
+            )
+
+        stage(ch, "e0", 0)
+        # first flush: far enough past max(ts) that wm = ts_a - delay
+        # clears every real close (last + gap); second fires the timers
+        ts_a = mx + dt.timedelta(seconds=gap_s + 900)
+        stage(sentinel("zz~flush_a", ts_a), "e1", 1)
+        stage(
+            sentinel("zz~flush_b", ts_a + dt.timedelta(seconds=60)), "e2", 2
+        )
+
+        src = (
+            spark.readStream.schema(ch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = os.path.join(root, "out")
+        q = (
+            track_conversations(
+                src, gap_seconds=gap_s, watermark="5 minutes"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return _detached(
+            spark.read.parquet(out).select(
+                "conv_id", "session_start", "session_last",
+                "n_events", "n_deletes", "last_role",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_STATEFUL_SESSIONS_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    brk AS (
+      SELECT conv_id, ts, lsn, op, role,
+             -- inclusive boundary: exactly-gap events chain (matches the
+             -- built-in session_window, pinned by tests/test_stateful.py)
+             CASE WHEN epoch(ts - lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END
+               AS b
+      FROM ch WINDOW w AS (PARTITION BY conv_id ORDER BY ts, lsn)),
+    g AS (
+      SELECT *, SUM(b) OVER (PARTITION BY conv_id ORDER BY ts, lsn
+                             ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk)
+    SELECT conv_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_last,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deletes,
+           FIRST(role ORDER BY ts DESC, lsn DESC) AS last_role
+    FROM g GROUP BY conv_id, sid
 """
 
 
@@ -3557,6 +3676,7 @@ QUERIES: dict[str, Query] = {
     "sql_time_travel": q_sql_time_travel,
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
+    "stateful_sessions": q_stateful_sessions,
     "transcript_assembly": q_transcript_assembly,
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_usage_counters": q_cdc_usage_counters,
@@ -3674,6 +3794,7 @@ ORACLES: dict[str, str] = {
     "sql_time_travel": _SQL_TIME_TRAVEL_SQL.format(derive=_DERIVE_SQL),
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
+    "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "transcript_assembly": _ASSEMBLY_SQL,
     "cdc_partial_update": _PARTIAL_SQL,
     "cdc_usage_counters": _USAGE_COUNTERS_SQL,

@@ -1,0 +1,221 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+`streaming/windows.py` covers the reference's per-key state that Spark's
+built-in windowed aggregations can express. This module is the escape
+hatch the input hint names for semantics they cannot: an arbitrary
+per-key register updated per micro-batch with an event-time timeout —
+here, the reference's conversation-session lifecycle
+(open on first event, enrich while active, CLOSE and emit exactly once
+when the conversation goes idle — the ``fim_sessao`` transition in
+/root/reference/app/core/document_tracking.py:328-351) carrying per-
+session columns the built-in ``session_window`` cannot: tombstone traffic
+and the last role by VERSION order ``(ts, lsn)``, not arrival order.
+
+Semantics are exactly ``session_window(gap)``'s: per key, events chain
+into a session while consecutive event times are within ``gap``; the
+state register holds ALL still-open sessions for the key (interval merge
+with the gap slack — so a late event that bridges two open sessions
+merges them, like the built-in), and a session is emitted EXACTLY ONCE
+when the event-time watermark passes ``last event + gap`` (event-time
+timeout + ``GroupState.getCurrentWatermarkMs``). State per key is O(open
+sessions), Arrow-batched per group per micro-batch, no per-row Python.
+The test pins equality against the batch ``session_window`` oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: emitted closed-session record
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_last", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_deletes", T.LongType(), False),
+        T.StructField("last_role", T.StringType(), True),
+    ]
+)
+
+#: open sessions per key, as parallel arrays (timestamps in int64 micros;
+#: the state store round-trips primitives and arrays)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_us", T.ArrayType(T.LongType()), False),
+        T.StructField("last_us", T.ArrayType(T.LongType()), False),
+        T.StructField("n", T.ArrayType(T.LongType()), False),
+        T.StructField("deletes", T.ArrayType(T.LongType()), False),
+        T.StructField("role_ts_us", T.ArrayType(T.LongType()), False),
+        T.StructField("role_lsn", T.ArrayType(T.LongType()), False),
+        T.StructField("role", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+_EMPTY = pd.DataFrame(
+    {
+        "conv_id": pd.Series([], dtype="str"),
+        "session_start": pd.Series([], dtype="datetime64[us]"),
+        "session_last": pd.Series([], dtype="datetime64[us]"),
+        "n_events": pd.Series([], dtype="int64"),
+        "n_deletes": pd.Series([], dtype="int64"),
+        "last_role": pd.Series([], dtype="str"),
+    }
+)
+
+
+def _emit_df(key: str, sessions: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": [key] * len(sessions),
+            "session_start": [
+                pd.Timestamp(s["first"], unit="us") for s in sessions
+            ],
+            "session_last": [
+                pd.Timestamp(s["last"], unit="us") for s in sessions
+            ],
+            "n_events": [s["n"] for s in sessions],
+            "n_deletes": [s["deletes"] for s in sessions],
+            "last_role": [s["role"] for s in sessions],
+        }
+    )
+
+
+def track_conversations(
+    src: DataFrame,
+    gap_seconds: int = 120,
+    watermark: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Closed conversation sessions from a change-event stream.
+
+    Append-mode output: one row per (conversation, idle-gap session),
+    emitted when the watermark passes ``last event + gap_seconds``.
+    Session bounds/counts equal the batch ``session_window(gap)``
+    computation; ``n_deletes`` and ``last_role`` (LWW by ``(ts, lsn)``)
+    are the custom registers that motivate the escape hatch.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def merge(sessions: list[dict]) -> list[dict]:
+        """Interval-merge with gap slack: ``session_window`` merges
+        INCLUSIVELY at the boundary — events exactly ``gap`` apart are one
+        session (verified against the built-in on second-quantized
+        streams, which hit this edge constantly). The closure rule below
+        is therefore STRICT (``last + gap < watermark``): only then can no
+        future event — which always carries ``ts >= watermark`` — still
+        merge into a session we already emitted."""
+        sessions.sort(key=lambda s: s["first"])
+        out: list[dict] = []
+        for s in sessions:
+            if out and s["first"] <= out[-1]["last"] + gap_us:
+                p = out[-1]
+                p["last"] = max(p["last"], s["last"])
+                p["n"] += s["n"]
+                p["deletes"] += s["deletes"]
+                if (s["role_ts"], s["role_lsn"]) > (
+                    p["role_ts"], p["role_lsn"]
+                ):
+                    p["role_ts"], p["role_lsn"], p["role"] = (
+                        s["role_ts"], s["role_lsn"], s["role"]
+                    )
+            else:
+                out.append(dict(s))
+        return out
+
+    def to_state(sessions: list[dict]) -> tuple:
+        return (
+            [s["first"] for s in sessions],
+            [s["last"] for s in sessions],
+            [s["n"] for s in sessions],
+            [s["deletes"] for s in sessions],
+            [s["role_ts"] for s in sessions],
+            [s["role_lsn"] for s in sessions],
+            [s["role"] for s in sessions],
+        )
+
+    def from_state(st: tuple) -> list[dict]:
+        first, last, n, deletes, rts, rlsn, role = st
+        return [
+            {
+                "first": first[i], "last": last[i], "n": n[i],
+                "deletes": deletes[i], "role_ts": rts[i],
+                "role_lsn": rlsn[i], "role": role[i],
+            }
+            for i in range(len(first))
+        ]
+
+    def arm_or_finish(state: GroupState, sessions: list[dict]):
+        """Persist open sessions and arm the next event-time timeout (the
+        earliest close not yet past the watermark)."""
+        if not sessions:
+            state.remove()
+            return
+        state.update(to_state(sessions))
+        wm_ms = state.getCurrentWatermarkMs()
+        next_ms = min((s["last"] + gap_us) // 1000 for s in sessions)
+        # a timeout must sit strictly past the current watermark
+        state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
+
+    def fn(key, pdf_iter, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.hasTimedOut:
+            sessions = from_state(state.get)
+            # STRICT: an event at ts == last + gap == wm is not late and
+            # must still merge (inclusive boundary above)
+            closed = [s for s in sessions if s["last"] + gap_us < wm_us]
+            still_open = [s for s in sessions if s["last"] + gap_us >= wm_us]
+            arm_or_finish(state, still_open)
+            yield _emit_df(key[0], closed) if closed else _EMPTY
+            return
+
+        # vectorized within-batch sessionization (sort + gap-diff +
+        # cumsum + groupby — no per-event python), then interval-merge
+        # the per-session summaries against the open-session registers
+        df = pd.concat(
+            [p[[ts_col, "lsn", "op", "role"]] for p in pdf_iter],
+            ignore_index=True,
+        )
+        df["_t"] = df[ts_col].astype("datetime64[us]").astype("int64")
+        df["_del"] = (df["op"] == "delete").astype("int64")
+        df = df.sort_values(["_t", "lsn"], ignore_index=True)
+        sid = (df["_t"].diff() > gap_us).cumsum()  # inclusive boundary
+        agg = df.groupby(sid).agg(
+            first=("_t", "min"),
+            last=("_t", "max"),
+            n=("_t", "size"),
+            deletes=("_del", "sum"),
+        )
+        # one row per session, positionally aligned with agg (both are in
+        # ascending-sid order; df is (_t, lsn)-sorted so tail(1) is the
+        # session's version-max row)
+        tails = df.groupby(sid).tail(1)
+        new = [
+            {
+                "first": int(a.first), "last": int(a.last),
+                "n": int(a.n), "deletes": int(a.deletes),
+                "role_ts": int(t_row["_t"]), "role_lsn": int(t_row["lsn"]),
+                "role": None if pd.isna(t_row["role"]) else str(t_row["role"]),
+            }
+            for a, (_, t_row) in zip(agg.itertuples(), tails.iterrows())
+        ]
+        sessions = merge(
+            (from_state(state.get) if state.exists else []) + new
+        )
+        arm_or_finish(state, sessions)
+        yield _EMPTY
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
