@@ -2764,6 +2764,152 @@ _CSV_SQL = """
 """
 
 
+def q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML visible-text extraction (stdlib tokenizer): script/style
+    bodies and comments must NOT leak, named and numeric character
+    references must decode, block elements assemble into lines. The oracle
+    predicts the decoded lines (entities resolved) exactly."""
+    from etl_documentos_spark.sources import markup
+
+    d = markup.synth_html_payload(load(spark, sf_dir, "documents"))
+    return markup.decode_html(d)
+
+
+_HTML_DECODE_SQL = """
+    SELECT doc_id,
+           CAST(3 + doc_id % 4 AS INT) AS n_blocks,
+           CAST(1 AS INT) AS n_links,
+           'Doc ' || doc_id || chr(10) ||
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 4),
+               j -> 'Linha ' || j || ' & texto ' || doc_id || '.'),
+               chr(10)) || chr(10) || 'mais ' || doc_id AS text
+    FROM documents
+"""
+
+
+def q_rtf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RTF text extraction (from-scratch control-word state machine):
+    font-table and ignorable destinations skipped, cp1252 hex escapes
+    decoded, bold toggles dissolved, \\par breaks honored. The oracle
+    carries the accented literal the \\'e1 escape must produce."""
+    from etl_documentos_spark.sources import markup
+
+    d = markup.synth_rtf_payload(load(spark, sf_dir, "documents"))
+    return markup.decode_rtf(d)
+
+
+_RTF_SQL = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 4 AS INT) AS n_paragraphs,
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 4),
+               j -> 'Parágrafo ' || j || ' de ' || doc_id),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
+def q_xml_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL namespaced XML record-export parse: count attribute
+    cross-checked against the actual records (mismatch raises), typed qty
+    accumulation, document-order name assembly."""
+    from etl_documentos_spark.sources import markup
+
+    d = markup.synth_xml_payload(load(spark, sf_dir, "documents"))
+    return markup.decode_xml(d)
+
+
+_XML_DECODE_SQL = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 4 AS INT) AS n_records,
+           CAST(list_sum(list_transform(
+               generate_series(0, doc_id % 4),
+               k -> (doc_id + 5 * k) % 30)) AS BIGINT) AS sum_qty,
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 4),
+               k -> 'item ' || k || ' of ' || doc_id),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
+def q_md_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Markdown-to-text: inline code protected FIRST (a ``*`` inside
+    backticks survives literally while real emphasis markers dissolve),
+    links reduce to their text, ATX headings counted."""
+    from etl_documentos_spark.sources import markup
+
+    d = markup.synth_md_payload(load(spark, sf_dir, "documents"))
+    return markup.decode_md(d)
+
+
+_MD_SQL = """
+    SELECT doc_id,
+           CAST(1 AS INT) AS n_headings,
+           CAST(1 + doc_id % 3 AS INT) AS n_links,
+           CAST(1 + doc_id % 3 AS INT) AS n_code_spans,
+           'Doc ' || doc_id || chr(10) ||
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 3),
+               j -> 'Texto enfase' || j || ' e code*' || j ||
+                    ' de link' || j || ' aqui.'),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
+def q_pptx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PPTX decode: slide ORDER resolved through p:sldIdLst + the
+    presentation relationships — slide part names are reversed on purpose,
+    so a zip-name-order walk reads decks backwards and breaks the oracle's
+    predicted text; DrawingML runs merge per shape."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_pptx_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_pptx(d)
+
+
+_PPTX_SQL = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INT) AS n_slides,
+           CAST(list_sum(list_transform(
+               generate_series(0, doc_id % 3),
+               s -> 1 + (doc_id + s) % 2)) AS INT) AS n_shapes,
+           array_to_string(flatten(list_transform(
+               generate_series(0, doc_id % 3),
+               s -> list_transform(
+                   generate_series(0, (doc_id + s) % 2),
+                   k -> 'Slide ' || s || ' shape ' || k ||
+                        ' of deck ' || doc_id))),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
+def q_odt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ODT decode: the stored-mimetype container rule is verified,
+    and text assembly expands ODF whitespace markup (``text:s`` run-length
+    spaces, ``text:tab``) that a naive text() walk drops — the oracle's
+    predicted lines embed the literal double space and tab."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_odt_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_odt(d)
+
+
+_ODT_SQL = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INT) AS n_paragraphs,
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 3),
+               j -> 'Item ' || j || '  valor' || chr(9) ||
+                    ((doc_id + j) % 50)),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (deterministic term tiebreak)."""
     return analytics.tfidf_top_terms(
@@ -3667,6 +3813,12 @@ QUERIES: dict[str, Query] = {
     "xlsx_decode": q_xlsx_decode,
     "pdf_decode": q_pdf_decode,
     "csv_decode": q_csv_decode,
+    "html_decode": q_html_decode,
+    "rtf_decode": q_rtf_decode,
+    "xml_decode": q_xml_decode,
+    "md_decode": q_md_decode,
+    "pptx_decode": q_pptx_decode,
+    "odt_decode": q_odt_decode,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
@@ -3785,6 +3937,12 @@ ORACLES: dict[str, str] = {
     "xlsx_decode": _XLSX_SQL,
     "pdf_decode": _PDF_SQL,
     "csv_decode": _CSV_SQL,
+    "html_decode": _HTML_DECODE_SQL,
+    "rtf_decode": _RTF_SQL,
+    "xml_decode": _XML_DECODE_SQL,
+    "md_decode": _MD_SQL,
+    "pptx_decode": _PPTX_SQL,
+    "odt_decode": _ODT_SQL,
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,

@@ -46,6 +46,10 @@ __all__ = [
     "decode_pdf",
     "synth_csv_payload",
     "decode_csv",
+    "synth_pptx_payload",
+    "decode_pptx",
+    "synth_odt_payload",
+    "decode_odt",
 ]
 
 _W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
@@ -512,3 +516,279 @@ def decode_csv(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, CSV_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# PPTX
+# --------------------------------------------------------------------------
+_P_NS = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_R_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _pptx_shape_counts(i: int) -> list[int]:
+    """Shapes per logical slide — rule mirrored by _PPTX_SQL."""
+    return [1 + (i + s) % 2 for s in range(1 + i % 3)]
+
+
+def synth_pptx_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PPTX per row: PresentationML deck whose slide ORDER is
+    carried by ``p:sldIdLst`` + the presentation relationships, with slide
+    part NAMES deliberately reversed (logical slide ``s`` lives in
+    ``slide{n-s}.xml``) — so a decoder that walks zip names in order reads
+    the deck backwards; only following the relationship graph is correct.
+    Shape text is split one DrawingML run per word, like the DOCX synth."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            counts = _pptx_shape_counts(i)
+            n = len(counts)
+            parts: list[tuple[str, str]] = []
+            overrides, rels, sld_ids = [], [], []
+            for s, n_shapes in enumerate(counts):
+                fname = f"slide{n - s}.xml"  # reversed on purpose
+                rid = f"rId{s + 1}"
+                shapes = []
+                for k in range(n_shapes):
+                    words = f"Slide {s} shape {k} of deck {i}".split(" ")
+                    runs = "".join(
+                        f'<a:r><a:t>{w if j == len(words) - 1 else w + " "}'
+                        "</a:t></a:r>"
+                        for j, w in enumerate(words)
+                    )
+                    shapes.append(
+                        "<p:sp><p:txBody><a:bodyPr/>"
+                        f"<a:p>{runs}</a:p></p:txBody></p:sp>"
+                    )
+                parts.append(
+                    (
+                        f"ppt/slides/{fname}",
+                        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                        f'<p:sld xmlns:p="{_P_NS}" xmlns:a="{_A_NS}">'
+                        "<p:cSld><p:spTree>"
+                        + "".join(shapes)
+                        + "</p:spTree></p:cSld></p:sld>",
+                    )
+                )
+                overrides.append(
+                    f'<Override PartName="/ppt/slides/{fname}" ContentType='
+                    '"application/vnd.openxmlformats-officedocument'
+                    '.presentationml.slide+xml"/>'
+                )
+                rels.append(
+                    f'<Relationship Id="{rid}" Type="{_R_NS}/slide" '
+                    f'Target="slides/{fname}"/>'
+                )
+                sld_ids.append(
+                    f'<p:sldId id="{256 + s}" r:id="{rid}"/>'
+                )
+            parts = [
+                (
+                    "[Content_Types].xml",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+                    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+                    '<Default Extension="xml" ContentType="application/xml"/>'
+                    '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+                    + "".join(overrides)
+                    + "</Types>",
+                ),
+                (
+                    "_rels/.rels",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    f'<Relationships xmlns="{_PKG_REL_NS}">'
+                    f'<Relationship Id="rId1" Type="{_R_NS}/officeDocument" '
+                    'Target="ppt/presentation.xml"/></Relationships>',
+                ),
+                (
+                    "ppt/presentation.xml",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    f'<p:presentation xmlns:p="{_P_NS}" xmlns:r="{_R_NS}">'
+                    "<p:sldIdLst>"
+                    + "".join(sld_ids)
+                    + "</p:sldIdLst></p:presentation>",
+                ),
+                (
+                    "ppt/_rels/presentation.xml.rels",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    f'<Relationships xmlns="{_PKG_REL_NS}">'
+                    + "".join(rels)
+                    + "</Relationships>",
+                ),
+            ] + parts
+            out.append(_zip_bytes(parts))
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+PPTX_META_SCHEMA = "doc_id long, n_slides int, n_shapes int, text string"
+
+
+def decode_pptx(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PPTX text extraction over ``mapInPandas``: resolve slide ORDER
+    through ``p:sldIdLst`` -> presentation rels -> slide parts (zip-name
+    order is wrong by construction), then merge ``a:t`` runs per shape."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sldid_t = f"{{{_P_NS}}}sldId"
+        rel_t = f"{{{_PKG_REL_NS}}}Relationship"
+        sp_t, t_t = f"{{{_P_NS}}}sp", f"{{{_A_NS}}}t"
+        rid_attr = f"{{{_R_NS}}}id"
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(data)
+                if data[:2] != b"PK":
+                    raise ValueError(f"not a ZIP container for id {doc_id}")
+                with zipfile.ZipFile(io.BytesIO(data)) as z:
+                    pres = ET.fromstring(z.read("ppt/presentation.xml"))
+                    rels = ET.fromstring(
+                        z.read("ppt/_rels/presentation.xml.rels")
+                    )
+                    target = {
+                        r.get("Id"): r.get("Target")
+                        for r in rels.iter(rel_t)
+                    }
+                    lines: list[str] = []
+                    n_slides = n_shapes = 0
+                    for sld in pres.iter(sldid_t):
+                        part = "ppt/" + target[sld.get(rid_attr)]
+                        slide = ET.fromstring(z.read(part))
+                        n_slides += 1
+                        for sp in slide.iter(sp_t):
+                            n_shapes += 1
+                            lines.append(
+                                "".join(
+                                    t.text or "" for t in sp.iter(t_t)
+                                )
+                            )
+                rows.append(
+                    (int(doc_id), n_slides, n_shapes, "\n".join(lines))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_slides", "n_shapes", "text"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, PPTX_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ODT (OpenDocument text)
+# --------------------------------------------------------------------------
+_ODF_OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_ODF_TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODT_MIME = "application/vnd.oasis.opendocument.text"
+
+
+def _odt_value(i: int, j: int) -> int:
+    return (i + j) % 50
+
+
+def synth_odt_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL ODT per row: the ``mimetype`` entry STORED
+    uncompressed as the FIRST zip member (the ODF container rule), a
+    manifest, and ``content.xml`` whose paragraphs use ``text:span`` runs,
+    run-length-encoded spaces (``<text:s text:c="2"/>``) and
+    ``<text:tab/>`` — whitespace a naive text() walk silently drops."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            paras = "".join(
+                f'<text:p><text:span>Item {j}</text:span>'
+                '<text:s text:c="2"/>valor<text:tab/>'
+                f"{_odt_value(i, j)}</text:p>"
+                for j in range(1 + i % 3)
+            )
+            content = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                f'<office:document-content xmlns:office="{_ODF_OFFICE}" '
+                f'xmlns:text="{_ODF_TEXT}">'
+                f"<office:body><office:text>{paras}</office:text>"
+                "</office:body></office:document-content>"
+            )
+            manifest = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<manifest:manifest xmlns:manifest='
+                '"urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
+                f'<manifest:file-entry manifest:full-path="/" '
+                f'manifest:media-type="{_ODT_MIME}"/>'
+                '<manifest:file-entry manifest:full-path="content.xml" '
+                'manifest:media-type="text/xml"/></manifest:manifest>'
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                zi = zipfile.ZipInfo(
+                    "mimetype", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                zi.compress_type = zipfile.ZIP_STORED  # ODF: first + stored
+                z.writestr(zi, _ODT_MIME)
+                for name, body in (
+                    ("META-INF/manifest.xml", manifest),
+                    ("content.xml", content),
+                ):
+                    zi = zipfile.ZipInfo(
+                        name, date_time=(1980, 1, 1, 0, 0, 0)
+                    )
+                    zi.compress_type = zipfile.ZIP_DEFLATED
+                    z.writestr(zi, body)
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+ODT_META_SCHEMA = "doc_id long, n_paragraphs int, text string"
+
+
+def decode_odt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL ODT text extraction over ``mapInPandas``: verify the stored
+    ``mimetype`` leader, then walk ``text:p`` expanding ``text:span`` runs,
+    ``text:s`` run-length spaces and ``text:tab`` in document order."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_t = f"{{{_ODF_TEXT}}}p"
+        s_t, tab_t = f"{{{_ODF_TEXT}}}s", f"{{{_ODF_TEXT}}}tab"
+        c_attr = f"{{{_ODF_TEXT}}}c"
+
+        def node_text(el) -> str:
+            parts = [el.text or ""]
+            for child in el:
+                if child.tag == s_t:
+                    parts.append(" " * int(child.get(c_attr, "1")))
+                elif child.tag == tab_t:
+                    parts.append("\t")
+                else:
+                    parts.append(node_text(child))
+                parts.append(child.tail or "")
+            return "".join(parts)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(data)
+                with zipfile.ZipFile(io.BytesIO(data)) as z:
+                    first = z.infolist()[0]
+                    if (
+                        first.filename != "mimetype"
+                        or first.compress_type != zipfile.ZIP_STORED
+                        or z.read(first) != _ODT_MIME.encode()
+                    ):
+                        raise ValueError(
+                            f"invalid ODF mimetype leader for id {doc_id}"
+                        )
+                    root = ET.fromstring(z.read("content.xml"))
+                paras = [node_text(p) for p in root.iter(p_t)]
+                rows.append((int(doc_id), len(paras), "\n".join(paras)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_paragraphs", "text"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, ODT_META_SCHEMA)

@@ -1,0 +1,170 @@
+"""HTML / RTF / XML / Markdown (sources/markup.py) and PPTX / ODT
+(sources/documents.py) decoders: each synth payload is container-valid,
+decode reproduces the closed-form generation rule exactly, and each
+format's deliberate trap (script leak, destination leak, zip-order slide
+walk, dropped ODF whitespace, emphasis-inside-code) is asserted to
+actually catch the naive implementation."""
+
+import io
+import zipfile
+
+import pytest
+
+from etl_documentos_spark.sources import documents as D
+from etl_documentos_spark.sources import markup as M
+
+IDS = [0, 1, 2, 3, 4, 7, 31, 996, 997]
+
+
+def _df(spark):
+    return spark.createDataFrame([(i,) for i in IDS], "doc_id long")
+
+
+def test_html_roundtrip(spark):
+    decoded = {
+        r["doc_id"]: r
+        for r in M.decode_html(M.synth_html_payload(_df(spark))).collect()
+    }
+    for i in IDS:
+        want = M._html_lines(i)
+        r = decoded[i]
+        assert r["text"] == "\n".join(want), i
+        assert r["n_blocks"] == len(want)
+        assert r["n_links"] == 1
+        # the traps: script body, style body and the comment never leak,
+        # and the entities decoded (&amp; -> '&', &#101; -> 'e')
+        assert "var x" not in r["text"] and "color" not in r["text"]
+        assert "hidden" not in r["text"]
+        assert "&amp;" not in r["text"] and "&#101;" not in r["text"]
+        assert " & " in r["text"] and "texto" in r["text"]
+
+
+def test_rtf_roundtrip(spark):
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in M.synth_rtf_payload(_df(spark)).collect()
+    }
+    for i, data in payloads.items():
+        assert data.startswith(b"{\\rtf1")  # container-valid leader
+    decoded = {
+        r["doc_id"]: r
+        for r in M.decode_rtf(M.synth_rtf_payload(_df(spark))).collect()
+    }
+    for i in IDS:
+        want = M._rtf_lines(i)
+        r = decoded[i]
+        assert r["text"] == "\n".join(want), i
+        assert r["n_paragraphs"] == len(want)
+        # traps: fonttbl + {\*\generator} content never leaks, the hex
+        # escape decodes to the accent
+        assert "Times" not in r["text"] and "generator" not in r["text"]
+        assert "á" in r["text"]
+
+
+def test_rtf_reader_unicode_and_escapes():
+    paras = M._rtf_text(
+        b"{\\rtf1\\ansi \\uc1\\u8364? euro \\{x\\} \\~fim\\par done}"
+    )
+    # \u8364 is the euro sign and its uc fallback '?' must be skipped;
+    # \{ \} are literal braces; \~ is a non-breaking space
+    assert paras == ["€ euro {x}  fim", "done"]
+
+
+def test_xml_roundtrip_and_count_check(spark):
+    decoded = {
+        r["doc_id"]: r
+        for r in M.decode_xml(M.synth_xml_payload(_df(spark))).collect()
+    }
+    for i in IDS:
+        n = 1 + i % 4
+        r = decoded[i]
+        assert r["n_records"] == n
+        assert r["sum_qty"] == sum(M._xml_qty(i, k) for k in range(n))
+        assert r["text"] == "\n".join(f"item {k} of {i}" for k in range(n))
+    # the count cross-check is real: a lying count attribute raises
+    bad = (
+        f'<export xmlns="{M._XML_NS}" count="9">'
+        f'<rec id="0"><name>x</name><qty>1</qty></rec></export>'
+    ).encode()
+    df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="count attribute"):
+        M.decode_xml(df).collect()
+
+
+def test_md_roundtrip(spark):
+    decoded = {
+        r["doc_id"]: r
+        for r in M.decode_md(M.synth_md_payload(_df(spark))).collect()
+    }
+    for i in IDS:
+        r = decoded[i]
+        assert r["text"] == "\n".join(M._md_lines(i)), i
+        assert r["n_headings"] == 1
+        assert r["n_links"] == r["n_code_spans"] == 1 + i % 3
+        # trap: the '*' INSIDE the code span survives literally while the
+        # emphasis asterisks dissolved
+        assert "code*0" in r["text"] and "*enfase" not in r["text"]
+
+
+def test_md_inline_order():
+    lines, nh, nl, nc = M._md_to_text("## T\n\na `b*c` *d* [e](/f) `*`\n")
+    assert lines == ["T", "a b*c d e *"]
+    assert (nh, nl, nc) == (1, 1, 2)
+
+
+def test_pptx_roundtrip_and_slide_order(spark):
+    with_pptx = D.synth_pptx_payload(_df(spark))
+    payloads = {
+        r["doc_id"]: bytes(r["payload"]) for r in with_pptx.collect()
+    }
+    decoded = {r["doc_id"]: r for r in D.decode_pptx(with_pptx).collect()}
+    for i in IDS:
+        counts = D._pptx_shape_counts(i)
+        want = "\n".join(
+            f"Slide {s} shape {k} of deck {i}"
+            for s, c in enumerate(counts)
+            for k in range(c)
+        )
+        r = decoded[i]
+        assert r["text"] == want, i
+        assert r["n_slides"] == len(counts)
+        assert r["n_shapes"] == sum(counts)
+    # the trap is real: for a multi-slide deck, walking slide parts in
+    # zip-name order reads the deck BACKWARDS (part names are reversed)
+    i = next(x for x in IDS if x % 3 != 0)
+    with zipfile.ZipFile(io.BytesIO(payloads[i])) as z:
+        slide_names = sorted(
+            n for n in z.namelist() if n.startswith("ppt/slides/")
+        )
+        naive_first = z.read(slide_names[0]).decode()
+    assert "Slide 0" not in naive_first  # slide1.xml holds the LAST slide
+
+
+def test_odt_roundtrip_and_mimetype_rule(spark):
+    with_odt = D.synth_odt_payload(_df(spark))
+    payloads = {
+        r["doc_id"]: bytes(r["payload"]) for r in with_odt.collect()
+    }
+    for i, data in payloads.items():
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            first = z.infolist()[0]
+            assert first.filename == "mimetype"
+            assert first.compress_type == zipfile.ZIP_STORED
+    decoded = {r["doc_id"]: r for r in D.decode_odt(with_odt).collect()}
+    for i in IDS:
+        want = "\n".join(
+            f"Item {j}  valor\t{D._odt_value(i, j)}"
+            for j in range(1 + i % 3)
+        )
+        r = decoded[i]
+        assert r["text"] == want, i  # double space + tab expanded
+        assert r["n_paragraphs"] == 1 + i % 3
+    # a container whose first entry is not the stored mimetype raises
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("content.xml", "<x/>")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="mimetype"):
+        D.decode_odt(df).collect()
