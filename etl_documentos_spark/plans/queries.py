@@ -3829,6 +3829,9 @@ QUERIES: dict[str, Query] = {
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
     "stateful_sessions": q_stateful_sessions,
+    # session_windows boundary oracle corrected this round ->
+    # keep inside the driver correctness window
+    "session_windows": q_session_windows,
     "transcript_assembly": q_transcript_assembly,
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_usage_counters": q_cdc_usage_counters,
@@ -3888,7 +3891,6 @@ QUERIES: dict[str, Query] = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "cnpj_validation": q_cnpj_validation,
     "quality_fallback": q_quality_fallback,
-    "session_windows": q_session_windows,
     "near_dup_shingles": q_near_dup_shingles,
     "ann_ivf": q_ann_ivf,
     "knn_vote_classifier": q_knn_vote_classifier,
