@@ -2910,6 +2910,113 @@ _ODT_SQL = """
 """
 
 
+def q_txt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL encoding-sniffed plain-text read: payloads rotate through
+    UTF-8+BOM, UTF-16 LE/BE and bare Latin-1; every line carries a 'ç' so
+    an assumed-UTF-8 reader crashes or keeps BOM/NUL bytes. The oracle
+    predicts BOTH the decoded text and which encoding the sniff chose."""
+    from etl_documentos_spark.sources import markup
+
+    d = markup.synth_txt_payload(load(spark, sf_dir, "documents"))
+    return markup.decode_txt(d)
+
+
+_TXT_DECODE_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'utf-8-sig'
+                           WHEN 1 THEN 'utf-16-le'
+                           WHEN 2 THEN 'utf-16-be'
+                           ELSE 'latin-1' END AS encoding,
+           CAST(1 + doc_id % 3 AS INT) AS n_lines,
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 3),
+               j -> 'linha ' || j || ' çedilha ' || doc_id),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
+def q_adoc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AsciiDoc-to-text: attribute entries and comment lines are
+    metadata that must NOT leak; title/section markers strip; bold and
+    monospace inline spans reduce; list items counted."""
+    from etl_documentos_spark.sources import markup
+
+    d = markup.synth_adoc_payload(load(spark, sf_dir, "documents"))
+    return markup.decode_adoc(d)
+
+
+_ADOC_SQL = """
+    SELECT doc_id,
+           'Documento ' || doc_id AS title,
+           CAST(1 AS INT) AS n_sections,
+           CAST(1 + doc_id % 3 AS INT) AS n_list_items,
+           'Documento ' || doc_id || chr(10) ||
+           'Secao ' || (doc_id % 7) || chr(10) ||
+           'Texto forte' || doc_id || ' e mono' || doc_id || ' aqui.' ||
+           chr(10) ||
+           array_to_string(list_transform(
+               generate_series(0, doc_id % 3),
+               k -> 'item ' || k || ' de ' || doc_id),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
+def q_ods_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ODS decode: stored-mimetype container rule verified,
+    cell-type dispatch, and ODF's ``table:number-columns-repeated``
+    run-length columns EXPANDED — a walk that misses the repeat
+    undercounts cells and undersums, breaking the oracle's totals."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_ods_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_ods(d)
+
+
+_ODS_SQL = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INT) AS n_rows,
+           CAST((1 + doc_id % 3) * (3 + doc_id % 2) AS INT)
+               AS n_numeric_cells,
+           CAST(list_sum(flatten(list_transform(
+                   generate_series(0, doc_id % 3),
+                   r -> list_transform(
+                       generate_series(0, doc_id % 2),
+                       c -> (doc_id + 7 * r + 3 * c) % 40))))
+                + 2 * list_sum(list_transform(
+                   generate_series(0, doc_id % 3),
+                   r -> (doc_id + r) % 9)) AS BIGINT) AS sum_values
+    FROM documents
+"""
+
+
+def q_odp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ODP decode: pages/frames/text-boxes walked in document order
+    under the verified ODF container rule."""
+    from etl_documentos_spark.sources import documents
+
+    d = documents.synth_odp_payload(load(spark, sf_dir, "documents"))
+    return documents.decode_odp(d)
+
+
+_ODP_SQL = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS n_pages,
+           CAST(list_sum(list_transform(
+               generate_series(0, doc_id % 2),
+               p -> 1 + (doc_id + p) % 2)) AS INT) AS n_frames,
+           array_to_string(flatten(list_transform(
+               generate_series(0, doc_id % 2),
+               p -> list_transform(
+                   generate_series(0, (doc_id + p) % 2),
+                   k -> 'Quadro ' || k || ' pagina ' || p ||
+                        ' deck ' || doc_id))),
+               chr(10)) AS text
+    FROM documents
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (deterministic term tiebreak)."""
     return analytics.tfidf_top_terms(
@@ -3819,6 +3926,10 @@ QUERIES: dict[str, Query] = {
     "md_decode": q_md_decode,
     "pptx_decode": q_pptx_decode,
     "odt_decode": q_odt_decode,
+    "txt_decode": q_txt_decode,
+    "adoc_decode": q_adoc_decode,
+    "ods_decode": q_ods_decode,
+    "odp_decode": q_odp_decode,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
@@ -3945,6 +4056,10 @@ ORACLES: dict[str, str] = {
     "md_decode": _MD_SQL,
     "pptx_decode": _PPTX_SQL,
     "odt_decode": _ODT_SQL,
+    "txt_decode": _TXT_DECODE_SQL,
+    "adoc_decode": _ADOC_SQL,
+    "ods_decode": _ODS_SQL,
+    "odp_decode": _ODP_SQL,
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,

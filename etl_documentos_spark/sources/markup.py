@@ -21,6 +21,10 @@ strip:
 - **Markdown**: a from-scratch block + inline pass — ATX headings,
   emphasis, inline code (protected FIRST, so ``*`` inside backticks is
   literal), and ``[text](url)`` links reduced to their text.
+- **TXT**: encoding-sniffed plain text — BOM dispatch (UTF-8 /
+  UTF-16 LE / UTF-16 BE), strict UTF-8 attempt, Latin-1 fallback.
+- **AsciiDoc**: line-oriented block pass (title, sections, attribute
+  entries, comments, lists) + inline span reduction.
 
 Same discipline as the rest of the family: the synth side emits payloads
 derived from ``doc_id`` by closed-form arithmetic (so a DuckDB oracle
@@ -51,6 +55,10 @@ __all__ = [
     "decode_xml",
     "synth_md_payload",
     "decode_md",
+    "synth_txt_payload",
+    "decode_txt",
+    "synth_adoc_payload",
+    "decode_adoc",
 ]
 
 
@@ -505,3 +513,172 @@ def decode_md(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, MD_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Plain text (encoding-sniffed)
+# --------------------------------------------------------------------------
+def _txt_lines(i: int) -> list[str]:
+    """Line rule mirrored by _TXT_SQL (ç forces a non-ASCII byte in every
+    encoding branch)."""
+    return [f"linha {j} çedilha {i}" for j in range(1 + i % 3)]
+
+
+def _txt_encoding(i: int) -> str:
+    return ("utf-8-sig", "utf-16-le", "utf-16-be", "latin-1")[i % 4]
+
+
+def synth_txt_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a plain-text payload per row, rotating through the encodings
+    a real drop-box actually contains: UTF-8 with BOM, UTF-16 LE/BE (with
+    BOMs), and bare Latin-1. The ``ç`` in every line means a decoder that
+    assumes UTF-8 either crashes (Latin-1 bytes) or keeps the BOM/NULs
+    (UTF-16) — sniffing is load-bearing, not decorative."""
+    import codecs
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            text = "\n".join(_txt_lines(i))
+            enc = _txt_encoding(i)
+            if enc == "utf-16-le":
+                data = codecs.BOM_UTF16_LE + text.encode(enc)
+            elif enc == "utf-16-be":
+                data = codecs.BOM_UTF16_BE + text.encode(enc)
+            else:  # utf-8-sig writes its own BOM; latin-1 has none
+                data = text.encode(enc)
+            out.append(data)
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+TXT_META_SCHEMA = "doc_id long, encoding string, n_lines int, text string"
+
+
+def decode_txt(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL encoding-sniffed text read over ``mapInPandas``: BOM dispatch
+    (UTF-8 / UTF-16 LE / UTF-16 BE), then strict UTF-8 attempt, then
+    Latin-1 fallback — the classic mail-room text loader, made explicit.
+    Returns the encoding it chose so tests can pin the sniff itself."""
+    import codecs
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(data)
+                if data.startswith(codecs.BOM_UTF8):
+                    enc, text = "utf-8-sig", data.decode("utf-8-sig")
+                elif data.startswith(codecs.BOM_UTF16_LE):
+                    enc, text = "utf-16-le", data[2:].decode("utf-16-le")
+                elif data.startswith(codecs.BOM_UTF16_BE):
+                    enc, text = "utf-16-be", data[2:].decode("utf-16-be")
+                else:
+                    try:
+                        enc, text = "utf-8", data.decode("utf-8", "strict")
+                    except UnicodeDecodeError:
+                        enc, text = "latin-1", data.decode("latin-1")
+                lines = text.split("\n")
+                rows.append((int(doc_id), enc, len(lines), text))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "encoding", "n_lines", "text"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, TXT_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# AsciiDoc
+# --------------------------------------------------------------------------
+def _adoc_items(i: int) -> list[str]:
+    return [f"item {k} de {i}" for k in range(1 + i % 3)]
+
+
+def synth_adoc_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL AsciiDoc document per row: a document title, an
+    attribute entry (``:autor: ...`` — metadata, not body text), a section
+    heading, a comment line (must not leak), bold/monospace inline spans,
+    and a ``*`` unordered list."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            lines = [
+                f"= Documento {i}",
+                f":autor: graft{i}",
+                "",
+                f"== Secao {i % 7}",
+                "",
+                f"// comentario {i}",
+                f"Texto *forte{i}* e `mono{i}` aqui.",
+                "",
+            ]
+            lines += [f"* {it}" for it in _adoc_items(i)]
+            out.append("\n".join(lines).encode("utf-8"))
+        return pd.Series(out)
+
+    return df.withColumn("payload", make(F.col(id_col)))
+
+
+ADOC_META_SCHEMA = (
+    "doc_id long, title string, n_sections int, n_list_items int, "
+    "text string"
+)
+
+
+def decode_adoc(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL AsciiDoc-to-text over ``mapInPandas``: a line-oriented block
+    pass (title ``= ``, sections ``== ``, attribute entries ``:name:``,
+    ``//`` comments, ``* `` list items) plus the inline span reduction
+    (``*bold*``, ``_italic_``, `` `mono` ``). Attribute entries and
+    comments are metadata: they must NOT appear in the text."""
+    attr_re = re.compile(r"^:[\w-]+:.*$")
+    strong_re = re.compile(r"\*(?=\S)([^*]+?)(?<=\S)\*")
+    em_re = re.compile(r"_(?=\S)([^_]+?)(?<=\S)_")
+    mono_re = re.compile(r"`([^`]+)`")
+
+    def inline(s: str) -> str:
+        s = mono_re.sub(r"\1", s)
+        s = strong_re.sub(r"\1", s)
+        return em_re.sub(r"\1", s)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf["payload"]):
+                title = ""
+                n_sec = n_item = 0
+                body: list[str] = []
+                for raw in bytes(data).decode("utf-8").split("\n"):
+                    line = raw.rstrip()
+                    if not line.strip() or line.startswith("//"):
+                        continue
+                    if line.startswith("= ") and not title:
+                        title = line[2:]
+                        body.append(title)
+                    elif line.startswith("== "):
+                        n_sec += 1
+                        body.append(line[3:])
+                    elif attr_re.match(line):
+                        continue  # attribute entry: metadata only
+                    elif line.startswith("* "):
+                        n_item += 1
+                        body.append(inline(line[2:]))
+                    else:
+                        body.append(inline(line))
+                rows.append(
+                    (int(doc_id), title, n_sec, n_item, "\n".join(body))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "n_sections", "n_list_items", "text",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, ADOC_META_SCHEMA)

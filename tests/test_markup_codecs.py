@@ -168,3 +168,91 @@ def test_odt_roundtrip_and_mimetype_rule(spark):
     )
     with pytest.raises(Exception, match="mimetype"):
         D.decode_odt(df).collect()
+
+
+def test_txt_encoding_sniff(spark):
+    decoded = {
+        r["doc_id"]: r
+        for r in M.decode_txt(M.synth_txt_payload(_df(spark))).collect()
+    }
+    for i in IDS:
+        r = decoded[i]
+        assert r["text"] == "\n".join(M._txt_lines(i)), i
+        assert r["encoding"] == M._txt_encoding(i), i
+        assert r["n_lines"] == 1 + i % 3
+    # the sniff is load-bearing: the Latin-1 payload is NOT valid UTF-8,
+    # and the UTF-16 payloads contain NULs a naive reader would keep
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in M.synth_txt_payload(_df(spark)).collect()
+    }
+    lat = next(i for i in IDS if i % 4 == 3)
+    with pytest.raises(UnicodeDecodeError):
+        payloads[lat].decode("utf-8")
+    u16 = next(i for i in IDS if i % 4 == 1)
+    assert b"\x00" in payloads[u16]
+
+
+def test_adoc_roundtrip(spark):
+    decoded = {
+        r["doc_id"]: r
+        for r in M.decode_adoc(M.synth_adoc_payload(_df(spark))).collect()
+    }
+    for i in IDS:
+        r = decoded[i]
+        want = [
+            f"Documento {i}",
+            f"Secao {i % 7}",
+            f"Texto forte{i} e mono{i} aqui.",
+        ] + M._adoc_items(i)
+        assert r["text"] == "\n".join(want), i
+        assert r["title"] == f"Documento {i}"
+        assert r["n_sections"] == 1
+        assert r["n_list_items"] == 1 + i % 3
+        # traps: the attribute entry and the comment never leak, and the
+        # inline span markers dissolved
+        assert "autor" not in r["text"] and "comentario" not in r["text"]
+        assert "*forte" not in r["text"] and "`mono" not in r["text"]
+
+
+def test_ods_repeat_expansion(spark):
+    with_ods = D.synth_ods_payload(_df(spark))
+    decoded = {r["doc_id"]: r for r in D.decode_ods(with_ods).collect()}
+    for i in IDS:
+        nr, nc = D._ods_shape(i)
+        want = sum(
+            D._ods_value(i, r, c) for r in range(nr) for c in range(nc)
+        ) + 2 * sum(D._ods_rep_value(i, r) for r in range(nr))
+        got = decoded[i]
+        assert got["n_rows"] == nr
+        # the repeated cell expands to 2: without expansion this is
+        # nr * (nc + 1), which must NOT equal the decoded count
+        assert got["n_numeric_cells"] == nr * (nc + 2)
+        assert got["sum_values"] == want, i
+    # container rule holds for the spreadsheet mime too
+    import io as _io
+    import zipfile as _zip
+
+    data = bytes(
+        {r["doc_id"]: r["payload"] for r in with_ods.collect()}[IDS[0]]
+    )
+    with _zip.ZipFile(_io.BytesIO(data)) as z:
+        assert z.read("mimetype") == D._ODS_MIME.encode()
+
+
+def test_odp_roundtrip(spark):
+    decoded = {
+        r["doc_id"]: r
+        for r in D.decode_odp(D.synth_odp_payload(_df(spark))).collect()
+    }
+    for i in IDS:
+        counts = D._odp_frame_counts(i)
+        want = "\n".join(
+            f"Quadro {k} pagina {p} deck {i}"
+            for p, c in enumerate(counts)
+            for k in range(c)
+        )
+        r = decoded[i]
+        assert r["text"] == want, i
+        assert r["n_pages"] == len(counts)
+        assert r["n_frames"] == sum(counts)
