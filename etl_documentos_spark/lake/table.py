@@ -602,6 +602,11 @@ class LakeTable:
             part = with_b.repartitionByRange(
                 self.num_buckets * salt_k, F.col("_bucket"), *sort_cols
             ).sortWithinPartitions("_bucket", *sort_cols)
+            # ephemeral clustering key (operators/zorder.ZCLUSTER_COL):
+            # consumed by the range-partition + sort above, never written
+            # to data files (a projection after the sort preserves order)
+            if "_zcluster" in part.columns:
+                part = part.drop("_zcluster")
             max_rows = int(
                 self._meta["properties"].get("write.max-records-per-file", 0)
             )

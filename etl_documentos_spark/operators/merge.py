@@ -257,6 +257,7 @@ def compact(
     buckets: list[int] | None = None,
     expire_tombstones_before=None,
     target_file_bytes: int = 128 << 20,
+    zorder: tuple[str, ...] | None = None,
 ) -> None:
     """Rewrite buckets with the LWW reduction applied (read-optimize).
 
@@ -282,7 +283,7 @@ def compact(
         try:
             return _compact_once(
                 spark, table, buckets, expire_tombstones_before,
-                target_file_bytes,
+                target_file_bytes, zorder,
             )
         except SpecConflictError:
             table._refresh()
@@ -296,6 +297,7 @@ def _compact_once(
     buckets: list[int] | None,
     expire_tombstones_before,
     target_file_bytes: int,
+    zorder: tuple[str, ...] | None = None,
 ) -> None:
     target = table.live_buckets() if buckets is None else buckets
     # capture the exact file lists this rewrite reads: the commit replaces
@@ -319,15 +321,33 @@ def _compact_once(
     salts = adaptive_salts(
         table, target, spark, target_file_bytes=target_file_bytes
     )
-    # clustered rewrite: compaction is the read-optimize pass, so sort by
-    # key — files then cover contiguous (conv_id, turn_idx) ranges, the
-    # manifest min/max stats are tight, and point lookups prune to ~1 file
+    # clustered rewrite: compaction is the read-optimize pass. Default:
+    # sort by key — files cover contiguous (conv_id, turn_idx) ranges, the
+    # manifest min/max stats are tight, and point lookups prune to ~1
+    # file. ``zorder=(colA, colB, ...)``: sort by the Morton interleave of
+    # per-bucket quantile codes instead (operators/zorder.py) — every
+    # dimension's per-file range shrinks to ~sqrt of the bucket, so point
+    # lookups AND range slices on a second dimension both skip files
+    # (record the dims in the ``stats.cols`` property to activate the
+    # pruning).
+    if zorder:
+        from etl_documentos_spark.operators.zorder import (
+            ZCLUSTER_COL,
+            attach_zorder,
+        )
+
+        merged = attach_zorder(
+            merged, zorder, partition_expr=table.bucket_expr()
+        )
+        cluster_cols: tuple[str, ...] = (ZCLUSTER_COL,)
+    else:
+        cluster_cols = KEY_COLS
     table.overwrite_buckets(
         merged,
         target,
         salts=salts,
         expected=expected,
-        sort_cols=KEY_COLS,
+        sort_cols=cluster_cols,
         maintenance=True,  # logical no-op: changelog readers skip it
     )
 

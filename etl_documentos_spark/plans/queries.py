@@ -2448,6 +2448,84 @@ _STATEFUL_SESSIONS_SQL = f"""
 """
 
 
+def q_zorder_timeslice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end: the change stream lands in a lake
+    table and the read must match the oracle through the pruned layout.
+    table, compaction rewrites it in Morton order over (conv_id, ts) with
+    ts in the manifest stats, and a time-slice read runs over the
+    stats-PRUNED scan (`operators/zorder.py`). Pruning is proof-based, so
+    the pruned result must equal the oracle's plain LWW + time filter —
+    lost rows would surface as a value mismatch. (LWW over a pruned scan
+    is only sound on a fully-compacted snapshot — one winner per key, no
+    deltas elsewhere — which is exactly what compaction just produced; the
+    pytest in tests/test_zorder.py additionally asserts the layout SKIPS
+    files, which row equality alone cannot show.)
+
+    Result detached via ``_detached`` (parquet spill + lazy read)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators import lww
+    from etl_documentos_spark.operators.merge import (
+        compact,
+        merge_mor,
+        physical_schema,
+    )
+    from etl_documentos_spark.schemas import KEY_COLS, TRANSCRIPTS
+
+    lo = dt.datetime(2024, 1, 20)
+    hi = dt.datetime(2024, 1, 29)
+    # stats live in the UTC-micros domain (session tz is pinned UTC)
+    epoch = dt.datetime(1970, 1, 1)
+    lo_us = (lo - epoch) // dt.timedelta(microseconds=1)
+    hi_us = (hi - epoch) // dt.timedelta(microseconds=1)
+
+    ch = _derive_changes(spark, sf_dir).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="zorder_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/t",
+            physical_schema(TRANSCRIPTS),
+            num_buckets=4,
+            properties={
+                "write.max-records-per-file": "500",
+                "stats.cols": "conv_id,ts",
+            },
+        )
+        merge_mor(spark, table, ch)
+        compact(spark, table, zorder=("conv_id", "ts"))
+        table._refresh()
+        pruned = table.scan(spark, prune={"ts": (lo_us, hi_us)})
+        win = lww.lww_dedup(
+            pruned, key_cols=KEY_COLS, order_cols=("ts", "_lsn")
+        )
+        live = win.filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        return _detached(
+            live.select("conv_id", "turn_idx", "role", "text", "ts")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_ZORDER_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM ranked
+    WHERE rn = 1 AND op <> 'delete'
+      AND ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-29'
+"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking (GDPR/LGPD eraser) over seasoned text: emails, CPF,
     formatted CNPJ and Brazilian phone numbers replaced with typed
@@ -3940,6 +4018,7 @@ QUERIES: dict[str, Query] = {
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
     "stateful_sessions": q_stateful_sessions,
+    "zorder_timeslice": q_zorder_timeslice,
     # session_windows boundary oracle corrected this round ->
     # keep inside the driver correctness window
     "session_windows": q_session_windows,
@@ -4070,6 +4149,7 @@ ORACLES: dict[str, str] = {
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
+    "zorder_timeslice": _ZORDER_SQL,
     "transcript_assembly": _ASSEMBLY_SQL,
     "cdc_partial_update": _PARTIAL_SQL,
     "cdc_usage_counters": _USAGE_COUNTERS_SQL,

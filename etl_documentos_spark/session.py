@@ -74,6 +74,12 @@ def get_spark(
         # 10k-row default batches make that cost ~6x the necessary rate
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64 micros, not the legacy INT96: INT96 timestamps carry NO
+        # parquet column statistics, which silently disables manifest
+        # min/max collection (stats.cols) and file skipping on ts — and
+        # z-order clustering on a time dimension prunes nothing without
+        # them. INT64 is also what Iceberg/Delta require.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
