@@ -2448,6 +2448,61 @@ _STATEFUL_SESSIONS_SQL = f"""
 """
 
 
+def q_cdc_export_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC back OUT over the wire format: the change stream lands in a
+    source lake table in two tranches; the second tranche is exported as
+    Debezium envelope strings via the metadata-planned changelog
+    (``export_changes``), parsed back (``parse_envelope``) and merged onto
+    a replica (different bucket count) that held only the first tranche.
+    The replica's final state must equal the oracle's single LWW reduction
+    — proving the changelog diff, the envelope round-trip, tombstone
+    shipping and LWW-over-the-wire ordering in one row.
+
+    Result detached via ``_detached`` (parquet spill + lazy read)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import (
+        merge_mor,
+        physical_schema,
+        read_current,
+    )
+    from etl_documentos_spark.schemas import TRANSCRIPTS
+    from etl_documentos_spark.sources.envelope import (
+        export_changes,
+        parse_envelope,
+    )
+
+    ch = _derive_changes(spark, sf_dir).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    mx = int(ch.agg(F.max("lsn")).first()[0])
+    cut = mx // 2
+    root = tempfile.mkdtemp(prefix="wire_q_")
+    try:
+        src = LakeTable.create(
+            f"{root}/src", physical_schema(TRANSCRIPTS), num_buckets=4
+        )
+        dst = LakeTable.create(
+            f"{root}/dst", physical_schema(TRANSCRIPTS), num_buckets=2
+        )
+        first = ch.filter(F.col("lsn") < cut)
+        merge_mor(spark, src, first)
+        base = src.current_snapshot.snapshot_id
+        merge_mor(spark, src, ch.filter(F.col("lsn") >= cut))
+
+        merge_mor(spark, dst, first)
+        parsed = parse_envelope(export_changes(spark, src, base))
+        merge_mor(spark, dst, parsed)
+        cur = read_current(spark, dst).select(
+            "conv_id", "turn_idx", "role", "text", "ts"
+        )
+        return _detached(cur)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_zorder_timeslice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering end-to-end: the change stream lands in a lake
     table and the read must match the oracle through the pruned layout.
@@ -4019,6 +4074,7 @@ QUERIES: dict[str, Query] = {
     "cdc_replication": q_cdc_replication,
     "stateful_sessions": q_stateful_sessions,
     "zorder_timeslice": q_zorder_timeslice,
+    "cdc_export_wire": q_cdc_export_wire,
     # session_windows boundary oracle corrected this round ->
     # keep inside the driver correctness window
     "session_windows": q_session_windows,
@@ -4150,6 +4206,7 @@ ORACLES: dict[str, str] = {
     "cdc_replication": _REPLICATION_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "zorder_timeslice": _ZORDER_SQL,
+    "cdc_export_wire": _REPLICATION_SQL,
     "transcript_assembly": _ASSEMBLY_SQL,
     "cdc_partial_update": _PARTIAL_SQL,
     "cdc_usage_counters": _USAGE_COUNTERS_SQL,

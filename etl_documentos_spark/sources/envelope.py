@@ -146,3 +146,44 @@ def to_envelope(changes: DataFrame, value_col: str = "value") -> DataFrame:
     return changes.select(
         F.to_json(doc, {"ignoreNullFields": "true"}).alias(value_col)
     )
+
+
+def export_changes(
+    spark,
+    table,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """CDC back OUT: the lake's incremental changelog as envelope strings.
+
+    Composes ``lake/changelog.read_changes`` (metadata-planned manifest
+    set-diff — reads only the delta files, never the table) with
+    ``to_envelope``: every row a snapshot range added becomes one Debezium
+    document on the wire, ready for a Kafka-shaped sink or a downstream
+    lake. Changelog rows do not distinguish insert from update (the lake
+    upserts), so live rows export as ``u`` — the standard
+    upsert-as-update contract consumers already apply idempotently;
+    tombstones export as ``d`` with a ``before`` image. ``lsn`` and ``ts``
+    ride through unchanged, so LWW ordering survives the wire: applying
+    an exported range onto a replica that holds the range's base state
+    converges to the source table (pytest pins this round-trip).
+
+    The ``source.partition`` field is absent on export (the lake does not
+    persist the original shard id; ``ignoreNullFields`` drops it) — a
+    re-ingesting pipeline treats the feed as one logical partition, which
+    is exactly the ordering guarantee a per-table changelog provides.
+    """
+    from etl_documentos_spark.lake.changelog import read_changes
+
+    ch = read_changes(spark, table, from_snapshot_id, to_snapshot_id)
+    canon = ch.select(
+        F.when(F.col("_change_op") == "delete", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        *[F.col(c) for c in KEY_COLS],
+        *[F.col(c) for c in PAYLOAD_COLS],
+        F.col("_lsn").alias("lsn"),
+        F.lit(None).cast("int").alias("source_partition"),
+    )
+    return to_envelope(canon, value_col=value_col)
