@@ -55,18 +55,6 @@ STATE_SCHEMA = T.StructType(
     ]
 )
 
-_EMPTY = pd.DataFrame(
-    {
-        "conv_id": pd.Series([], dtype="str"),
-        "session_start": pd.Series([], dtype="datetime64[us]"),
-        "session_last": pd.Series([], dtype="datetime64[us]"),
-        "n_events": pd.Series([], dtype="int64"),
-        "n_deletes": pd.Series([], dtype="int64"),
-        "last_role": pd.Series([], dtype="str"),
-    }
-)
-
-
 def _emit_df(key: str, sessions: list[dict]) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -169,7 +157,8 @@ def track_conversations(
             closed = [s for s in sessions if s["last"] + gap_us < wm_us]
             still_open = [s for s in sessions if s["last"] + gap_us >= wm_us]
             arm_or_finish(state, still_open)
-            yield _emit_df(key[0], closed) if closed else _EMPTY
+            if closed:  # yielding empty frames trips pandas' concat
+                yield _emit_df(key[0], closed)  # FutureWarning downstream
             return
 
         # vectorized within-batch sessionization (sort + gap-diff +
@@ -206,7 +195,6 @@ def track_conversations(
             (from_state(state.get) if state.exists else []) + new
         )
         arm_or_finish(state, sessions)
-        yield _EMPTY
 
     return (
         src.withWatermark(ts_col, watermark)
