@@ -210,8 +210,11 @@ def merge_when(
     All clauses compile into ONE change batch applied by ONE
     ``merge_into`` call: matched rows tick their own version (+1µs, same
     contract as UPDATE/DELETE WHERE), inserts enter at the source-provided
-    version — so the whole statement is a single snapshot commit, atomic
-    under concurrent readers and crash-safe like any other commit.
+    version — bumped to one tick above the key's delete-tombstone fence
+    when that fence is equal-or-newer, so a WHEN NOT MATCHED INSERT always
+    lands (ANSI semantics) instead of being silently fenced by a prior
+    DELETE's version — so the whole statement is a single snapshot commit,
+    atomic under concurrent readers and crash-safe like any other commit.
 
     Returns ``{"updated": n, "deleted": n, "inserted": n}``.
 
@@ -291,9 +294,26 @@ def merge_when(
 
     if not_matched is not None:
         cond, values = not_matched
-        fresh = src.join(
-            cur.select(*KEY_COLS), on=KEY_COLS, how="left_anti"
-        ).filter(as_cond(cond))
+        # Tombstone fence: a NOT MATCHED key may still carry a delete
+        # tombstone whose version (ts, lsn) is >= the source-provided
+        # version — the version-checked merge would then fence the insert
+        # out and the row the statement promised would silently not
+        # appear (found by the hypothesis oracle on an exact version
+        # tie). ANSI MERGE semantics win at the SQL door: the insert
+        # enters STRICTLY above the fence (ts bumped to fence + 1µs when
+        # needed — the same engine-managed version tick matched clauses
+        # already apply to ts).
+        winners = lww_dedup(
+            table.scan(spark), key_cols=KEY_COLS, order_cols=("ts", "_lsn")
+        )
+        fence = winners.filter(
+            F.coalesce(F.col("_deleted"), F.lit(False))
+        ).select(*KEY_COLS, F.col("ts").alias("_fence_ts"))
+        fresh = (
+            src.join(cur.select(*KEY_COLS), on=KEY_COLS, how="left_anti")
+            .filter(as_cond(cond))
+            .join(fence, on=KEY_COLS, how="left")
+        )
         src_names = {f.name for f in source.schema.fields}
         if values is None:  # INSERT *
             missing = {*KEY_COLS, "ts"} - src_names
@@ -304,6 +324,14 @@ def merge_when(
             values = {}
         if "ts" not in values and "ts" not in src_names:
             raise ValueError("WHEN NOT MATCHED INSERT must provide ts")
+
+        def _above_fence(ts_expr: Column) -> Column:
+            return F.when(
+                F.col("_fence_ts").isNotNull()
+                & (ts_expr <= F.col("_fence_ts")),
+                F.col("_fence_ts") + _one_micro(),
+            ).otherwise(ts_expr)
+
         branches.append(
             fresh.select(
                 F.lit("insert").alias("op"),
@@ -321,7 +349,7 @@ def merge_when(
                     ).alias(c)
                     for c in payload
                 ],
-                (
+                _above_fence(
                     values["ts"] if "ts" in values else F.col("ts")
                 ).alias("ts"),
                 F.lit(0).cast("long").alias("lsn"),

@@ -8,8 +8,11 @@ optional WHEN NOT MATCHED INSERT. The engine's one-statement merge must
 equal replaying (base + the events the clauses would generate) through the
 one-row-at-a-time LWW reduction, where matched events carry the matched
 row's version + the engine's one-microsecond tick and inserts enter at the
-source-provided version with lsn 0. This pins: first-matching-clause-wins,
-snapshot-consistency against the base, and the insert version contract.
+source-provided version with lsn 0 — bumped one tick above the key's
+delete-tombstone fence when that fence is equal-or-newer (hypothesis found
+the exact-tie case where the fence silently swallowed the insert). This
+pins: first-matching-clause-wins, snapshot-consistency against the base,
+and the insert version contract.
 """
 
 from __future__ import annotations
@@ -146,6 +149,9 @@ def test_merge_when_matches_sequential_oracle(spark, scenario):
         # --- oracle: base + generated events, sequential LWW
         rows1 = [dict(zip(COLS, e)) for e in events]
         live = _live_state(rows1)
+        winners: dict = {}  # per-key max-version event incl. deletes
+        for r in sorted(rows1, key=lambda r: (r["ts"], r["lsn"])):
+            winners[(r["conv_id"], r["turn_idx"])] = r
         gen = []
         for j, (conv, turn, tag, new_text, ts) in enumerate(src):
             s = {"tag": tag, "new_text": new_text}
@@ -164,10 +170,21 @@ def test_merge_when_matches_sequential_oracle(spark, scenario):
                     gen.append(g)
                     break  # first matching clause wins
             elif with_insert:
+                # insert-version contract: source ts, bumped one tick
+                # above the key's delete-tombstone fence when that fence
+                # is equal-or-newer (ANSI MERGE: the insert must land)
+                fence = winners.get(k)
+                ts_i = ts
+                if (
+                    fence is not None
+                    and fence["op"] == "delete"
+                    and ts <= fence["ts"]
+                ):
+                    ts_i = fence["ts"] + TICK
                 gen.append(
                     dict(
                         op="insert", conv_id=conv, turn_idx=turn,
-                        role="sys", text=new_text, tool=None, ts=ts,
+                        role="sys", text=new_text, tool=None, ts=ts_i,
                         lsn=0, source_partition=0,
                     )
                 )
@@ -176,5 +193,40 @@ def test_merge_when_matches_sequential_oracle(spark, scenario):
             for r in _live_state(rows1 + gen).values()
         }
         assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_not_matched_insert_lands_over_newer_tombstone(spark):
+    """Deterministic pin of the hypothesis find: a key deleted at a LATER
+    version than the source row's ts must still be inserted by WHEN NOT
+    MATCHED (ANSI), entering one tick above the tombstone fence."""
+    root = tempfile.mkdtemp(prefix="mw_fence_")
+    try:
+        table = LakeTable.create(
+            f"{root}/t", physical_schema(TRANSCRIPTS), num_buckets=2
+        )
+        t5 = BASE + datetime.timedelta(seconds=5)
+        events = [
+            ("insert", "c0", 0, "user", "old", None, BASE, 0, 0),
+            ("delete", "c0", 0, None, None, None, t5, 1, 0),
+        ]
+        merge_into(spark, table, spark.createDataFrame(events, CHANGE_EVENTS))
+        assert read_current(spark, table).count() == 0
+
+        source = spark.createDataFrame(
+            [("c0", 0, "a", "reborn", BASE)],  # ts BEFORE the tombstone
+            "conv_id string, turn_idx int, tag string, new_text string,"
+            " ts timestamp",
+        )
+        counts = merge_when(
+            spark, table, source,
+            not_matched=(None, {"role": F.lit("sys"),
+                                "text": F.col("new_text")}),
+        )
+        assert counts["inserted"] == 1
+        rows = read_current(spark, table).collect()
+        assert len(rows) == 1 and rows[0]["text"] == "reborn"
+        assert rows[0]["ts"] == t5 + TICK  # one tick above the fence
     finally:
         shutil.rmtree(root, ignore_errors=True)
