@@ -45,6 +45,7 @@ def current_view(
 #: DML statements are dispatched onto `operators.dml` instead of Spark SQL
 #: (temp views are not writable targets)
 _DML_HEAD = re.compile(r"^\s*(delete|update|insert|merge)\b", re.IGNORECASE)
+_MAINT_HEAD = re.compile(r"^\s*(optimize|vacuum)\b", re.IGNORECASE)
 
 #: Iceberg-style time travel: ``FROM t VERSION AS OF 3`` (snapshot id) or
 #: ``FROM t VERSION AS OF 'tag'`` (named ref). Rewritten onto pinned views.
@@ -441,6 +442,76 @@ def _run_dml(
     )
 
 
+def _run_maintenance(
+    spark: SparkSession, tables: dict[str, LakeTable], query: str
+) -> DataFrame:
+    """``OPTIMIZE t [ZORDER BY (a, b, ...)]`` / ``VACUUM t [RETAIN n
+    SNAPSHOTS]`` — the Delta/Iceberg maintenance statements routed onto
+    this lake's own procedures: OPTIMIZE is the sorted (or Morton-
+    clustered, `operators/zorder.py`) compaction rewrite; VACUUM expires
+    old snapshots (tagged refs and current stay pinned) then sweeps
+    orphaned files outside the staging grace window. Both are
+    snapshot-atomic like every other commit; OPTIMIZE is stamped as
+    maintenance so changelog readers skip it."""
+    from etl_documentos_spark.operators.merge import compact as _compact
+
+    q = query.strip().rstrip(";")
+    m = re.match(
+        r"^\s*OPTIMIZE\s+(\w+)\s*"
+        r"(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+        q,
+        re.I,
+    )
+    if m:
+        name, zcols = m.group(1), m.group(2)
+        if name not in tables:
+            raise KeyError(f"no such table {name!r}")
+        table = tables[name]
+        zorder = None
+        if zcols is not None:
+            zorder = tuple(
+                c.strip().strip("`") for c in zcols.split(",") if c.strip()
+            )
+            names = {f.name for f in table.schema.fields}
+            bad = [c for c in zorder if c not in names]
+            if bad or len(zorder) < 2:
+                raise ValueError(
+                    f"ZORDER BY needs >=2 existing columns, got {zorder}"
+                )
+        before = sum(
+            len(fs) for fs in table.current_snapshot.files.values()
+        )
+        _compact(spark, table, zorder=zorder)
+        table._refresh()
+        after = sum(
+            len(fs) for fs in table.current_snapshot.files.values()
+        )
+        detail = f"zorder({','.join(zorder)})" if zorder else "sort"
+        return spark.createDataFrame(
+            [(name, "optimize", detail, before, after)],
+            "table string, operation string, strategy string, "
+            "files_before long, files_after long",
+        )
+    m = re.match(
+        r"^\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", q, re.I
+    )
+    if m:
+        name, keep = m.group(1), m.group(2)
+        if name not in tables:
+            raise KeyError(f"no such table {name!r}")
+        table = tables[name]
+        expired = table.expire_snapshots(
+            keep_last=int(keep) if keep else 2
+        )
+        orphans = table.remove_orphan_files()
+        return spark.createDataFrame(
+            [(name, "vacuum", expired, orphans)],
+            "table string, operation string, expired_files long, "
+            "orphan_files long",
+        )
+    raise ValueError(f"unsupported maintenance statement: {query!r}")
+
+
 def sql(
     spark: SparkSession, tables: dict[str, LakeTable], query: str
 ) -> DataFrame:
@@ -467,9 +538,14 @@ def sql(
       range via `lake.changelog.read_changes` — manifest-diff planning,
       so the statement reads the delta files only, never the table; rows
       carry ``_change_op``/``_change_snapshot_id``/``_change_ts_ms``.
+    - **Maintenance**: ``OPTIMIZE t [ZORDER BY (a, b)]`` (sorted or
+      Morton-clustered compaction) and ``VACUUM t [RETAIN n SNAPSHOTS]``
+      (snapshot expiry + orphan-file sweep) — see `_run_maintenance`.
     """
     if _DML_HEAD.match(query):
         return _run_dml(spark, tables, query)
+    if _MAINT_HEAD.match(query):
+        return _run_maintenance(spark, tables, query)
 
     def pin_changes(m: re.Match) -> str:
         from etl_documentos_spark.lake.changelog import read_changes

@@ -165,3 +165,54 @@ def test_sql_time_travel_version_as_of(spark, sql_table):
         " AND old.turn_idx = t.turn_idx",
     ).first().n
     assert drift == by_id - cur
+
+
+def test_sql_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE compacts (plain and ZORDER BY), VACUUM expires + sweeps —
+    the Delta/Iceberg maintenance statements at the SQL door, content
+    preserved throughout."""
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        physical_schema(TRANSCRIPTS),
+        num_buckets=2,
+        properties={"stats.cols": "conv_id,ts"},
+    )
+    # several merges -> several delta files per bucket
+    for lo in (0, 40, 80):
+        merge_into(spark, table, _events(spark, lo, lo + 40))
+    before = read_current(spark, table).orderBy("conv_id", "turn_idx").collect()
+
+    r = sql(spark, {"t": table}, "OPTIMIZE t").collect()[0]
+    assert r["operation"] == "optimize" and r["strategy"] == "sort"
+    assert r["files_after"] <= r["files_before"]
+    table._refresh()
+    assert (
+        read_current(spark, table).orderBy("conv_id", "turn_idx").collect()
+        == before
+    )
+
+    r = sql(spark, {"t": table}, "OPTIMIZE t ZORDER BY (conv_id, ts)").collect()[0]
+    assert r["strategy"] == "zorder(conv_id,ts)"
+    table._refresh()
+    assert (
+        read_current(spark, table).orderBy("conv_id", "turn_idx").collect()
+        == before
+    )
+    # the z-ordered files carry ts stats (the dimension OPTIMIZE clustered)
+    assert any(
+        "ts" in st for st in table.current_snapshot.file_stats.values()
+    )
+
+    r = sql(spark, {"t": table}, "VACUUM t RETAIN 2 SNAPSHOTS").collect()[0]
+    assert r["operation"] == "vacuum" and r["expired_files"] >= 0
+    table._refresh()
+    assert len(table.snapshots) <= 3  # create + kept window
+    assert (
+        read_current(spark, table).orderBy("conv_id", "turn_idx").collect()
+        == before
+    )
+
+    with pytest.raises(ValueError):
+        sql(spark, {"t": table}, "OPTIMIZE t ZORDER BY (conv_id)")
+    with pytest.raises(KeyError):
+        sql(spark, {"t": table}, "VACUUM missing")
