@@ -18,6 +18,7 @@ snapshot-isolated view (see `lake/sql.py`) and runs the statement — the
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,7 +102,12 @@ class Catalog:
         DML statements (``DELETE FROM t WHERE ...`` / ``UPDATE t SET ...``
         / ``INSERT INTO t ...`` / ``MERGE INTO t USING ...``) are
         dispatched onto the version-checked DML (`operators.dml`) against
-        the named table — see `lake.sql.sql`."""
+        the named table — see `lake.sql.sql`. DDL (``CREATE TABLE`` /
+        ``DROP TABLE`` / ``SHOW TABLES`` / ``DESCRIBE``) and maintenance
+        (``OPTIMIZE`` / ``VACUUM``) statements route to the catalog's own
+        procedures — see `run_ddl` / `lake.sql._run_maintenance`."""
+        if _DDL_HEAD.match(query):
+            return run_ddl(self, spark, query)
         tables: dict[str, LakeTable] = {}
         for name in self.list_tables():
             view = name.replace(".", "_")
@@ -112,3 +118,154 @@ class Catalog:
                 )
             tables[view] = self.load_table(name)
         return lake_sql.sql(spark, tables, query)
+
+
+_DDL_HEAD = re.compile(
+    r"^\s*(create|drop|show|describe|desc)\b", re.IGNORECASE
+)
+
+
+def _parse_tblproperties(text: str) -> dict[str, str]:
+    """``'k'='v', 'k2'='v2'`` -> dict (quoted keys/values, SQL style)."""
+    import re
+
+    props: dict[str, str] = {}
+    for m in re.finditer(r"'([^']*)'\s*=\s*'([^']*)'", text):
+        props[m.group(1)] = m.group(2)
+    return props
+
+
+def run_ddl(
+    catalog: "Catalog", spark: SparkSession, query: str
+) -> DataFrame:
+    """DDL at the catalog door.
+
+    Grammar (Iceberg SQL shapes)::
+
+        CREATE TABLE [IF NOT EXISTS] ns.name (col type, ...)
+            [PARTITIONED BY (bucket(N, col))]
+            [TBLPROPERTIES ('k'='v', ...)]
+        DROP TABLE [IF EXISTS] ns.name [PURGE]
+        SHOW TABLES
+        DESCRIBE [TABLE] ns.name
+
+    The column list is the LOGICAL schema; the engine appends its managed
+    system columns (``_lsn``, ``_deleted`` — the row version and the
+    tombstone marker) exactly as `operators.merge.physical_schema` does,
+    and DESCRIBE reports the logical columns plus the partition spec.
+    Default partitioning is ``bucket(16, conv_id)`` when no PARTITIONED BY
+    is given and the schema carries ``conv_id`` (the transcript shape);
+    otherwise the first column is the bucket source.
+    """
+    import re
+
+    from etl_documentos_spark.operators.merge import (
+        SYSTEM_COL_NAMES,
+        physical_schema,
+    )
+
+    q = query.strip().rstrip(";")
+
+    if re.match(r"^\s*SHOW\s+TABLES\s*$", q, re.I):
+        names = catalog.list_tables()
+        return spark.createDataFrame(
+            [(n,) for n in sorted(names)] or [], "table string"
+        )
+
+    m = re.match(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$", q, re.I)
+    if m:
+        t = catalog.load_table(m.group(1))
+        spec = t._meta["partition_spec"]
+        rows = [
+            (f.name, f.dataType.simpleString(), "")
+            for f in t.schema.fields
+            if f.name not in SYSTEM_COL_NAMES
+        ]
+        rows.append(("# partition", "", ""))
+        rows.append(
+            (
+                "bucket",
+                f"bucket({spec['num_buckets']}, {spec['source_col']})",
+                "",
+            )
+        )
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    m = re.match(
+        r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(PURGE)?\s*$",
+        q,
+        re.I,
+    )
+    if m:
+        if_exists, name, purge = m.group(1), m.group(2), bool(m.group(3))
+        if not catalog.table_exists(name):
+            if if_exists:
+                return spark.createDataFrame(
+                    [(name, "drop", False)],
+                    "table string, operation string, dropped boolean",
+                )
+            raise KeyError(f"no such table {name!r}")
+        catalog.drop_table(name, purge=purge)
+        return spark.createDataFrame(
+            [(name, "drop", True)],
+            "table string, operation string, dropped boolean",
+        )
+
+    m = re.match(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", q, re.I
+    )
+    if m:
+        if_not_exists, name = bool(m.group(1)), m.group(2)
+        open_i = q.index("(", m.end() - 1)
+        close_i = lake_sql._match_paren(q, open_i)
+        cols_ddl = q[open_i + 1 : close_i - 1]
+        rest = q[close_i:].strip()
+        schema = T.StructType.fromDDL(cols_ddl)
+
+        num_buckets, bucket_col = 16, None
+        pm = re.match(
+            r"^PARTITIONED\s+BY\s*\(\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+            r"\s*\)\s*",
+            rest,
+            re.I,
+        )
+        if pm:
+            num_buckets, bucket_col = int(pm.group(1)), pm.group(2)
+            rest = rest[pm.end():].strip()
+        props: dict[str, str] = {}
+        tm = re.match(r"^TBLPROPERTIES\s*\(", rest, re.I)
+        if tm:
+            end = lake_sql._match_paren(rest, tm.end() - 1)
+            props = _parse_tblproperties(rest[tm.end() : end - 1])
+            rest = rest[end:].strip()
+        if rest:
+            raise ValueError(f"unsupported CREATE TABLE trailer: {rest!r}")
+        if bucket_col is None:
+            names = [f.name for f in schema.fields]
+            bucket_col = "conv_id" if "conv_id" in names else names[0]
+        elif bucket_col not in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"PARTITIONED BY bucket column {bucket_col!r} not in schema"
+            )
+        if catalog.table_exists(name):
+            if if_not_exists:
+                return spark.createDataFrame(
+                    [(name, "create", False)],
+                    "table string, operation string, created boolean",
+                )
+            raise FileExistsError(f"table {name!r} already exists")
+        catalog.create_table(
+            name,
+            physical_schema(schema),
+            num_buckets=num_buckets,
+            bucket_col=bucket_col,
+            properties=props or None,
+        )
+        return spark.createDataFrame(
+            [(name, "create", True)],
+            "table string, operation string, created boolean",
+        )
+
+    raise ValueError(f"unsupported DDL statement: {query!r}")

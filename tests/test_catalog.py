@@ -85,3 +85,72 @@ def test_drop_semantics(spark, catalog):
     assert catalog.list_tables() == []
     with pytest.raises(KeyError):
         catalog.drop_table("raw.transcripts")
+
+
+def test_catalog_ddl_lifecycle(spark, tmp_path):
+    """CREATE TABLE / SHOW TABLES / DESCRIBE / INSERT through the same
+    door / DROP TABLE — the full name-based lifecycle in SQL."""
+    from etl_documentos_spark.lake.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    r = cat.sql(
+        spark,
+        "CREATE TABLE raw.notes ("
+        " conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp)"
+        " PARTITIONED BY (bucket(4, conv_id))"
+        " TBLPROPERTIES ('stats.cols'='conv_id,ts')",
+    ).collect()[0]
+    assert r["created"] is True
+    assert cat.sql(spark, "SHOW TABLES").collect()[0]["table"] == "raw.notes"
+
+    # idempotent create via IF NOT EXISTS; plain re-create raises
+    assert (
+        cat.sql(
+            spark,
+            "CREATE TABLE IF NOT EXISTS raw.notes (conv_id string,"
+            " turn_idx int, ts timestamp)",
+        ).collect()[0]["created"]
+        is False
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        cat.sql(
+            spark,
+            "CREATE TABLE raw.notes (conv_id string, turn_idx int,"
+            " ts timestamp)",
+        )
+
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in cat.sql(spark, "DESCRIBE raw.notes").collect()
+    }
+    assert desc["conv_id"] == "string" and desc["turn_idx"] == "int"
+    assert "_lsn" not in desc and "_deleted" not in desc  # engine-managed
+    assert desc["bucket"] == "bucket(4, conv_id)"
+    # the created table honors TBLPROPERTIES
+    assert cat.load_table("raw.notes").stat_cols() == ["conv_id", "ts"]
+
+    # the new table is writable/readable through the same SQL door
+    cat.sql(
+        spark,
+        "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts) VALUES"
+        " ('c1', 0, 'user', 'oi', TIMESTAMP '2024-01-01 00:00:00')",
+    )
+    got = cat.sql(
+        spark, "SELECT conv_id, text FROM raw_notes"
+    ).collect()
+    assert [(r["conv_id"], r["text"]) for r in got] == [("c1", "oi")]
+
+    assert (
+        cat.sql(spark, "DROP TABLE raw.notes PURGE").collect()[0]["dropped"]
+        is True
+    )
+    assert cat.sql(spark, "SHOW TABLES").count() == 0
+    assert (
+        cat.sql(spark, "DROP TABLE IF EXISTS raw.notes").collect()[0][
+            "dropped"
+        ]
+        is False
+    )
