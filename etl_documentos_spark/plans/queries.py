@@ -2503,6 +2503,73 @@ def q_cdc_export_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full name-based lifecycle through ONE SQL door
+    (``Catalog.sql``): CREATE TABLE with Iceberg-style bucket
+    partitioning + TBLPROPERTIES, INSERT INTO ... SELECT loading the
+    change stream's LWW winners, OPTIMIZE ... ZORDER BY rewriting the
+    layout in Morton order (stats recorded for both dimensions), then the
+    SELECT that must equal the oracle's plain LWW reduction — create,
+    load, cluster and read without touching the Python API once. DESCRIBE
+    and DROP are exercised too (shape-asserted; the SELECT result is the
+    value-checked surface).
+
+    Result detached via ``_detached`` (parquet spill + lazy read)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.catalog import Catalog
+
+    ch = _derive_changes(spark, sf_dir)
+    win = lww.lww_dedup(ch).filter(F.col("op") != "delete")
+    win.createOrReplaceTempView("lifecycle_src")
+    root = tempfile.mkdtemp(prefix="sqllife_q_")
+    try:
+        cat = Catalog(f"{root}/cat")
+        cat.sql(
+            spark,
+            "CREATE TABLE raw.notes ("
+            " conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp)"
+            " PARTITIONED BY (bucket(4, conv_id))"
+            " TBLPROPERTIES ('stats.cols'='conv_id,ts',"
+            " 'write.max-records-per-file'='500')",
+        )
+        cat.sql(
+            spark,
+            "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role, text,"
+            " CAST(ts AS TIMESTAMP) FROM lifecycle_src",
+        )
+        cat.sql(spark, "OPTIMIZE raw_notes ZORDER BY (conv_id, ts)")
+        desc = cat.sql(spark, "DESCRIBE raw.notes").collect()
+        assert any(
+            r["data_type"] == "bucket(4, conv_id)" for r in desc
+        ), "DESCRIBE must report the partition spec"
+        cur = cat.sql(
+            spark,
+            "SELECT conv_id, turn_idx, role, text, ts FROM raw_notes",
+        )
+        out = _detached(cur)
+        cat.sql(spark, "DROP TABLE raw.notes PURGE")
+        assert cat.sql(spark, "SHOW TABLES").count() == 0
+        return out
+    finally:
+        spark.catalog.dropTempView("lifecycle_src")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_LIFECYCLE_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_zorder_timeslice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering end-to-end: the change stream lands in a lake
     table and the read must match the oracle through the pruned layout.
@@ -4075,6 +4142,7 @@ QUERIES: dict[str, Query] = {
     "stateful_sessions": q_stateful_sessions,
     "zorder_timeslice": q_zorder_timeslice,
     "cdc_export_wire": q_cdc_export_wire,
+    "sql_lifecycle": q_sql_lifecycle,
     # session_windows boundary oracle corrected this round ->
     # keep inside the driver correctness window
     "session_windows": q_session_windows,
@@ -4207,6 +4275,7 @@ ORACLES: dict[str, str] = {
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
     "zorder_timeslice": _ZORDER_SQL,
     "cdc_export_wire": _REPLICATION_SQL,
+    "sql_lifecycle": _SQL_LIFECYCLE_SQL,
     "transcript_assembly": _ASSEMBLY_SQL,
     "cdc_partial_update": _PARTIAL_SQL,
     "cdc_usage_counters": _USAGE_COUNTERS_SQL,
