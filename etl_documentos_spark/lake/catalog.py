@@ -145,8 +145,12 @@ def run_ddl(
         CREATE TABLE [IF NOT EXISTS] ns.name (col type, ...)
             [PARTITIONED BY (bucket(N, col))]
             [TBLPROPERTIES ('k'='v', ...)]
+        CREATE TABLE [IF NOT EXISTS] ns.name
+            [PARTITIONED BY (bucket(N, col))] [TBLPROPERTIES (...)]
+            AS SELECT ...                      -- CTAS (schema from SELECT)
         DROP TABLE [IF EXISTS] ns.name [PURGE]
         SHOW TABLES
+        SHOW CREATE TABLE ns.name
         DESCRIBE [TABLE] ns.name
 
     The column list is the LOGICAL schema; the engine appends its managed
@@ -170,6 +174,33 @@ def run_ddl(
         names = catalog.list_tables()
         return spark.createDataFrame(
             [(n,) for n in sorted(names)] or [], "table string"
+        )
+
+    m = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", q, re.I)
+    if m:
+        name = m.group(1)
+        t = catalog.load_table(name)
+        spec = t._meta["partition_spec"]
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in t.schema.fields
+            if f.name not in SYSTEM_COL_NAMES
+        )
+        props = t._meta.get("properties") or {}
+        prop_sql = (
+            "\nTBLPROPERTIES ("
+            + ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+            + ")"
+            if props
+            else ""
+        )
+        ddl = (
+            f"CREATE TABLE {name} (\n  {cols})\n"
+            f"PARTITIONED BY (bucket({spec['num_buckets']}, "
+            f"{spec['source_col']})){prop_sql}"
+        )
+        return spark.createDataFrame(
+            [(name, ddl)], "table string, create_statement string"
         )
 
     m = re.match(r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$", q, re.I)
@@ -266,6 +297,76 @@ def run_ddl(
         return spark.createDataFrame(
             [(name, "create", True)],
             "table string, operation string, created boolean",
+        )
+
+    m = re.match(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(.*)$",
+        q,
+        re.I | re.S,
+    )
+    if m:  # CTAS: schema comes from the SELECT
+        from etl_documentos_spark.operators import dml
+        from etl_documentos_spark.schemas import KEY_COLS
+
+        if_not_exists, name, rest = (
+            bool(m.group(1)), m.group(2), m.group(3).strip()
+        )
+        num_buckets, bucket_col = 16, None
+        pm = re.match(
+            r"^PARTITIONED\s+BY\s*\(\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+            r"\s*\)\s*",
+            rest,
+            re.I,
+        )
+        if pm:
+            num_buckets, bucket_col = int(pm.group(1)), pm.group(2)
+            rest = rest[pm.end():].strip()
+        props: dict[str, str] = {}
+        tm = re.match(r"^TBLPROPERTIES\s*\(", rest, re.I)
+        if tm:
+            end = lake_sql._match_paren(rest, tm.end() - 1)
+            props = _parse_tblproperties(rest[tm.end() : end - 1])
+            rest = rest[end:].strip()
+        am = re.match(r"^AS\s+(.*)$", rest, re.I | re.S)
+        if not am:
+            raise ValueError(f"unsupported CREATE TABLE statement: {query!r}")
+        select = am.group(1).strip()
+        if catalog.table_exists(name):
+            if if_not_exists:
+                return spark.createDataFrame(
+                    [(name, "create", False, 0)],
+                    "table string, operation string, created boolean,"
+                    " rows long",
+                )
+            raise FileExistsError(f"table {name!r} already exists")
+        # the SELECT sees every catalog table (snapshot-isolated views),
+        # plus any session temp views the caller registered
+        for n in catalog.list_tables():
+            lake_sql.current_view(
+                spark, catalog.load_table(n), n.replace(".", "_")
+            )
+        rows = spark.sql(select)
+        names = {f.name for f in rows.schema.fields}
+        missing = {*KEY_COLS, "ts"} - names
+        if missing:
+            raise ValueError(
+                f"CTAS SELECT must produce the key columns + ts "
+                f"(missing {sorted(missing)}) — every catalog table is a "
+                "keyed, versioned lake table"
+            )
+        if bucket_col is None:
+            bucket_col = KEY_COLS[0]
+        table = catalog.create_table(
+            name,
+            physical_schema(rows.schema),
+            num_buckets=num_buckets,
+            bucket_col=bucket_col,
+            properties=props or None,
+        )
+        n_rows = dml.insert_into(spark, table, rows)
+        return spark.createDataFrame(
+            [(name, "create", True, n_rows)],
+            "table string, operation string, created boolean, rows long",
         )
 
     raise ValueError(f"unsupported DDL statement: {query!r}")

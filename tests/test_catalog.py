@@ -154,3 +154,59 @@ def test_catalog_ddl_lifecycle(spark, tmp_path):
         ]
         is False
     )
+
+
+def test_catalog_ctas_and_show_create(spark, tmp_path):
+    """CREATE TABLE ... AS SELECT materializes the query (schema from the
+    SELECT, rows through the versioned insert) and SHOW CREATE TABLE
+    round-trips a DDL that re-creates the same logical shape."""
+    from etl_documentos_spark.lake.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.sql(
+        spark,
+        "CREATE TABLE raw.notes (conv_id string, turn_idx int,"
+        " role string, text string, tool string, ts timestamp)"
+        " PARTITIONED BY (bucket(4, conv_id))",
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts) VALUES"
+        " ('c1', 0, 'user', 'oi', TIMESTAMP '2024-01-01'),"
+        " ('c1', 1, 'bot', 'ola', TIMESTAMP '2024-01-01'),"
+        " ('c2', 0, 'user', 'eai', TIMESTAMP '2024-01-02')",
+    )
+
+    r = cat.sql(
+        spark,
+        "CREATE TABLE derived.bots PARTITIONED BY (bucket(2, conv_id))"
+        " TBLPROPERTIES ('stats.cols'='conv_id')"
+        " AS SELECT conv_id, turn_idx, role, text, ts FROM raw_notes"
+        " WHERE role = 'bot'",
+    ).collect()[0]
+    assert r["created"] is True and r["rows"] == 1
+    got = cat.sql(
+        spark, "SELECT conv_id, turn_idx, text FROM derived_bots"
+    ).collect()
+    assert [(x["conv_id"], x["turn_idx"], x["text"]) for x in got] == [
+        ("c1", 1, "ola")
+    ]
+    assert cat.load_table("derived.bots").stat_cols() == ["conv_id"]
+
+    ddl = cat.sql(spark, "SHOW CREATE TABLE derived.bots").collect()[0][
+        "create_statement"
+    ]
+    assert "bucket(2, conv_id)" in ddl and "'stats.cols'='conv_id'" in ddl
+    assert "_lsn" not in ddl  # system columns are engine-managed
+    # the emitted DDL is itself runnable (under a fresh name)
+    cat.sql(spark, ddl.replace("derived.bots", "derived.bots2", 1))
+    assert "derived.bots2" in cat.list_tables()
+
+    # CTAS without the key columns is rejected with a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key columns"):
+        cat.sql(
+            spark,
+            "CREATE TABLE derived.bad AS SELECT role FROM raw_notes",
+        )
