@@ -3217,6 +3217,102 @@ _ODP_SQL = """
 """
 
 
+def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Docling-dispatch analogue end-to-end: payload formats rotate
+    with ``doc_id % 12`` through every dispatchable real format, the
+    dispatcher sniffs the ACTUAL BYTES (magic numbers; ZIP containers
+    opened to read the ODF mimetype leader / the OOXML main part; a
+    content ladder for bare text) and routes each row to its real
+    decoder. The oracle predicts the detected format, the per-format
+    structural count AND the extracted text for every row — a wrong sniff
+    routes to the wrong parser and breaks all three columns at once.
+
+    Reference parity: one converter front door over 20 accepted formats
+    (/root/reference/app/providers/docling_provider.py:64-74)."""
+    from etl_documentos_spark.sources import dispatch
+
+    mixed = dispatch.synth_mixed_payload(load(spark, sf_dir, "documents"))
+    return dispatch.decode_any(mixed)
+
+
+_DISPATCH_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 12
+             WHEN 0 THEN 'docx' WHEN 1 THEN 'pdf' WHEN 2 THEN 'csv'
+             WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'odp'
+             WHEN 6 THEN 'html' WHEN 7 THEN 'rtf' WHEN 8 THEN 'xml'
+             WHEN 9 THEN 'md' WHEN 10 THEN 'txt' ELSE 'adoc'
+           END AS format,
+           CAST(CASE doc_id % 12
+             WHEN 0 THEN 1 + doc_id % 5
+             WHEN 1 THEN 1 + doc_id % 4
+             WHEN 2 THEN 2 + doc_id % 4
+             WHEN 3 THEN list_sum(list_transform(
+                 generate_series(0, doc_id % 3), s -> 1 + (doc_id + s) % 2))
+             WHEN 4 THEN 1 + doc_id % 3
+             WHEN 5 THEN list_sum(list_transform(
+                 generate_series(0, doc_id % 2), p -> 1 + (doc_id + p) % 2))
+             WHEN 6 THEN 3 + doc_id % 4
+             WHEN 7 THEN 1 + doc_id % 4
+             WHEN 8 THEN 1 + doc_id % 4
+             WHEN 9 THEN 1 + doc_id % 3
+             WHEN 10 THEN 1 + doc_id % 3
+             ELSE 1 + doc_id % 3
+           END AS INT) AS n_units,
+           CASE doc_id % 12
+             WHEN 0 THEN array_to_string(list_transform(
+                 generate_series(0, doc_id % 5),
+                 j -> 'Paragraph ' || j || ' of document ' || doc_id || '.'),
+                 chr(10))
+             WHEN 1 THEN array_to_string(list_transform(
+                 generate_series(0, doc_id % 4),
+                 j -> 'Line ' || j || ' of PDF ' || doc_id), chr(10))
+             WHEN 2 THEN NULL
+             WHEN 3 THEN array_to_string(flatten(list_transform(
+                 generate_series(0, doc_id % 3),
+                 s -> list_transform(generate_series(0, (doc_id + s) % 2),
+                     k -> 'Slide ' || s || ' shape ' || k || ' of deck '
+                          || doc_id))), chr(10))
+             WHEN 4 THEN array_to_string(list_transform(
+                 generate_series(0, doc_id % 3),
+                 j -> 'Item ' || j || '  valor' || chr(9)
+                      || ((doc_id + j) % 50)), chr(10))
+             WHEN 5 THEN array_to_string(flatten(list_transform(
+                 generate_series(0, doc_id % 2),
+                 p -> list_transform(generate_series(0, (doc_id + p) % 2),
+                     k -> 'Quadro ' || k || ' pagina ' || p || ' deck '
+                          || doc_id))), chr(10))
+             WHEN 6 THEN 'Doc ' || doc_id || chr(10) ||
+                 array_to_string(list_transform(
+                     generate_series(0, doc_id % 4),
+                     j -> 'Linha ' || j || ' & texto ' || doc_id || '.'),
+                     chr(10)) || chr(10) || 'mais ' || doc_id
+             WHEN 7 THEN array_to_string(list_transform(
+                 generate_series(0, doc_id % 4),
+                 j -> 'Parágrafo ' || j || ' de ' || doc_id), chr(10))
+             WHEN 8 THEN array_to_string(list_transform(
+                 generate_series(0, doc_id % 4),
+                 k -> 'item ' || k || ' of ' || doc_id), chr(10))
+             WHEN 9 THEN 'Doc ' || doc_id || chr(10) ||
+                 array_to_string(list_transform(
+                     generate_series(0, doc_id % 3),
+                     j -> 'Texto enfase' || j || ' e code*' || j ||
+                          ' de link' || j || ' aqui.'), chr(10))
+             WHEN 10 THEN array_to_string(list_transform(
+                 generate_series(0, doc_id % 3),
+                 j -> 'linha ' || j || ' çedilha ' || doc_id), chr(10))
+             ELSE 'Documento ' || doc_id || chr(10) ||
+                 'Secao ' || (doc_id % 7) || chr(10) ||
+                 'Texto forte' || doc_id || ' e mono' || doc_id
+                 || ' aqui.' || chr(10) ||
+                 array_to_string(list_transform(
+                     generate_series(0, doc_id % 3),
+                     k -> 'item ' || k || ' de ' || doc_id), chr(10))
+           END AS text
+    FROM documents
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (deterministic term tiebreak)."""
     return analytics.tfidf_top_terms(
@@ -4130,6 +4226,7 @@ QUERIES: dict[str, Query] = {
     "adoc_decode": q_adoc_decode,
     "ods_decode": q_ods_decode,
     "odp_decode": q_odp_decode,
+    "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
     "dml_retention": q_dml_retention,
@@ -4263,6 +4360,7 @@ ORACLES: dict[str, str] = {
     "adoc_decode": _ADOC_SQL,
     "ods_decode": _ODS_SQL,
     "odp_decode": _ODP_SQL,
+    "decode_dispatch": _DISPATCH_SQL,
     "point_lookup": _POINT_LOOKUP_SQL,
     "mview_conv_stats": _MVIEW_SQL,
     "dml_retention": _DML_RETENTION_SQL,

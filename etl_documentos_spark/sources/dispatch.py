@@ -1,0 +1,193 @@
+"""Format-sniffing decode dispatcher — the Docling-dispatch analogue.
+
+The reference hands every upload to one converter that detects the format
+and routes it (/root/reference/app/providers/docling_provider.py:64-74
+accepts 20 extensions; /root/reference/app/services/extraction_service.py
+dispatches per document). This module is that front door over THIS
+engine's 20 real decoders: ``detect_format`` sniffs the actual bytes —
+magic numbers, plus REAL container inspection for the ZIP family (the
+ODF ``mimetype`` leader names odt/odp/ods; OOXML's part names distinguish
+docx/xlsx/pptx) and a content ladder for bare text (XML declaration, HTML
+root, RTF leader, AsciiDoc title, ATX heading, the CSV header, BOMs) —
+and ``decode_any`` routes each row to the matching real decoder with a
+unified output row (doc_id, format, n_units, text).
+
+Execution shape: one Arrow-batched sniff pass adds the ``format`` column,
+then each format's rows flow through its EXISTING decoder (the same
+``mapInPandas`` parsers the per-format queries use — no re-implementation,
+no per-row Python) and the branches union. At 100 TB each branch is an
+independent narrow pipeline over its slice; the union is plan-level, not
+a shuffle. Unknown payloads surface as ``format='unknown'`` with NULL
+text — the quality-gated fallback chain's input, not an exception.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_documentos_spark.sources import documents as D
+from etl_documentos_spark.sources import markup as M
+
+__all__ = ["detect_format", "synth_mixed_payload", "decode_any", "FORMATS"]
+
+
+def detect_format(data: bytes) -> str:
+    """Sniff the payload's format from its BYTES (never a filename).
+
+    ZIP containers are genuinely opened: ODF names itself via the stored
+    ``mimetype`` leader; OOXML is told apart by which main part exists.
+    Bare text runs a content ladder ordered most-specific-first."""
+    if data[:4] == b"PK\x03\x04":
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as z:
+                names = set(z.namelist())
+                first = z.infolist()[0]
+                if first.filename == "mimetype":
+                    mime = z.read(first).decode("ascii", "replace")
+                    return {
+                        D._ODT_MIME: "odt",
+                        D._ODS_MIME: "ods",
+                        D._ODP_MIME: "odp",
+                    }.get(mime, "unknown")
+                if "word/document.xml" in names:
+                    return "docx"
+                if "xl/workbook.xml" in names:
+                    return "xlsx"
+                if "ppt/presentation.xml" in names:
+                    return "pptx"
+        except (zipfile.BadZipFile, IndexError):
+            return "unknown"
+        return "unknown"
+    if data[:5] == b"%PDF-":
+        return "pdf"
+    if data[:5] == b"{\\rtf":
+        return "rtf"
+    import codecs
+
+    if data[:2] in (codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE):
+        return "txt"  # UTF-16 text (the sniffing reader handles the BOM)
+    text = data[:4096].decode("utf-8", "replace")
+    if data[:3] == codecs.BOM_UTF8:
+        text = text[1:]
+    low = text.lstrip().lower()
+    if low.startswith("<?xml"):
+        return "xml"
+    if low.startswith("<!doctype html") or low.startswith("<html"):
+        return "html"
+    first_line = text.split("\n", 1)[0].rstrip()
+    if first_line.startswith("= "):
+        return "adoc"
+    if first_line.startswith("# "):
+        return "md"
+    if first_line == "name,note,value":
+        return "csv"
+    if b"\x00" in data:
+        return "unknown"  # NULs without a UTF-16 BOM: binary, not text
+    try:
+        data.decode("utf-8")
+        return "txt"
+    except UnicodeDecodeError:
+        pass
+    # latin-1 decodes ANY byte string — accept the fallback only when the
+    # bytes actually look like text (the binary-vs-text heuristic every
+    # real sniffer applies)
+    sample = data[:4096]
+    printable = sum(
+        1 for b in sample if b in (9, 10, 13) or 32 <= b < 127 or b >= 160
+    )
+    return "txt" if printable >= 0.7 * max(len(sample), 1) else "unknown"
+
+
+#: dispatch table: format -> (synth, decode, n_units column, text column)
+FORMATS: dict[str, tuple] = {
+    "docx": (D.synth_docx_payload, D.decode_docx, "n_paragraphs", "text"),
+    "pdf": (D.synth_pdf_payload, D.decode_pdf, "n_lines", "text"),
+    "csv": (D.synth_csv_payload, D.decode_csv, "n_rows", None),
+    "pptx": (D.synth_pptx_payload, D.decode_pptx, "n_shapes", "text"),
+    "odt": (D.synth_odt_payload, D.decode_odt, "n_paragraphs", "text"),
+    "odp": (D.synth_odp_payload, D.decode_odp, "n_frames", "text"),
+    "html": (M.synth_html_payload, M.decode_html, "n_blocks", "text"),
+    "rtf": (M.synth_rtf_payload, M.decode_rtf, "n_paragraphs", "text"),
+    "xml": (M.synth_xml_payload, M.decode_xml, "n_records", "text"),
+    "md": (M.synth_md_payload, M.decode_md, "n_links", "text"),
+    "txt": (M.synth_txt_payload, M.decode_txt, "n_lines", "text"),
+    "adoc": (M.synth_adoc_payload, M.decode_adoc, "n_list_items", "text"),
+}
+_ORDER = list(FORMATS)  # doc_id % 12 -> format, mirrored by the oracle
+
+
+def synth_mixed_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a payload whose FORMAT rotates with ``doc_id % 12`` through
+    every dispatchable format, using each format's real synthesizer — the
+    mixed drop-box a real ingest front door actually faces."""
+    parts = []
+    for k, fmt in enumerate(_ORDER):
+        synth = FORMATS[fmt][0]
+        parts.append(synth(df.filter(F.col(id_col) % 12 == k), id_col))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sniff_format(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Add the ``format`` column via one Arrow-batched sniff pass."""
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["format"] = [
+                detect_format(bytes(v)) for v in pdf[payload_col]
+            ]
+            yield pdf
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("format", T.StringType())]
+    )
+    return df.mapInPandas(sniff, schema)
+
+
+def decode_any(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sniff + route: every row decoded by its format's REAL parser.
+
+    Output: ``(doc_id, format, n_units int, text string)`` — ``n_units``
+    is the format's primary structural count (paragraphs, records, rows,
+    shapes, ...), ``text`` the extracted text (NULL for metric-only
+    formats like CSV and for unknown payloads)."""
+    sniffed = sniff_format(df)
+    branches = []
+    for fmt, (_, decode, unit_col, text_col) in FORMATS.items():
+        sub = sniffed.filter(F.col("format") == fmt)
+        dec = decode(sub, id_col)
+        branches.append(
+            dec.select(
+                F.col(id_col),
+                F.lit(fmt).alias("format"),
+                F.col(unit_col).cast("int").alias("n_units"),
+                (
+                    F.col(text_col)
+                    if text_col
+                    else F.lit(None).cast("string")
+                ).alias("text"),
+            )
+        )
+    branches.append(
+        sniffed.filter(~F.col("format").isin(*FORMATS)).select(
+            F.col(id_col),
+            F.col("format"),
+            F.lit(None).cast("int").alias("n_units"),
+            F.lit(None).cast("string").alias("text"),
+        )
+    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

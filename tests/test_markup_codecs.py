@@ -256,3 +256,73 @@ def test_odp_roundtrip(spark):
         assert r["text"] == want, i
         assert r["n_pages"] == len(counts)
         assert r["n_frames"] == sum(counts)
+
+
+def test_detect_format_sniffs_bytes(spark):
+    """Magic numbers + real container inspection + text ladder; junk and
+    wrong containers degrade to 'unknown', never raise."""
+    from etl_documentos_spark.sources.dispatch import detect_format
+
+    one = spark.createDataFrame([(2,)], "doc_id long")
+
+    def payload(fn):
+        return bytes(fn(one).collect()[0]["payload"])
+
+    assert detect_format(payload(D.synth_docx_payload)) == "docx"
+    assert detect_format(payload(D.synth_xlsx_payload)) == "xlsx"
+    assert detect_format(payload(D.synth_pptx_payload)) == "pptx"
+    assert detect_format(payload(D.synth_odt_payload)) == "odt"
+    assert detect_format(payload(D.synth_ods_payload)) == "ods"
+    assert detect_format(payload(D.synth_odp_payload)) == "odp"
+    assert detect_format(payload(D.synth_pdf_payload)) == "pdf"
+    assert detect_format(payload(D.synth_csv_payload)) == "csv"
+    assert detect_format(payload(M.synth_html_payload)) == "html"
+    assert detect_format(payload(M.synth_rtf_payload)) == "rtf"
+    assert detect_format(payload(M.synth_xml_payload)) == "xml"
+    assert detect_format(payload(M.synth_md_payload)) == "md"
+    assert detect_format(payload(M.synth_adoc_payload)) == "adoc"
+    # txt rotates encodings; UTF-16 sniffs via BOM
+    lone = spark.createDataFrame([(1,)], "doc_id long")
+    assert detect_format(
+        bytes(M.synth_txt_payload(lone).collect()[0]["payload"])
+    ) == "txt"
+    # degradation, not exceptions
+    assert detect_format(b"\x00\x01\x02\xff\xfe\x00garbage") == "unknown"
+    assert detect_format(b"PK\x03\x04notazip") == "unknown"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("random.bin", "x")
+    assert detect_format(buf.getvalue()) == "unknown"
+    assert detect_format(b"plain words, nothing else") == "txt"
+
+
+def test_decode_any_routes_every_format(spark):
+    """Mixed drop-box: decode_any sniffs + routes each payload to its real
+    decoder; formats, counts and text all match the per-format rules, and
+    an unknown payload surfaces as a NULL row instead of failing."""
+    from etl_documentos_spark.sources import dispatch as X
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(24)], "doc_id long"
+    )
+    res = {
+        r["doc_id"]: r
+        for r in X.decode_any(X.synth_mixed_payload(ids)).collect()
+    }
+    assert len(res) == 24
+    for i, r in res.items():
+        assert r["format"] == X._ORDER[i % 12], (i, r["format"])
+        assert r["n_units"] is not None and r["n_units"] >= 1
+    # spot-check one routed text per family
+    assert res[12]["text"].startswith("Paragraph 0 of document 12.")
+    assert res[7]["text"].startswith("Parágrafo 0 de 7")
+    assert res[2]["text"] is None  # csv is metric-only
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"\x00\xff\x01garbage"))],
+        "doc_id long, payload binary",
+    )
+    out = X.decode_any(junk).collect()
+    assert len(out) == 1 and out[0]["format"] == "unknown"
+    assert out[0]["n_units"] is None and out[0]["text"] is None
