@@ -42,12 +42,12 @@ def _build(spark, root, zorder):
         physical_schema(TRANSCRIPTS),
         num_buckets=2,
         properties={
-            "write.max-records-per-file": "200",
+            "write.max-records-per-file": "150",
             "stats.cols": "conv_id,ts",
         },
     )
     ch = datagen.change_stream(
-        spark, n_events=6_000, n_convs=40, turns_per_conv=50
+        spark, n_events=12_000, n_convs=40, turns_per_conv=80
     )
     merge_into(spark, table, ch)
     compact(spark, table, zorder=zorder)
@@ -133,13 +133,21 @@ def test_time_slice_prunes_only_under_zorder(spark, tables):
 
 
 def test_point_lookup_still_prunes_under_zorder(spark, tables):
+    """Through the REAL read path (bucket pruning + file stats): z-order
+    trades the ~1-file point lookup for partial pruning on both
+    dimensions — the stats must still skip files inside the key's bucket,
+    and bucket+stats together must skip most of the table."""
+    from etl_documentos_spark.operators.merge import bucket_of
+
     _, z_ordered = tables
     total = _file_count(z_ordered.current_snapshot)
+    b = bucket_of(spark, z_ordered, "conv_7")
+    bucket_files = len(z_ordered.current_snapshot.files.get(str(b), []))
     kept = len(
         z_ordered.scan(
-            spark, prune={"conv_id": ("conv_7", "conv_7")}
+            spark, buckets=[b], prune={"conv_id": ("conv_7", "conv_7")}
         ).inputFiles()
     )
-    # z-order trades the ~1-file point lookup for partial pruning on both
-    # dimensions; it must still skip a real share of files
-    assert kept <= 0.75 * total, (kept, total)
+    assert bucket_files >= 8, "fixture should emit several files per bucket"
+    assert kept < bucket_files, (kept, bucket_files)
+    assert kept <= 0.5 * total, (kept, total)
