@@ -2424,6 +2424,96 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_rate_limit_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiter as a REAL stateful stream
+    (``rate_limit_stream``, the second ``applyInPandasWithState``
+    operator): the ts-ordered change stream replays through three
+    mtime-ordered files (state genuinely carries the window tail across
+    micro-batches), and every event whose causal 1-day window count
+    exceeds the limit emits one violation row with its exact count. The
+    oracle is the closed-form causal window count in SQL; emission is in
+    the DATA path, so completeness needs no timer batches.
+
+    Reference parity: the middleware's per-client rate-limit state
+    (/root/reference/app/api/middleware.py:69-97), upgraded from fixed
+    minute windows to sliding event-time windows."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from etl_documentos_spark.streaming.stateful import rate_limit_stream
+
+    ch = (
+        _derive_changes(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .orderBy("ts", "lsn")
+    )
+    root = tempfile.mkdtemp(prefix="ratelimit_q_")
+    try:
+        src_dir = os.path.join(root, "ev")
+        os.makedirs(src_dir)
+        stamp = time.time() - 60
+        thirds = ch.count() // 3
+        ranked = ch.withColumn(
+            "_rk", F.monotonically_increasing_id()
+        )
+        for k in range(3):
+            part = ranked.filter(
+                (F.col("_rk") >= k * thirds)
+                & (F.col("_rk") < ((k + 1) * thirds if k < 2 else 1 << 62))
+            ).drop("_rk")
+            tmp = os.path.join(root, f"stage_{k}")
+            part.coalesce(1).write.parquet(tmp)
+            pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"e{k}.parquet")
+            shutil.move(os.path.join(tmp, pf), dst)
+            os.utime(dst, (stamp + k, stamp + k))
+
+        src = (
+            spark.readStream.schema(ch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = os.path.join(root, "out")
+        q = (
+            rate_limit_stream(
+                src, limit=10, window_seconds=86400, watermark="5 minutes"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return _detached(
+            spark.read.parquet(out).select(
+                "conv_id", "ts", "lsn", "n_in_window"
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_RATE_LIMIT_SLIDING_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    c AS (
+      SELECT conv_id, ts, lsn,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts, lsn)
+             - count(*) OVER (PARTITION BY conv_id ORDER BY ts
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND INTERVAL 1 DAY PRECEDING)
+               AS n_in_window
+      FROM ch)
+    SELECT conv_id, ts, lsn, n_in_window
+    FROM c WHERE n_in_window > 10
+"""
+
+
 _STATEFUL_SESSIONS_SQL = f"""
     WITH ch AS ({_DERIVE_SQL}),
     brk AS (
@@ -4237,6 +4327,7 @@ QUERIES: dict[str, Query] = {
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
     "stateful_sessions": q_stateful_sessions,
+    "rate_limit_sliding": q_rate_limit_sliding,
     "zorder_timeslice": q_zorder_timeslice,
     "cdc_export_wire": q_cdc_export_wire,
     "sql_lifecycle": q_sql_lifecycle,
@@ -4371,6 +4462,7 @@ ORACLES: dict[str, str] = {
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,
+    "rate_limit_sliding": _RATE_LIMIT_SLIDING_SQL,
     "zorder_timeslice": _ZORDER_SQL,
     "cdc_export_wire": _REPLICATION_SQL,
     "sql_lifecycle": _SQL_LIFECYCLE_SQL,

@@ -207,3 +207,121 @@ def track_conversations(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate limiter (second stateful operator)
+# ---------------------------------------------------------------------------
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("n_in_window", T.LongType(), False),
+    ]
+)
+
+RATE_STATE_SCHEMA = T.StructType(
+    [T.StructField("recent_us", T.ArrayType(T.LongType()), False)]
+)
+
+
+def rate_limit_stream(
+    src: DataFrame,
+    limit: int,
+    window_seconds: int,
+    watermark: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation SLIDING-window rate limiting as a stateful stream.
+
+    The reference's middleware keeps an in-memory per-client counter over
+    fixed minute windows (/root/reference/app/api/middleware.py:69-97);
+    this is the stronger sliding form over event time: an event VIOLATES
+    when more than ``limit`` events of its key fall in
+    ``(ts - window, ts]`` — the count every fixed-window limiter
+    under-approximates at window boundaries. Counting is CAUSAL: each
+    event counts the window events at-or-before itself in ``(ts, lsn)``
+    order (a limiter cannot see the future; pure RANGE-frame semantics
+    would retro-count same-ts peers that arrive in a later micro-batch,
+    making the emitted count depend on batching). Emission happens in the
+    DATA path (each violating event emits exactly one row with its exact
+    causal count), so completeness needs no timer batches; the event-time
+    timeout only EVICTS state older than ``watermark - window``, which
+    can no longer affect any admissible future event — state per key is
+    O(events in window), not O(history).
+
+    Batch oracle: ``row_number() OVER (ORDER BY ts, lsn)`` minus the
+    count of events with ``ts <= t - window`` (RANGE UNBOUNDED PRECEDING
+    TO window PRECEDING) — the pytest and the driver row pin equality
+    against it. Exactness requires per-key arrival in ``(ts, lsn)`` order
+    across batches (the binlog contract); within a batch the operator
+    sorts.
+    """
+    import numpy as np
+
+    window_us = int(window_seconds) * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        keep_from = wm_us - window_us
+
+        if state.hasTimedOut:
+            (recent,) = state.get
+            recent = [t for t in recent if t >= keep_from]
+            if recent:
+                state.update((recent,))
+                state.setTimeoutTimestamp(
+                    max((max(recent) + window_us) // 1000,
+                        state.getCurrentWatermarkMs() + 1)
+                )
+            else:
+                state.remove()
+            return
+
+        df = pd.concat(
+            [p[[ts_col, "lsn"]] for p in pdf_iter], ignore_index=True
+        )
+        df["_t"] = df[ts_col].astype("datetime64[us]").astype("int64")
+        df = df.sort_values(["_t", "lsn"], ignore_index=True)
+        old = np.array(
+            state.get[0] if state.exists else [], dtype="int64"
+        )
+        new = df["_t"].to_numpy()
+        # causal count per NEW event: prior-batch events in the window
+        # plus this batch's events at-or-before it in (ts, lsn) order
+        old_lo = np.searchsorted(old, new - window_us, side="right")
+        old_hi = np.searchsorted(old, new, side="right")
+        new_lo = np.searchsorted(new, new - window_us, side="right")
+        counts = (old_hi - old_lo) + (np.arange(len(new)) - new_lo + 1)
+        mask = counts > int(limit)
+
+        merged = np.sort(np.concatenate([old, new]))
+        recent = [int(t) for t in merged if t >= keep_from]
+        state.update((recent,))
+        state.setTimeoutTimestamp(
+            max((int(merged.max()) + window_us) // 1000,
+                state.getCurrentWatermarkMs() + 1)
+        )
+        if mask.any():
+            hit = df.loc[mask.nonzero()[0]]
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]] * int(mask.sum()),
+                    "ts": hit[ts_col].values,
+                    "lsn": hit["lsn"].values,
+                    "n_in_window": counts[mask].astype("int64"),
+                }
+            )
+
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            VIOLATION_SCHEMA,
+            RATE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -135,3 +135,71 @@ def test_stateful_state_survives_restart(spark, tmp_path):
     }
     for k, v in emitted.items():
         assert truth[k] == v, k
+
+
+def test_rate_limit_stream_matches_causal_window_oracle(spark, tmp_path):
+    """Sliding-window rate limiter: streamed violations equal the batch
+    CAUSAL-window oracle exactly — every event whose (ts - window, ts]
+    at-or-before count (in (ts, lsn) order) exceeds the limit emits one
+    row with the exact count, across micro-batch boundaries (state
+    carries the window tail)."""
+    from pyspark.sql import Window
+
+    from etl_documentos_spark.streaming.stateful import rate_limit_stream
+
+    limit, window_s = 3, 3600
+    stream = datagen.change_stream(spark, n_events=2000, events_per_epoch=400)
+    # a binlog tail is log-ordered; re-epoch by event time so the file
+    # stream replays in ts order (no artificial late-drops)
+    ordered = stream.orderBy("ts", "lsn").coalesce(1).drop("epoch")
+    ordered = ordered.withColumn(
+        "epoch", (F.monotonically_increasing_id() / 400).cast("long")
+    )
+    path = str(tmp_path / "ev")
+    datagen.write_epochs(ordered, path, files_per_epoch=1)
+
+    src = (
+        spark.readStream.schema(ordered.drop("epoch").schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        rate_limit_stream(src, limit=limit, window_seconds=window_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_violations")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["conv_id"], r["ts"], r["lsn"], r["n_in_window"])
+        for r in spark.sql("SELECT * FROM rate_violations").collect()
+    )
+    # causal oracle: events at-or-before in (ts, lsn) order, minus those
+    # at or beyond one window back
+    w_rows = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "lsn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_older = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -(window_s * 1_000_000))
+    )
+    oracle = sorted(
+        (r["conv_id"], r["ts"], r["lsn"], r["n"])
+        for r in stream.withColumn(
+            "n", F.count("*").over(w_rows) - F.count("*").over(w_older)
+        )
+        .filter(F.col("n") > limit)
+        .collect()
+    )
+    assert got == oracle
+    assert len(got) > 0, "fixture should produce violations"
