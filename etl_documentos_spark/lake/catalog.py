@@ -340,30 +340,45 @@ def run_ddl(
                 )
             raise FileExistsError(f"table {name!r} already exists")
         # the SELECT sees every catalog table (snapshot-isolated views),
-        # plus any session temp views the caller registered
-        for n in catalog.list_tables():
-            lake_sql.current_view(
-                spark, catalog.load_table(n), n.replace(".", "_")
+        # plus any session temp views the caller registered. Same
+        # collision rule as Catalog.sql (two catalog names folding to one
+        # view is an error); the views registered here are dropped once
+        # the statement has executed, so the session is not left holding
+        # stale snapshot views (the read path re-registers per statement).
+        registered: list[str] = []
+        try:
+            for n in catalog.list_tables():
+                view = n.replace(".", "_")
+                if view in registered:
+                    raise ValueError(
+                        f"view name collision: two catalog tables map to "
+                        f"{view!r} after dot->underscore folding "
+                        "(rename one)"
+                    )
+                lake_sql.current_view(spark, catalog.load_table(n), view)
+                registered.append(view)
+            rows = spark.sql(select)
+            names = {f.name for f in rows.schema.fields}
+            missing = {*KEY_COLS, "ts"} - names
+            if missing:
+                raise ValueError(
+                    f"CTAS SELECT must produce the key columns + ts "
+                    f"(missing {sorted(missing)}) — every catalog table "
+                    "is a keyed, versioned lake table"
+                )
+            if bucket_col is None:
+                bucket_col = KEY_COLS[0]
+            table = catalog.create_table(
+                name,
+                physical_schema(rows.schema),
+                num_buckets=num_buckets,
+                bucket_col=bucket_col,
+                properties=props or None,
             )
-        rows = spark.sql(select)
-        names = {f.name for f in rows.schema.fields}
-        missing = {*KEY_COLS, "ts"} - names
-        if missing:
-            raise ValueError(
-                f"CTAS SELECT must produce the key columns + ts "
-                f"(missing {sorted(missing)}) — every catalog table is a "
-                "keyed, versioned lake table"
-            )
-        if bucket_col is None:
-            bucket_col = KEY_COLS[0]
-        table = catalog.create_table(
-            name,
-            physical_schema(rows.schema),
-            num_buckets=num_buckets,
-            bucket_col=bucket_col,
-            properties=props or None,
-        )
-        n_rows = dml.insert_into(spark, table, rows)
+            n_rows = dml.insert_into(spark, table, rows)
+        finally:
+            for v in registered:
+                spark.catalog.dropTempView(v)
         return spark.createDataFrame(
             [(name, "create", True, n_rows)],
             "table string, operation string, created boolean, rows long",

@@ -303,8 +303,18 @@ def merge_when(
         # enters STRICTLY above the fence (ts bumped to fence + 1µs when
         # needed — the same engine-managed version tick matched clauses
         # already apply to ts).
+        # The fence is computed over the SOURCE'S keys only (left-semi
+        # before the LWW window), so its cost scales with the statement,
+        # not the table — a 3-key MERGE against a 10^10-row table must
+        # not pay a whole-table window pass.
         winners = lww_dedup(
-            table.scan(spark), key_cols=KEY_COLS, order_cols=("ts", "_lsn")
+            table.scan(spark).join(
+                source.select(*KEY_COLS).dropDuplicates(),
+                on=list(KEY_COLS),
+                how="left_semi",
+            ),
+            key_cols=KEY_COLS,
+            order_cols=("ts", "_lsn"),
         )
         fence = winners.filter(
             F.coalesce(F.col("_deleted"), F.lit(False))

@@ -2455,8 +2455,13 @@ def q_rate_limit_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src_dir)
         stamp = time.time() - 60
         thirds = ch.count() // 3
+        # row_number over the global (ts, lsn) order — NOT
+        # monotonically_increasing_id, whose values are partition-strided
+        # (p << 33) and would silently collapse the three-file split into
+        # ~1 micro-batch whenever partition 0 is short. Single-partition
+        # window is fine here: this is test-stream staging at sf<=0.1.
         ranked = ch.withColumn(
-            "_rk", F.monotonically_increasing_id()
+            "_rk", F.row_number().over(Window.orderBy("ts", "lsn")) - 1
         )
         for k in range(3):
             part = ranked.filter(
@@ -3309,7 +3314,7 @@ _ODP_SQL = """
 
 def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Docling-dispatch analogue end-to-end: payload formats rotate
-    with ``doc_id % 12`` through every dispatchable real format, the
+    with ``doc_id % 14`` through every dispatchable real format, the
     dispatcher sniffs the ACTUAL BYTES (magic numbers; ZIP containers
     opened to read the ODF mimetype leader / the OOXML main part; a
     content ladder for bare text) and routes each row to its real
@@ -3327,13 +3332,14 @@ def q_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISPATCH_SQL = """
     SELECT doc_id,
-           CASE doc_id % 12
+           CASE doc_id % 14
              WHEN 0 THEN 'docx' WHEN 1 THEN 'pdf' WHEN 2 THEN 'csv'
              WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'odp'
              WHEN 6 THEN 'html' WHEN 7 THEN 'rtf' WHEN 8 THEN 'xml'
-             WHEN 9 THEN 'md' WHEN 10 THEN 'txt' ELSE 'adoc'
+             WHEN 9 THEN 'md' WHEN 10 THEN 'txt' WHEN 11 THEN 'adoc'
+             WHEN 12 THEN 'xlsx' ELSE 'ods'
            END AS format,
-           CAST(CASE doc_id % 12
+           CAST(CASE doc_id % 14
              WHEN 0 THEN 1 + doc_id % 5
              WHEN 1 THEN 1 + doc_id % 4
              WHEN 2 THEN 2 + doc_id % 4
@@ -3347,9 +3353,11 @@ _DISPATCH_SQL = """
              WHEN 8 THEN 1 + doc_id % 4
              WHEN 9 THEN 1 + doc_id % 3
              WHEN 10 THEN 1 + doc_id % 3
+             WHEN 11 THEN 1 + doc_id % 3
+             WHEN 12 THEN 2 + doc_id % 4
              ELSE 1 + doc_id % 3
            END AS INT) AS n_units,
-           CASE doc_id % 12
+           CASE doc_id % 14
              WHEN 0 THEN array_to_string(list_transform(
                  generate_series(0, doc_id % 5),
                  j -> 'Paragraph ' || j || ' of document ' || doc_id || '.'),
@@ -3391,13 +3399,14 @@ _DISPATCH_SQL = """
              WHEN 10 THEN array_to_string(list_transform(
                  generate_series(0, doc_id % 3),
                  j -> 'linha ' || j || ' çedilha ' || doc_id), chr(10))
-             ELSE 'Documento ' || doc_id || chr(10) ||
+             WHEN 11 THEN 'Documento ' || doc_id || chr(10) ||
                  'Secao ' || (doc_id % 7) || chr(10) ||
                  'Texto forte' || doc_id || ' e mono' || doc_id
                  || ' aqui.' || chr(10) ||
                  array_to_string(list_transform(
                      generate_series(0, doc_id % 3),
                      k -> 'item ' || k || ' de ' || doc_id), chr(10))
+             ELSE NULL
            END AS text
     FROM documents
 """

@@ -118,18 +118,25 @@ FORMATS: dict[str, tuple] = {
     "md": (M.synth_md_payload, M.decode_md, "n_links", "text"),
     "txt": (M.synth_txt_payload, M.decode_txt, "n_lines", "text"),
     "adoc": (M.synth_adoc_payload, M.decode_adoc, "n_list_items", "text"),
+    # metric-only spreadsheet formats (text=None, like csv): every format
+    # detect_format can return has a dispatch row, so a known container
+    # never falls through to the unknown branch
+    "xlsx": (D.synth_xlsx_payload, D.decode_xlsx, "n_rows", None),
+    "ods": (D.synth_ods_payload, D.decode_ods, "n_rows", None),
 }
-_ORDER = list(FORMATS)  # doc_id % 12 -> format, mirrored by the oracle
+_ORDER = list(FORMATS)  # doc_id % len(FORMATS) -> format, mirrored by oracle
 
 
 def synth_mixed_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a payload whose FORMAT rotates with ``doc_id % 12`` through
-    every dispatchable format, using each format's real synthesizer — the
-    mixed drop-box a real ingest front door actually faces."""
+    """Attach a payload whose FORMAT rotates with ``doc_id % len(FORMATS)``
+    through every dispatchable format, using each format's real
+    synthesizer — the mixed drop-box a real ingest front door faces."""
     parts = []
     for k, fmt in enumerate(_ORDER):
         synth = FORMATS[fmt][0]
-        parts.append(synth(df.filter(F.col(id_col) % 12 == k), id_col))
+        parts.append(
+            synth(df.filter(F.col(id_col) % len(_ORDER) == k), id_col)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

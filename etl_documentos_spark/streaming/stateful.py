@@ -169,6 +169,16 @@ def track_conversations(
             ignore_index=True,
         )
         df["_t"] = df[ts_col].astype("datetime64[us]").astype("int64")
+        # Spark only drops below-watermark rows for BUILT-IN aggregations;
+        # applyInPandasWithState sees them. Drop them here to match the
+        # built-in session_window's late-data semantics — a late event
+        # must not re-open (and re-emit) a session already closed by an
+        # earlier timeout.
+        df = df[df["_t"] >= wm_us]
+        if df.empty:
+            if state.exists:  # nothing new; keep state + armed timeout
+                arm_or_finish(state, from_state(state.get))
+            return
         df["_del"] = (df["op"] == "delete").astype("int64")
         df = df.sort_values(["_t", "lsn"], ignore_index=True)
         sid = (df["_t"].diff() > gap_us).cumsum()  # inclusive boundary
@@ -283,6 +293,12 @@ def rate_limit_stream(
             [p[[ts_col, "lsn"]] for p in pdf_iter], ignore_index=True
         )
         df["_t"] = df[ts_col].astype("datetime64[us]").astype("int64")
+        # drop below-watermark rows (applyInPandasWithState does not):
+        # a late event must neither be counted against already-evicted
+        # state nor enter state the eviction timer has already passed
+        df = df[df["_t"] >= wm_us]
+        if df.empty:
+            return
         df = df.sort_values(["_t", "lsn"], ignore_index=True)
         old = np.array(
             state.get[0] if state.exists else [], dtype="int64"

@@ -303,21 +303,24 @@ def test_decode_any_routes_every_format(spark):
     from etl_documentos_spark.sources import dispatch as X
     from pyspark.sql import functions as F
 
+    n = 2 * len(X._ORDER)  # two full format rotations
     ids = spark.createDataFrame(
-        [(i,) for i in range(24)], "doc_id long"
+        [(i,) for i in range(n)], "doc_id long"
     )
     res = {
         r["doc_id"]: r
         for r in X.decode_any(X.synth_mixed_payload(ids)).collect()
     }
-    assert len(res) == 24
+    assert len(res) == n
     for i, r in res.items():
-        assert r["format"] == X._ORDER[i % 12], (i, r["format"])
+        assert r["format"] == X._ORDER[i % len(X._ORDER)], (i, r["format"])
         assert r["n_units"] is not None and r["n_units"] >= 1
     # spot-check one routed text per family
-    assert res[12]["text"].startswith("Paragraph 0 of document 12.")
+    assert res[14]["text"].startswith("Paragraph 0 of document 14.")
     assert res[7]["text"].startswith("Parágrafo 0 de 7")
     assert res[2]["text"] is None  # csv is metric-only
+    assert res[12]["format"] == "xlsx" and res[12]["text"] is None
+    assert res[13]["format"] == "ods" and res[13]["text"] is None
 
     junk = spark.createDataFrame(
         [(99, bytearray(b"\x00\xff\x01garbage"))],

@@ -203,3 +203,132 @@ def test_rate_limit_stream_matches_causal_window_oracle(spark, tmp_path):
     )
     assert got == oracle
     assert len(got) > 0, "fixture should produce violations"
+
+def _stage_files(spark, tmp_path, batches, schema):
+    """Write each batch of rows as one parquet file, mtime-ordered so the
+    file stream replays them as successive micro-batches."""
+    import os
+    import shutil
+    import time
+
+    src_dir = str(tmp_path / "late_ev")
+    os.makedirs(src_dir)
+    stamp = time.time() - 60
+    for k, rows in enumerate(batches):
+        tmp = str(tmp_path / f"stage_{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"e{k}.parquet")
+        shutil.move(os.path.join(tmp, pf), dst)
+        os.utime(dst, (stamp + k, stamp + k))
+    return src_dir
+
+
+def test_stateful_sessions_drop_late_events(spark, tmp_path):
+    """applyInPandasWithState sees below-watermark rows (Spark only drops
+    them for built-in aggregations); the operator must drop them itself,
+    or a late event re-opens a session whose close was already scheduled
+    and the session emits with the late event merged in — diverging from
+    the built-in session_window. Pin: the late event changes nothing."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(conv, sec, lsn, op="insert", role="user"):
+        return (conv, t0 + dt.timedelta(seconds=sec), lsn, op, role)
+
+    schema = (
+        "conv_id string, ts timestamp, lsn long, op string, role string"
+    )
+    batches = [
+        # session for "a": two events; sentinel advances the watermark
+        # far past the session close (gap=120s, watermark hold=5min)
+        [ev("a", 0, 1), ev("a", 10, 2), ev("wm1", 2400, 3)],
+        # LATE event for "a" (ts far below the watermark) + sentinel
+        [ev("a", 30, 4, op="delete"), ev("wm2", 2460, 5)],
+        # sentinel with no data on "a": fires "a"'s timeout -> emission
+        [ev("wm3", 3000, 6)],
+    ]
+    src_dir = _stage_files(spark, tmp_path, batches, schema)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        track_conversations(src, gap_seconds=120, watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [
+        r
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+        if r["conv_id"] == "a"
+    ]
+    assert len(rows) == 1, rows  # emitted exactly once, never re-opened
+    r = rows[0]
+    # the late delete at +30s is NOT merged: bounds and counts are those
+    # of the two on-time events only
+    assert r["n_events"] == 2 and r["n_deletes"] == 0
+    assert r["session_last"] == t0 + dt.timedelta(seconds=10)
+
+
+def test_rate_limit_stream_drops_late_events(spark, tmp_path):
+    """A below-watermark event must neither emit a violation nor enter
+    (already-evicted) window state."""
+    import datetime as dt
+
+    from etl_documentos_spark.streaming.stateful import rate_limit_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(conv, sec, lsn):
+        return (conv, t0 + dt.timedelta(seconds=sec), lsn)
+
+    schema = "conv_id string, ts timestamp, lsn long"
+    batches = [
+        # two on-time events for "a" -> one violation (limit=1), then a
+        # sentinel pushing the watermark far ahead
+        [ev("a", 0, 1), ev("a", 10, 2), ev("wm1", 2400, 3)],
+        # LATE event for "a": without the drop it would count against
+        # state and emit a second violation with n=3
+        [ev("a", 20, 4), ev("wm2", 2460, 5)],
+    ]
+    src_dir = _stage_files(spark, tmp_path, batches, schema)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        rate_limit_stream(
+            src, limit=1, window_seconds=3600, watermark="5 minutes"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_violations")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r["ts"], r["lsn"], r["n_in_window"])
+        for r in spark.sql(
+            "SELECT * FROM late_violations WHERE conv_id = 'a'"
+        ).collect()
+    ]
+    assert got == [(t0 + dt.timedelta(seconds=10), 2, 2)]
