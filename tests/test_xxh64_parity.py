@@ -1,0 +1,112 @@
+"""Bit-for-bit parity of functions.xxh64 with Spark's ``F.xxhash64``.
+
+The Arrow-direct bulk write path (streaming/apply.py) computes bucket ids
+in numpy so writer tasks never ship rows through the JVM; files it writes
+MUST land exactly where ``LakeTable.bucket_expr`` (JVM xxhash64) would put
+them or pruned reads miss data. These tests pin that equivalence over
+adversarial inputs: empty strings, multi-byte UTF-8, lengths straddling
+every XXH64 block boundary (4/8/32-byte paths), int64 extremes, and the
+int32 hashInt path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from etl_documentos_spark.functions.xxh64 import (
+    spark_bucket,
+    xxh64_ints,
+    xxh64_longs,
+    xxh64_strings,
+)
+
+
+def _spark_hashes(spark, values, dtype):
+    df = spark.createDataFrame([(v,) for v in values], schema=f"v {dtype}")
+    return [r[0] for r in df.select(F.xxhash64("v").alias("h")).collect()]
+
+
+STRINGS = (
+    [""]
+    + ["a" * n for n in range(1, 40)]  # every boundary 1..39: covers <4, 4..7, 8.., 32+
+    + ["café", "你好世界", "conv-000123", "\U0001f600" * 9]
+    + ["x" * 64, "y" * 65, "z" * 1000]
+)
+
+
+def test_strings_parity(spark):
+    got = xxh64_strings(pa.array(STRINGS))
+    want = _spark_hashes(spark, STRINGS, "string")
+    assert got.tolist() == want
+
+
+LONGS = [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789012345, -987654321]
+
+
+def test_longs_parity(spark):
+    got = xxh64_longs(np.array(LONGS, np.int64))
+    want = _spark_hashes(spark, LONGS, "long")
+    assert got.tolist() == want
+
+
+INTS = [0, 1, -1, 42, 2**31 - 1, -(2**31), 65536, -65536]
+
+
+def test_ints_parity(spark):
+    got = xxh64_ints(np.array(INTS, np.int32))
+    want = _spark_hashes(spark, INTS, "int")
+    assert got.tolist() == want
+
+
+def test_null_strings_keep_seed(spark):
+    arr = pa.array(["a", None, "b"])
+    got = xxh64_strings(arr)
+    df = spark.createDataFrame([("a",), (None,), ("b",)], schema="v string")
+    want = [r[0] for r in df.select(F.xxhash64("v").alias("h")).collect()]
+    assert got.tolist() == want
+
+
+def test_large_string_offsets():
+    # large_string (int64 offsets) and sliced arrays take the same path
+    base = pa.array(STRINGS, type=pa.large_string())
+    assert xxh64_strings(base).tolist() == xxh64_strings(pa.array(STRINGS)).tolist()
+    sl = pa.array(STRINGS).slice(3, 10)
+    assert xxh64_strings(sl).tolist() == xxh64_strings(pa.array(STRINGS[3:13])).tolist()
+
+
+@pytest.mark.parametrize("split", [None, [0, 3]])
+def test_bucket_parity_vs_bucket_expr(spark, split, tmp_path):
+    """spark_bucket == LakeTable.bucket_expr for string keys, split or not."""
+    from pyspark.sql import types as T
+
+    from etl_documentos_spark.lake.table import LakeTable
+
+    keys = [f"conv-{i:06d}" for i in range(500)] + ["", "café", "你好"]
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        schema=T.StructType(
+            [T.StructField("conv_id", T.StringType()), T.StructField("v", T.LongType())]
+        ),
+        bucket_col="conv_id",
+        num_buckets=8,
+    )
+    if split:
+        t._meta["partition_spec"]["split_buckets"] = sorted(split)
+    df = spark.createDataFrame([(k, 0) for k in keys], schema="conv_id string, v long")
+    want = [r[0] for r in df.select(t.bucket_expr().alias("b")).collect()]
+    got = spark_bucket(pa.array(keys), t.num_buckets, split_buckets=split)
+    assert got.tolist() == want
+
+
+def test_randomized_string_parity(spark):
+    rng = np.random.default_rng(7)
+    vals = [
+        "".join(chr(int(c)) for c in rng.integers(32, 0x2FFF, size=int(n)))
+        for n in rng.integers(0, 120, size=200)
+    ]
+    got = xxh64_strings(pa.array(vals))
+    want = _spark_hashes(spark, vals, "string")
+    assert got.tolist() == want
