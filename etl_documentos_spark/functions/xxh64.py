@@ -73,12 +73,22 @@ def _fmix(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def _seed_arr(seed, n: int) -> np.ndarray:
+    """Seed as a (n,) uint64 lane array. Accepts a scalar (the common
+    single-column case) or a per-row array (the CHAINED multi-column case:
+    Spark's ``xxhash64(c1, c2, ...)`` feeds each column's hash in as the
+    next column's seed, so rows diverge after the first column)."""
+    sd = np.asarray(seed)
+    if sd.ndim == 0:
+        return np.full(n, np.uint64(int(sd)), np.uint64)
+    return np.ascontiguousarray(sd, np.uint64).view(np.uint64).reshape(n)
+
+
 @_wrapping
-def xxh64_longs(vals: np.ndarray, seed: int = 42) -> np.ndarray:
+def xxh64_longs(vals: np.ndarray, seed=42) -> np.ndarray:
     """Spark ``xxhash64`` of a LongType column (XXH64.hashLong). int64."""
     v = np.asarray(vals).astype(np.int64).view(np.uint64)
-    acc = np.uint64(int(seed)) + _P5 + np.uint64(8)
-    acc = np.full(v.shape, acc, np.uint64)
+    acc = _seed_arr(seed, v.shape[0]) + (_P5 + np.uint64(8))
     # one 8-byte block: same k1-round as the streaming path
     acc = acc ^ _round(np.zeros_like(v), v)
     acc = _rotl(acc, 27) * _P1 + _P4
@@ -86,7 +96,7 @@ def xxh64_longs(vals: np.ndarray, seed: int = 42) -> np.ndarray:
 
 
 @_wrapping
-def xxh64_ints(vals: np.ndarray, seed: int = 42) -> np.ndarray:
+def xxh64_ints(vals: np.ndarray, seed=42) -> np.ndarray:
     """Spark ``xxhash64`` of a Byte/Short/IntegerType column
     (XXH64.hashInt: the value as 4 little-endian bytes, zero-extended).
     Returns int64."""
@@ -96,8 +106,7 @@ def xxh64_ints(vals: np.ndarray, seed: int = 42) -> np.ndarray:
         .view(np.uint32)
         .astype(np.uint64)
     )
-    acc = np.uint64(int(seed)) + _P5 + np.uint64(4)
-    acc = np.full(v.shape, acc, np.uint64)
+    acc = _seed_arr(seed, v.shape[0]) + (_P5 + np.uint64(4))
     acc = acc ^ (v * _P1)
     acc = _rotl(acc, 23) * _P2 + _P3
     return _fmix(acc).view(np.int64)
@@ -136,15 +145,17 @@ def _le_words(mat: np.ndarray, start: int, nbytes: int) -> np.ndarray:
 
 
 @_wrapping
-def _xxh64_bytes_fixed(mat: np.ndarray, seed: np.uint64) -> np.ndarray:
-    """XXH64 over n byte-rows of identical length L (``mat``: (n, L) uint8)."""
+def _xxh64_bytes_fixed(mat: np.ndarray, seed) -> np.ndarray:
+    """XXH64 over n byte-rows of identical length L (``mat``: (n, L) uint8).
+    ``seed``: scalar or per-row (n,) uint64 lanes."""
     n, length = mat.shape
+    sd = _seed_arr(seed, n)
     i = 0
     if length >= 32:
-        v1 = np.full(n, seed + _P1 + _P2, np.uint64)
-        v2 = np.full(n, seed + _P2, np.uint64)
-        v3 = np.full(n, seed, np.uint64)
-        v4 = np.full(n, seed - _P1, np.uint64)
+        v1 = sd + (_P1 + _P2)
+        v2 = sd + _P2
+        v3 = sd.copy()
+        v4 = sd - _P1
         while i + 32 <= length:
             v1 = _round(v1, _le_words(mat, i, 8))
             v2 = _round(v2, _le_words(mat, i + 8, 8))
@@ -157,7 +168,7 @@ def _xxh64_bytes_fixed(mat: np.ndarray, seed: np.uint64) -> np.ndarray:
         for v in (v1, v2, v3, v4):
             acc = (acc ^ _round(np.zeros(n, np.uint64), v)) * _P1 + _P4
     else:
-        acc = np.full(n, seed + _P5, np.uint64)
+        acc = sd + _P5
     acc = acc + np.uint64(length)
     while i + 8 <= length:
         acc = acc ^ _round(np.zeros(n, np.uint64), _le_words(mat, i, 8))
@@ -175,10 +186,11 @@ def _xxh64_bytes_fixed(mat: np.ndarray, seed: np.uint64) -> np.ndarray:
 
 
 @_wrapping
-def xxh64_strings(arr, seed: int = 42) -> np.ndarray:
+def xxh64_strings(arr, seed=42) -> np.ndarray:
     """Spark ``xxhash64`` of a string column (pyarrow String/LargeString
     array). Hashes each row's UTF-8 bytes; nulls keep the seed (Spark
-    skips null columns, leaving the running hash unchanged). int64 out."""
+    skips null columns, leaving the running hash unchanged). ``seed``:
+    scalar or per-row array (the multi-column chain). int64 out."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -187,21 +199,21 @@ def xxh64_strings(arr, seed: int = 42) -> np.ndarray:
     lens = off[1:] - off[:-1]
     n = len(lens)
     out = np.empty(n, np.uint64)
-    sd = np.uint64(int(seed))
+    sd = _seed_arr(seed, n)
     for length in np.unique(lens):
         idx = np.nonzero(lens == length)[0]
         if length == 0:
             out[idx] = _xxh64_bytes_fixed(
-                np.zeros((len(idx), 0), np.uint8), sd
+                np.zeros((len(idx), 0), np.uint8), sd[idx]
             )
             continue
         starts = off[:-1][idx]
         mat = data[starts[:, None] + np.arange(length)[None, :]]
-        out[idx] = _xxh64_bytes_fixed(mat, sd)
+        out[idx] = _xxh64_bytes_fixed(mat, sd[idx])
     res = out.view(np.int64).copy()
     if arr.null_count:
         nulls = np.asarray(arr.is_null())
-        res[nulls] = np.int64(np.uint64(int(seed)).view(np.int64))
+        res[nulls] = sd.view(np.int64)[nulls]
     return res
 
 
@@ -230,3 +242,82 @@ def spark_bucket(
         hot = np.isin(b0, np.asarray(sorted(split_buckets), np.int64))
         b0 = np.where(hot, np.mod(h, np.int64(2 * num_buckets)), b0)
     return b0.astype(np.int32)
+
+
+@_wrapping
+def xxh64_chain(tbl, cols: list[str], seed: int = 42) -> np.ndarray:
+    """Spark ``F.xxhash64(c1, c2, ...)`` over a pyarrow Table — the CHAINED
+    multi-column form (HashExpression: each column's hash seeds the next;
+    a NULL value leaves the running hash untouched).
+
+    This is what lets the Arrow-direct bulk writer compute the epoch
+    fingerprint (`streaming.commitlog.hash_chunk_exprs` splits this value)
+    without a JVM scan while staying bit-compatible with the micro-batch
+    path's JVM-computed fingerprints — exactly-once restart flows compare
+    the two across paths. Parity pinned in tests/test_xxh64_parity.py.
+
+    Type dispatch mirrors XxHash64Expression: string → hashUnsafeBytes of
+    UTF-8; long/timestamp → hashLong (a timestamp's hash input is its
+    internal UTC-microseconds long); byte/short/int/bool/date → hashInt;
+    float/double → hashLong/hashInt of the IEEE bits with NaN normalized
+    to the canonical quiet NaN (Java's doubleToLongBits) and -0.0 → +0.0
+    (Spark normalizes the zero before hashing).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    h = np.full(n, np.uint64(int(seed)), np.uint64)
+    for name in cols:
+        arr = tbl.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        t = arr.type
+        nulls = (
+            np.asarray(arr.is_null()) if arr.null_count else None
+        )
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            nh = xxh64_strings(arr, seed=h).view(np.uint64)
+            h = nh  # null carry handled inside xxh64_strings
+            continue
+        if pa.types.is_timestamp(t):
+            vals = pc.cast(
+                pc.cast(arr, pa.timestamp("us"), safe=False), pa.int64()
+            )
+            vals = pc.fill_null(vals, 0).to_numpy().astype(np.int64)
+            nh = xxh64_longs(vals, seed=h).view(np.uint64)
+        elif pa.types.is_int64(t):
+            vals = pc.fill_null(arr, 0).to_numpy().astype(np.int64)
+            nh = xxh64_longs(vals, seed=h).view(np.uint64)
+        elif pa.types.is_float64(t):
+            v = pc.fill_null(arr, 0.0).to_numpy().astype(np.float64)
+            v = np.where(v == 0.0, 0.0, v)  # -0.0 → +0.0
+            bits = v.view(np.int64)
+            bits = np.where(
+                np.isnan(v), np.int64(0x7FF8000000000000), bits
+            )
+            nh = xxh64_longs(bits, seed=h).view(np.uint64)
+        elif pa.types.is_float32(t):
+            v = pc.fill_null(arr, 0.0).to_numpy().astype(np.float32)
+            v = np.where(v == np.float32(0.0), np.float32(0.0), v)
+            bits = v.view(np.int32)
+            bits = np.where(np.isnan(v), np.int32(0x7FC00000), bits)
+            nh = xxh64_ints(bits, seed=h).view(np.uint64)
+        elif pa.types.is_boolean(t):
+            vals = (
+                pc.cast(pc.fill_null(arr, False), pa.int32())
+                .to_numpy()
+                .astype(np.int32)
+            )
+            nh = xxh64_ints(vals, seed=h).view(np.uint64)
+        elif pa.types.is_date32(t):
+            vals = pc.cast(arr, pa.int32())
+            vals = pc.fill_null(vals, 0).to_numpy().astype(np.int32)
+            nh = xxh64_ints(vals, seed=h).view(np.uint64)
+        elif pa.types.is_integer(t):  # byte/short/int: Spark hashInt
+            vals = pc.fill_null(arr, 0).to_numpy().astype(np.int32)
+            nh = xxh64_ints(vals, seed=h).view(np.uint64)
+        else:
+            raise TypeError(f"unsupported hash column type {t} ({name})")
+        h = np.where(nulls, h, nh) if nulls is not None else nh
+    return h.view(np.int64)

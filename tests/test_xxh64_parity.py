@@ -110,3 +110,46 @@ def test_randomized_string_parity(spark):
     got = xxh64_strings(pa.array(vals))
     want = _spark_hashes(spark, vals, "string")
     assert got.tolist() == want
+
+
+def test_chain_parity_change_events(spark):
+    """xxh64_chain == F.xxhash64(*cols) over the full change-event shape,
+    including nulls in every nullable column and multi-type chaining."""
+    import datetime as dt
+
+    rows = [
+        ("insert", "conv-0001", 0, "user", "hello", None,
+         dt.datetime(2024, 1, 1, 12, 0, 0, 123456), 100, 0),
+        ("update", "conv-0001", 0, "assistant", "hi there", "search",
+         dt.datetime(2024, 6, 30, 23, 59, 59, 999999), 101, 1),
+        ("delete", "conv-0002", 5, None, None, None, None, 102, 2),
+        ("insert", "", -1, "tool", "café ☕", "calc",
+         dt.datetime(1969, 12, 31, 23, 59, 59), -(2**62), 2**31 - 1),
+    ]
+    schema = (
+        "op string, conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, lsn long, source_partition int"
+    )
+    df = spark.createDataFrame(rows, schema=schema)
+    cols = df.columns
+    want = [r[0] for r in df.select(F.xxhash64(*cols).alias("h")).collect()]
+    tbl = df.toArrow()
+    got = __import__(
+        "etl_documentos_spark.functions.xxh64", fromlist=["xxh64_chain"]
+    ).xxh64_chain(tbl, cols)
+    assert got.tolist() == want
+
+
+def test_chain_parity_extra_types(spark):
+    rows = [
+        (1.5, True, float("nan"), 3),
+        (None, None, -0.0, None),
+        (-2.25e300, False, 0.0, -3),
+    ]
+    df = spark.createDataFrame(rows, schema="d double, b boolean, d2 double, i int")
+    cols = df.columns
+    want = [r[0] for r in df.select(F.xxhash64(*cols).alias("h")).collect()]
+    from etl_documentos_spark.functions.xxh64 import xxh64_chain
+
+    got = xxh64_chain(df.toArrow(), cols)
+    assert got.tolist() == want
