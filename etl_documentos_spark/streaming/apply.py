@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_documentos_spark.lake.table import LakeTable, SpecConflictError
 from etl_documentos_spark.operators.evolve import evolve_if_needed
@@ -81,6 +82,27 @@ def merge_hll_counts(sketch_rows) -> dict[tuple[int, int], int]:
 #: table property holding the snapshot-bootstrap log position (see
 #: ``CdcPipeline.bootstrap``)
 BOOTSTRAP_WM_PROP = "bootstrap.watermark-lsn"
+
+
+def _union_footer_schema(file_epochs: list[tuple[str, int]]) -> T.StructType:
+    """Declared-schema fallback for the file-driven bulk path: union the
+    footer schemas of ONE file per epoch (additive evolution lands at epoch
+    boundaries — a binlog tail's schema changes between checkpointed
+    epochs, not mid-file). O(epochs) driver footer reads, not O(files)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.parquet as pq
+
+    fields: dict[str, T.StructField] = {}
+    seen: set[int] = set()
+    for path, epoch in file_epochs:
+        if epoch in seen:
+            continue
+        seen.add(epoch)
+        st = from_arrow_schema(pq.read_schema(path))
+        for f in st.fields:
+            fields.setdefault(f.name, f)
+    return T.StructType(list(fields.values()))
 
 
 @dataclass
@@ -386,59 +408,144 @@ class CdcPipeline:
                     )
             else:
                 raise SpecConflictError("spec kept changing across 5 retries")
-            sketch_rows = [r for r in stat_rows if r["kind"] == "l"]
-            stat_rows = [r for r in stat_rows if r["kind"] == "s"]
-            for r in stat_rows:
-                self._advance_watermark(r["max_ts"])
-            self._maybe_compact(self.table)
-
-            convs = merge_hll_counts(sketch_rows)
-            per_epoch: dict[int, list] = {}
-            for r in stat_rows:
-                per_epoch.setdefault(int(r["epoch"]), []).append(r)
-            results = list(skipped)
-            duration = time.monotonic() - t0
-            for e in sorted(todo):
-                ers = per_epoch.get(e, [])
-                n = sum(int(r["n"]) for r in ers)
-                fp = combine_chunks(
-                    [(int(r["h0"]), int(r["h1"]), int(r["h2"])) for r in ers]
-                ) + f":{n}"
-                # every writer TASK emits a partial per (epoch, sp) it saw —
-                # combine partials: max for offsets, sum for counters
-                offsets: dict[int, int] = {}
-                per_sp: dict[int, list[int]] = {}
-                for r in ers:
-                    sp = int(r["sp"])
-                    offsets[sp] = max(
-                        offsets.get(sp, -1), int(r["max_lsn"])
-                    )
-                    agg = per_sp.setdefault(sp, [0, 0])
-                    agg[0] += int(r["n"])
-                    agg[1] += int(r["ndel"])
-                lineage = [
-                    (
-                        sp,
-                        n_sp,
-                        n_sp - ndel_sp,
-                        ndel_sp,
-                        convs.get((e, sp), 0),
-                    )
-                    for sp, (n_sp, ndel_sp) in sorted(per_sp.items())
-                ]
-                append_lineage_rows(self.spark, self.lineage_path, e, lineage)
-                append_metrics(
-                    self.spark, self.metrics_path, e,
-                    events=n, duration_s=duration / max(len(todo), 1),
-                    lag_events=0,
-                )
-                self.commitlog.commit(e, fp, offsets)
-                results.append(EpochResult(e, False, n, duration, added))
-            self.commitlog.compact_log(self.commitlog_keep_last)
-            return results
+            return skipped + self._finalize_bulk(stat_rows, todo, t0, added)
         finally:
             if persist:
                 batch.unpersist()
+
+    def _finalize_bulk(
+        self, stat_rows: list, todo: list[int], t0: float, added: list[str]
+    ) -> list[EpochResult]:
+        """Shared bulk-apply bookkeeping: watermark advance, threshold
+        compaction, HLL merge, and the per-epoch exactly-once records
+        (lineage, metrics, fingerprinted commit) from the writer's stats
+        rows. ``stat_rows``: the writer's "s"/"l" rows (pyspark Rows or
+        dicts — both index by name)."""
+        sketch_rows = [r for r in stat_rows if r["kind"] == "l"]
+        stat_rows = [r for r in stat_rows if r["kind"] == "s"]
+        for r in stat_rows:
+            self._advance_watermark(r["max_ts"])
+        self._maybe_compact(self.table)
+
+        convs = merge_hll_counts(sketch_rows)
+        per_epoch: dict[int, list] = {}
+        for r in stat_rows:
+            per_epoch.setdefault(int(r["epoch"]), []).append(r)
+        results = []
+        duration = time.monotonic() - t0
+        for e in sorted(todo):
+            ers = per_epoch.get(e, [])
+            n = sum(int(r["n"]) for r in ers)
+            fp = combine_chunks(
+                [(int(r["h0"]), int(r["h1"]), int(r["h2"])) for r in ers]
+            ) + f":{n}"
+            # every writer TASK emits a partial per (epoch, sp) it saw —
+            # combine partials: max for offsets, sum for counters
+            offsets: dict[int, int] = {}
+            per_sp: dict[int, list[int]] = {}
+            for r in ers:
+                sp = int(r["sp"])
+                offsets[sp] = max(
+                    offsets.get(sp, -1), int(r["max_lsn"])
+                )
+                agg = per_sp.setdefault(sp, [0, 0])
+                agg[0] += int(r["n"])
+                agg[1] += int(r["ndel"])
+            lineage = [
+                (
+                    sp,
+                    n_sp,
+                    n_sp - ndel_sp,
+                    ndel_sp,
+                    convs.get((e, sp), 0),
+                )
+                for sp, (n_sp, ndel_sp) in sorted(per_sp.items())
+            ]
+            append_lineage_rows(self.spark, self.lineage_path, e, lineage)
+            append_metrics(
+                self.spark, self.metrics_path, e,
+                events=n, duration_s=duration / max(len(todo), 1),
+                lag_events=0,
+            )
+            self.commitlog.commit(e, fp, offsets)
+            results.append(EpochResult(e, False, n, duration, added))
+        self.commitlog.compact_log(self.commitlog_keep_last)
+        return results
+
+    def apply_epochs_bulk_files(
+        self,
+        file_epochs: list[tuple[str, int]],
+        schema: T.StructType | None = None,
+        target_tasks: int | None = None,
+    ) -> list[EpochResult]:
+        """Backfill mode over RAW change-log parquet files — the zero-IPC
+        fast path of `apply_epochs_bulk`.
+
+        Same exactly-once contract (per-epoch fingerprints, offsets,
+        lineage; committed epochs skipped up front), but writer tasks read
+        the listed files DIRECTLY with pyarrow and bucket/hash rows in
+        numpy (`lake.table.write_change_files_direct`), so the batch never
+        crosses the JVM→Python Arrow socket and the JVM never decodes it.
+        Fingerprints stay bit-compatible with the DataFrame paths
+        (`functions.xxh64.xxh64_chain` parity), so a backfill started here
+        and resumed through `apply_epochs_bulk` (or vice versa) dedups
+        correctly.
+
+        ``file_epochs``: (parquet path, epoch id) pairs — an epoch may span
+        many files. ``schema``: the declared change-stream schema (drives
+        schema evolution and the fingerprint column order); derived from
+        the files' footers (union over one footer per epoch) when omitted.
+        MOR mode only, like all bulk paths.
+        """
+        assert self.mode == "mor", "bulk backfill requires merge-on-read"
+        t0 = time.monotonic()
+        wm = self.bootstrap_watermark
+        epoch_ids = sorted({e for _, e in file_epochs})
+        todo_pairs = [
+            (f, e)
+            for f, e in file_epochs
+            if not self.commitlog.is_committed(e)
+        ]
+        todo = sorted({e for _, e in todo_pairs})
+        skipped = [
+            EpochResult(e, True, 0, 0.0, []) for e in epoch_ids if e not in todo
+        ]
+        if not todo_pairs:
+            return skipped
+        if schema is None:
+            schema = _union_footer_schema(todo_pairs)
+        with self._commit_lock:
+            table = self.table
+            added = evolve_if_needed(
+                self.spark.createDataFrame([], schema), table
+            )
+        spec = table.spec_fingerprint()
+        files, stat_rows, man_stats = table.write_change_files_direct(
+            self.spark, todo_pairs, schema,
+            fence_lsn=wm, target_tasks=target_tasks,
+        )
+        for _ in range(5):
+            if not files:
+                break
+            try:
+                with self._commit_lock:
+                    self.table.commit_append(
+                        files, staged_spec=spec, new_stats=man_stats
+                    )
+                break
+            except SpecConflictError:
+                # a concurrent split/rebucket re-keyed the buckets: restage
+                # under the fresh transform (numpy spark_bucket picks up the
+                # new split set from the reloaded metadata)
+                table = self.table
+                spec = table.spec_fingerprint()
+                files, stat_rows, man_stats = table.write_change_files_direct(
+                    self.spark, todo_pairs, schema,
+                    fence_lsn=wm, target_tasks=target_tasks,
+                )
+        else:
+            raise SpecConflictError("spec kept changing across 5 retries")
+        return skipped + self._finalize_bulk(stat_rows, todo, t0, added)
 
     def _advance_watermark(self, max_ts_us) -> None:
         """Advance the event-time watermark; ``max_ts_us`` is epoch

@@ -184,21 +184,33 @@ def replay_bulk(
     epochs: list[int] | None = None,
 ) -> list[EpochResult]:
     """Backfill replay: all epochs (or an explicit subset — e.g. one
-    executor process's shard of a partitioned backfill) in one super-batch
-    (see ``CdcPipeline.apply_epochs_bulk``). Per-epoch exactly-once records
-    are preserved; the per-epoch driver overhead is paid once. The input is
-    immutable on-disk parquet, so the single-pass apply can scan it directly
-    (``persist=False``) — no cache materialization."""
-    spark = pipeline.spark
+    executor process's shard of a partitioned backfill) in one super-batch.
+    Per-epoch exactly-once records are preserved; the per-epoch driver
+    overhead is paid once.
+
+    Routes through the zero-IPC file path
+    (``CdcPipeline.apply_epochs_bulk_files``): the input is immutable
+    on-disk parquet, so writer tasks read it directly with pyarrow instead
+    of shipping every row through the JVM and the Arrow socket. The
+    ``epoch`` column the DataFrame path derived from the hive directory
+    name comes from the file's path here — same value, no scan."""
     if epochs is None:
         epochs = list_epochs(events_path)
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    changes = reader.option("basePath", events_path).parquet(
-        *[os.path.join(events_path, f"epoch={e}") for e in epochs]
-    )
-    return pipeline.apply_epochs_bulk(changes, epochs, persist=False)
+    pairs = []
+    for e in epochs:
+        d = os.path.join(events_path, f"epoch={e}")
+        pairs.extend(
+            (os.path.join(d, f), e)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    if schema is not None and "epoch" in schema.fieldNames():
+        # DataFrame-path callers declare the hive partition column too;
+        # the file path derives it from the directory name instead
+        schema = T.StructType(
+            [f for f in schema.fields if f.name != "epoch"]
+        )
+    return pipeline.apply_epochs_bulk_files(pairs, schema=schema)
 
 
 def start_stream(
