@@ -180,24 +180,16 @@ def _replay(
     s0 = _proc_stat()
     t0 = time.monotonic()
     if file_shard:
-        from pyspark.sql import functions as F
-
         assert bulk and epoch_mod is not None
         k = epoch_mod
         mine = _shard_files(events_path, k, epoch_rem)
         if not mine:
             return {"events": 0, "seconds": time.monotonic() - t0,
                     "events_per_sec": 0.0, "mode": "bulk-shard(empty)"}
-        changes = (
-            spark.read.schema(bulk_schema)
-            .option("basePath", events_path)
-            .parquet(*[p for _, p in mine])
-            .withColumn(
-                "epoch", (F.col("epoch") * k + F.lit(epoch_rem)).cast("int")
-            )
-        )
-        sids = sorted({e * k + epoch_rem for e, _ in mine})
-        results = pipeline.apply_epochs_bulk(changes, sids, persist=False)
+        # zero-IPC file path; synthetic per-worker epoch ids keep the
+        # commit records disjoint across fleet workers (same as before)
+        pairs = [(p, e * k + epoch_rem) for e, p in mine]
+        results = pipeline.apply_epochs_bulk_files(pairs, schema=CHANGE_EVENTS)
     elif bulk:
         results = replay_bulk(
             pipeline, events_path, schema=bulk_schema, epochs=epochs

@@ -63,7 +63,9 @@ def test_iceberg_end_to_end(spark):
     real Iceberg; the adapter SQL itself is asserted jar-free above."""
     if not ice.iceberg_available(spark):
         pytest.skip(
-            "no Iceberg runtime jars in this container (and no network to "
-            "fetch one — see docstring)"
+            "no Iceberg runtime jars in this container and no network to "
+            "fetch one — statement-level compatibility is documented in "
+            "ARCHITECTURE.md §'Iceberg compatibility matrix' (what this "
+            "test asserts when the jar exists is listed there)"
         )
     ice.create_table(spark, "local.db.t", num_buckets=8)  # pragma: no cover
