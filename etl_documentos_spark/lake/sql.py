@@ -26,6 +26,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_documentos_spark.lake.table import LakeTable
 from etl_documentos_spark.operators.merge import read_current
@@ -546,6 +547,18 @@ def sql(
         return _run_dml(spark, tables, query)
     if _MAINT_HEAD.match(query):
         return _run_maintenance(spark, tables, query)
+    if re.match(r"^\s*alter\b", query, re.IGNORECASE):
+        return _run_alter(spark, tables, query)
+
+    def pin_meta(m: re.Match) -> str:
+        name, meta = m.group(1), m.group(2).lower()
+        if name not in tables:
+            return m.group(0)  # an alias/column ref — leave to Spark
+        view = f"{name}__meta_{meta}"
+        _META_TABLES[meta](spark, tables[name]).createOrReplaceTempView(view)
+        return view
+
+    query = _META_RE.sub(pin_meta, query)
 
     def pin_changes(m: re.Match) -> str:
         from etl_documentos_spark.lake.changelog import read_changes
@@ -653,3 +666,84 @@ def refs_df(spark: SparkSession, table: LakeTable) -> DataFrame:
     """Named refs/tags as a DataFrame (Iceberg ``table.refs``)."""
     rows = [(name, sid) for name, sid in sorted(table.refs.items())]
     return spark.createDataFrame(rows, "name string, snapshot_id long")
+
+
+def history_df(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """The table history as a DataFrame (Iceberg ``table.history``): when
+    each snapshot was made current, its parent, and whether it is an
+    ancestor of the CURRENT snapshot (false = an abandoned line, e.g. a
+    rolled-back snapshot or an expired WAP staging commit)."""
+    parents = {s.snapshot_id: s.parent_id for s in table.snapshots}
+    ancestors: set[int] = set()
+    sid: int | None = table.current_snapshot.snapshot_id
+    while sid is not None:
+        ancestors.add(sid)
+        sid = parents.get(sid)
+    rows = [
+        (
+            datetime.datetime.utcfromtimestamp(s.ts_ms / 1000.0),
+            s.snapshot_id,
+            s.parent_id,
+            s.snapshot_id in ancestors,
+        )
+        for s in table.snapshots
+    ]
+    return spark.createDataFrame(
+        rows,
+        "made_current_at timestamp, snapshot_id long, parent_id long,"
+        " is_current_ancestor boolean",
+    )
+
+
+#: metadata tables addressable as ``<table>.<name>`` in FROM clauses
+_META_TABLES = {
+    "snapshots": snapshots_df,
+    "files": files_df,
+    "refs": refs_df,
+    "history": history_df,
+}
+_META_RE = re.compile(
+    r"\b(\w+)\.(snapshots|files|refs|history)\b", re.IGNORECASE
+)
+
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_alter(
+    spark: SparkSession, tables: dict[str, LakeTable], query: str
+) -> DataFrame:
+    """``ALTER TABLE t ADD COLUMNS (name type, ...)`` — Iceberg grammar —
+    routed onto the additive-evolution primitive (`LakeTable.add_columns`):
+    ONE metadata-only snapshot commit, zero data files rewritten; existing
+    rows read the new columns back as null. Types parse with Spark's own
+    DDL parser, so any Spark SQL type works. Returns the added columns as
+    (col_name, data_type) rows."""
+    m = _ALTER_RE.match(query)
+    if not m:
+        raise ValueError(
+            "unsupported ALTER statement (only ALTER TABLE <t> ADD "
+            f"COLUMNS (name type, ...) is implemented): {query!r}"
+        )
+    name, cols = m.group(1), m.group(2)
+    if name not in tables:
+        raise KeyError(f"unknown table {name!r}")
+    table = tables[name]
+    # strip Iceberg's optional COMMENT '...' per column before type-parsing
+    cleaned = [
+        re.sub(r"\s+COMMENT\s+'[^']*'\s*$", "", c.strip(), flags=re.I)
+        for c in _split_top(cols)
+    ]
+    fields = list(T.StructType.fromDDL(", ".join(cleaned)).fields)
+    existing = {f.name for f in table.schema.fields}
+    dup = [f.name for f in fields if f.name in existing]
+    if dup:
+        raise ValueError(f"columns already exist: {dup}")
+    table.add_columns(fields)
+    return spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in fields],
+        "col_name string, data_type string",
+    )

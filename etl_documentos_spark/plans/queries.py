@@ -2924,6 +2924,104 @@ _PNG_SQL = """
 """
 
 
+def q_sql_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the SQL door: ``ALTER TABLE ... ADD
+    COLUMNS`` (Iceberg grammar) on a live table is ONE metadata-only
+    commit — zero data files rewritten (asserted against the manifest and
+    against the ``history`` metadata table, also new this round) — after
+    which old rows read the new columns back as null and new inserts fill
+    them. The value-checked surface is the final SELECT mixing pre- and
+    post-evolution rows; the DuckDB oracle derives the same rows from the
+    raw parquet."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.catalog import Catalog
+
+    ch = _derive_changes(spark, sf_dir)
+    win = lww.lww_dedup(ch).filter(F.col("op") != "delete")
+    win.createOrReplaceTempView("evolve_src")
+    root = tempfile.mkdtemp(prefix="sqlevolve_q_")
+    try:
+        cat = Catalog(f"{root}/cat")
+        cat.sql(
+            spark,
+            "CREATE TABLE raw.notes ("
+            " conv_id string, turn_idx int, role string, text string,"
+            " ts timestamp) PARTITIONED BY (bucket(4, conv_id))",
+        )
+        cat.sql(
+            spark,
+            "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role, text,"
+            " CAST(ts AS TIMESTAMP) FROM evolve_src WHERE turn_idx < 10",
+        )
+        t = cat.load_table("raw.notes")
+        files_before = {
+            p for fs in t.current_snapshot.files.values() for p in fs
+        }
+        added = cat.sql(
+            spark,
+            "ALTER TABLE raw_notes ADD COLUMNS ("
+            " tool_latency_ms double COMMENT 'per-call tool latency',"
+            " review_tag string)",
+        ).collect()
+        assert [r["col_name"] for r in added] == [
+            "tool_latency_ms", "review_tag",
+        ]
+        t = cat.load_table("raw.notes")
+        files_after = {
+            p for fs in t.current_snapshot.files.values() for p in fs
+        }
+        assert files_after == files_before, "evolution must rewrite nothing"
+        hist = cat.sql(
+            spark,
+            "SELECT snapshot_id, is_current_ancestor FROM raw_notes.history"
+            " ORDER BY snapshot_id",
+        ).collect()
+        assert all(r["is_current_ancestor"] for r in hist)
+        assert len(hist) == len(t.snapshots)
+        cat.sql(
+            spark,
+            "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts,"
+            " tool_latency_ms, review_tag)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role, text,"
+            " CAST(ts AS TIMESTAMP),"
+            " CAST(lsn % 97 AS DOUBLE) / 97.0,"
+            " concat('tag-', CAST(turn_idx % 5 AS STRING))"
+            " FROM evolve_src WHERE turn_idx >= 10",
+        )
+        out = _detached(
+            cat.sql(
+                spark,
+                "SELECT conv_id, turn_idx, role, text, ts,"
+                " tool_latency_ms, review_tag FROM raw_notes",
+            )
+        )
+        return out
+    finally:
+        spark.catalog.dropTempView("evolve_src")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_EVOLVE_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch
+    ),
+    win AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+    SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, ts,
+           CASE WHEN turn_idx >= 10
+                THEN CAST(lsn % 97 AS DOUBLE) / 97.0 END AS tool_latency_ms,
+           CASE WHEN turn_idx >= 10
+                THEN concat('tag-', CAST(turn_idx % 5 AS VARCHAR))
+           END AS review_tag
+    FROM win
+"""
+
+
 def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-WebP (VP8L) decode end-to-end, from scratch per RFC
     9649: synthesize spec-valid WebP files whose green channel is entropy-
@@ -4380,6 +4478,7 @@ QUERIES: dict[str, Query] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "tiff_decode": q_tiff_decode,
     "webp_decode": q_webp_decode,
+    "sql_evolve": q_sql_evolve,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
@@ -4585,6 +4684,7 @@ ORACLES: dict[str, str] = {
     "gif_decode": _GIF_SQL,
     "tiff_decode": _TIFF_SQL,
     "webp_decode": _WEBP_SQL,
+    "sql_evolve": _SQL_EVOLVE_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,
     "cnpj_validation": _CNPJ_SQL,

@@ -216,3 +216,81 @@ def test_sql_optimize_and_vacuum(spark, tmp_path):
         sql(spark, {"t": table}, "OPTIMIZE t ZORDER BY (conv_id)")
     with pytest.raises(KeyError):
         sql(spark, {"t": table}, "VACUUM missing")
+
+
+def test_alter_table_add_columns_sql(spark, sql_table):
+    """ALTER TABLE ... ADD COLUMNS through the SQL door: metadata-only
+    (zero files rewritten), old rows read null, new values land via SQL."""
+    files_before = {
+        p for fs in sql_table.current_snapshot.files.values() for p in fs
+    }
+    res = sql(
+        spark,
+        {"t": sql_table},
+        "ALTER TABLE t ADD COLUMNS ("
+        " tool_call_id string COMMENT 'trace id', tool_latency_ms double)",
+    ).collect()
+    assert [(r.col_name, r.data_type) for r in res] == [
+        ("tool_call_id", "string"), ("tool_latency_ms", "double"),
+    ]
+    sql_table._refresh()
+    files_after = {
+        p for fs in sql_table.current_snapshot.files.values() for p in fs
+    }
+    assert files_after == files_before
+    names = [f.name for f in sql_table.schema.fields]
+    assert "tool_call_id" in names and "tool_latency_ms" in names
+    # old rows surface the new column as null through SQL
+    n = sql(
+        spark, {"t": sql_table},
+        "SELECT count(*) AS n FROM t WHERE tool_call_id IS NULL",
+    ).first().n
+    assert n == read_current(spark, sql_table).count()
+    # duplicate add rejected
+    with pytest.raises(ValueError, match="already exist"):
+        sql(spark, {"t": sql_table}, "ALTER TABLE t ADD COLUMNS (role string)")
+    # unknown table rejected
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "ALTER TABLE nope ADD COLUMNS (x int)")
+
+
+def test_history_metadata_table(spark, sql_table, tmp_path):
+    """t.history through the SQL door: every snapshot with parent links;
+    main-line snapshots (including a rollback, which appends — history is
+    linear, never rewritten) are current-ancestors, an unpublished WAP
+    staged snapshot is not."""
+    from etl_documentos_spark.lake.sql import history_df
+    from etl_documentos_spark.operators.merge import changes_to_physical
+
+    merge_into(spark, sql_table, _events(spark, 500, 520, turn_base=90))
+    sql_table._refresh()
+    rolled_from = sql_table.current_snapshot.snapshot_id
+    sql_table.rollback(sql_table.current_snapshot.parent_id)
+    staged = sql_table.stage_append(
+        changes_to_physical(
+            _events(spark, 900, 905, turn_base=200), sql_table.schema
+        )
+    )
+    sql_table._refresh()
+
+    hist = {
+        r.snapshot_id: r
+        for r in sql(
+            spark, {"t": sql_table},
+            "SELECT * FROM t.history ORDER BY snapshot_id",
+        ).collect()
+    }
+    assert len(hist) == len(sql_table.snapshots)
+    # the rollback APPENDED a snapshot: the rolled-past one stays on the
+    # (linear) main line, so it is still an ancestor of current
+    assert hist[rolled_from].is_current_ancestor
+    cur = sql_table.current_snapshot
+    assert hist[cur.snapshot_id].is_current_ancestor
+    assert cur.operation == "rollback"
+    # the unpublished staged snapshot is recorded but NOT a current ancestor
+    assert not hist[staged].is_current_ancestor
+    # function-level accessor agrees with the SQL door
+    direct = {r.snapshot_id: r for r in history_df(spark, sql_table).collect()}
+    assert {k: v.is_current_ancestor for k, v in hist.items()} == {
+        k: v.is_current_ancestor for k, v in direct.items()
+    }
