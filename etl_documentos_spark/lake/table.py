@@ -44,6 +44,13 @@ from pyspark.sql import types as T
 _HINT = "version-hint.text"
 
 
+class CommitConflictError(RuntimeError):
+    """Another committer published the metadata version this transaction
+    targeted (optimistic/CAS commit mode). Internal: `_commit_txn` retries
+    the whole read-merge-write against fresh metadata; callers never see
+    it unless the retry budget is exhausted."""
+
+
 class SpecConflictError(RuntimeError):
     """The partition spec changed between file staging and commit (a
     concurrent ``split_bucket`` / ``rebucket``). Staged files were keyed
@@ -268,6 +275,42 @@ class Snapshot:
             d["summary"], d["files"], d.get("file_stats") or {},
         )
 
+
+
+#: immutable-manifest parse cache (manifest files are write-once, so a
+#: cached parse can never be stale). Keyed by ABSOLUTE path; bounded so a
+#: long-lived process churning through maintenance rewrites cannot grow it
+#: without limit.
+_MANIFEST_CACHE: dict[str, dict] = {}
+_MANIFEST_CACHE_MAX = 8192
+
+
+def _load_manifest(root: str, rel: str) -> dict:
+    full = os.path.join(root, rel)
+    man = _MANIFEST_CACHE.get(full)
+    if man is None:
+        with open(full) as f:
+            man = json.load(f)
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[full] = man
+    return man
+
+
+def _manifest_matches(man: dict, files: list, stats: dict) -> bool:
+    """Does a parent manifest already hold exactly this bucket content?
+    Identity checks first: untouched buckets share the parent's objects, so
+    the common case is O(files) pointer compares, no deep equality."""
+    mf = man["files"]
+    if mf is not files and mf != files:
+        return False
+    ms = man.get("stats", {})
+    for p in files:
+        a = stats.get(p)
+        b = ms.get(p)
+        if a is not b and a != b:  # catches added, dropped AND changed stats
+            return False
+    return True
 
 
 #: row-group flush threshold for the direct writers — one
@@ -745,8 +788,33 @@ class LakeTable:
     def load(cls, root: str) -> "LakeTable":
         with open(os.path.join(root, _HINT)) as f:
             v = int(f.read().strip())
+        # the hint is a FLOOR, not the truth: CAS committers update it
+        # best-effort after the exclusive version create, so probe forward
+        # to the newest published version (0-1 stats in steady state)
+        while os.path.exists(
+            os.path.join(root, "metadata", f"v{v + 1:06d}.json")
+        ):
+            v += 1
         with open(os.path.join(root, "metadata", f"v{v:06d}.json")) as f:
-            return cls(root, json.load(f))
+            meta = json.load(f)
+        # format 2: snapshots carry per-bucket manifest refs; materialize
+        # files/stats in memory (manifest parses hit the immutable cache,
+        # and snapshots sharing a manifest share the parsed objects — a
+        # refresh after someone else's commit re-reads only the small
+        # v{N}.json plus the few manifests that actually changed)
+        for s in meta.get("snapshots", []):
+            refs = s.get("manifests")
+            if refs is None:
+                continue  # format 1: files/file_stats are inline
+            files: dict[str, list[str]] = {}
+            stats: dict[str, dict] = {}
+            for b, rel in refs.items():
+                man = _load_manifest(root, rel)
+                files[b] = man["files"]
+                stats.update(man.get("stats", {}))
+            s["files"] = files
+            s["file_stats"] = stats
+        return cls(root, meta)
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -930,15 +998,154 @@ class LakeTable:
         return True
 
     # -------------------------------------------------------------- commits
+    @property
+    def commit_mode(self) -> str:
+        """``flock`` (default): pessimistic cross-process mutex on a POSIX
+        filesystem. ``cas`` (table property ``commit.mode='cas'``):
+        optimistic put-if-absent on ``metadata/v{N}.json`` — the
+        object-store-portable protocol (S3 conditional PUT / GCS
+        if-generation-match), no byte-range locks required. Exactly-once
+        holds in both: the commit POINT is the exclusive creation of the
+        next immutable metadata version; losers re-read and re-merge."""
+        return self._meta["properties"].get("commit.mode", "flock")
+
+    def _commit_txn(self, body):
+        """Run one metadata transaction: ``body()`` executes against fresh
+        metadata and ends in ``_write_metadata`` (usually via
+        ``_next_snapshot``). flock mode serializes with the cross-process
+        mutex; CAS mode retries the whole read-merge-write when another
+        committer wins the version (losers' in-memory ``_meta`` mutations
+        are discarded by the next ``_refresh``). Deterministic linear
+        backoff — under N contenders someone always wins, so progress is
+        global even when one process starves briefly."""
+        if self.commit_mode != "cas":
+            with self._process_commit_lock():
+                self._refresh()
+                return body()
+        last: Exception | None = None
+        for attempt in range(200):
+            self._refresh()
+            try:
+                return body()
+            except CommitConflictError as e:
+                last = e
+                time.sleep(min(0.002 * attempt, 0.05))
+        raise CommitConflictError(
+            f"lost 200 consecutive commit races on {self.root}"
+        ) from last
+
     def _write_metadata(self) -> None:
+        """Publish current in-memory metadata: sharded manifests + pointer.
+
+        O(delta) commits (format_version 2): each snapshot's per-bucket file
+        list + stats live in IMMUTABLE sidecar manifest files
+        (``metadata/man-*.json``, one per (bucket, version)); the snapshot
+        entry in ``v{N}.json`` holds only ``{bucket: manifest_path}`` refs.
+        A commit writes new manifests ONLY for buckets it touched — an
+        untouched bucket's ref is carried from the parent snapshot (detected
+        by identity-fast-path content comparison), so commit bytes scale
+        with the statement, not the table: at 10^6-10^8 live files the old
+        inline format rewrote hundreds of MB of JSON per epoch and the
+        driver serialized all of it inside the commit lock. This is
+        Iceberg's manifest/manifest-list split, minus the two-level list
+        (per-bucket manifests make the bucket the natural shard key).
+        ``version-hint.text`` semantics are unchanged.
+        """
+        snaps_out = []
+        by_id = {s["snapshot_id"]: s for s in self._meta["snapshots"]}
+        for s in self._meta["snapshots"]:
+            refs = s.get("manifests")
+            if refs is None:
+                refs = self._shard_snapshot(s, by_id.get(s["parent_id"]))
+                s["manifests"] = refs  # cached for the next commit's reuse
+            out = {
+                k: v
+                for k, v in s.items()
+                if k not in ("files", "file_stats", "manifests")
+            }
+            out["manifests"] = refs
+            snaps_out.append(out)
+        meta_out = {
+            k: v for k, v in self._meta.items() if k != "snapshots"
+        }
+        meta_out["snapshots"] = snaps_out
+        meta_out["format_version"] = 2
         v = self._meta["metadata_version"]
         path = os.path.join(self.root, "metadata", f"v{v:06d}.json")
+        if self.commit_mode == "cas":
+            # optimistic commit point: put-if-absent of the next version,
+            # atomic WITH its content — write the full JSON to a private
+            # temp file, then hard-link it to the final name (link fails
+            # with EEXIST when another committer won; a forward-probing
+            # reader can never observe a half-written version). On an
+            # object store this whole dance is one conditional PUT
+            # (S3 If-None-Match / GCS if-generation-match 0), which is
+            # atomic-with-content by construction.
+            tmp = path + f".stage{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(meta_out, f)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"metadata v{v} already published by another committer"
+                ) from None
+            finally:
+                os.unlink(tmp)
+            self._advance_hint(v)
+            return
         with open(path, "w") as f:
-            json.dump(self._meta, f)
+            json.dump(meta_out, f)
         tmp = os.path.join(self.root, _HINT + ".tmp")
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.root, _HINT))  # atomic pointer swap
+
+    def _advance_hint(self, v: int) -> None:
+        """Best-effort MONOTONIC hint update for CAS mode. Two unlocked
+        winners can race the pointer swap out of order, so (a) never move
+        the hint backwards we can observe, and (b) readers treat the hint
+        as a floor and probe forward to the real maximum (`load`) — the
+        Iceberg HadoopTableOperations version-hint contract."""
+        try:
+            with open(os.path.join(self.root, _HINT)) as f:
+                cur = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            cur = 0
+        if v <= cur:
+            return
+        tmp = os.path.join(self.root, _HINT + f".tmp{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.root, _HINT))
+
+    def _shard_snapshot(self, s: dict, parent: dict | None) -> dict:
+        """Per-bucket manifest refs for one snapshot dict: reuse the
+        parent's ref when the bucket's content is unchanged (object
+        identity first — untouched buckets share the parent's list/stat
+        objects — falling back to equality), else write a fresh immutable
+        manifest file. Cost: O(touched buckets' files) bytes written +
+        O(live files) pointer compares."""
+        stats = s.get("file_stats") or {}
+        prefs = (parent or {}).get("manifests") or {}
+        refs: dict[str, str] = {}
+        for b, fs in s["files"].items():
+            pref = prefs.get(b)
+            if pref is not None:
+                man = _load_manifest(self.root, pref)
+                if _manifest_matches(man, fs, stats):
+                    refs[b] = pref
+                    continue
+            rel = f"metadata/man-{uuid.uuid4().hex[:16]}.json"
+            content = {
+                "files": fs,
+                "stats": {p: stats[p] for p in fs if p in stats},
+            }
+            with open(os.path.join(self.root, rel), "w") as f:
+                json.dump(content, f)
+            _MANIFEST_CACHE[os.path.join(self.root, rel)] = content
+            refs[b] = rel
+        return refs
 
     def _next_snapshot(
         self,
@@ -1439,18 +1646,17 @@ class LakeTable:
         ``current`` does NOT advance — readers keep seeing the pre-stage
         state until ``publish``. Returns the new snapshot id either way.
         """
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             if staged_spec is not None and staged_spec != self.spec_fingerprint():
                 raise SpecConflictError(
                     f"partition spec changed: staged={staged_spec} "
                     f"current={self.spec_fingerprint()}"
                 )
-            merged = {
-                b: list(fs) for b, fs in self.current_snapshot.files.items()
-            }
+            # untouched buckets carry the parent's list OBJECT (identity =
+            # O(1) manifest reuse at write time); only touched buckets copy
+            merged = dict(self.current_snapshot.files)
             for b, fs in new_files.items():
-                merged.setdefault(b, []).extend(fs)
+                merged[b] = list(merged.get(b, [])) + list(fs)
             return self._next_snapshot(
                 "append",
                 {"buckets_written": len(new_files), **(
@@ -1460,6 +1666,7 @@ class LakeTable:
                 new_stats=new_stats,
                 stage=stage,
             )
+        return self._commit_txn(_txn)
 
     def commit_overwrite(
         self,
@@ -1487,8 +1694,7 @@ class LakeTable:
         replaced wholesale — only safe when the caller serializes against all
         other writers itself.
         """
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             if staged_spec is not None and staged_spec != self.spec_fingerprint():
                 raise SpecConflictError(
                     f"partition spec changed: staged={staged_spec} "
@@ -1517,6 +1723,7 @@ class LakeTable:
             self._next_snapshot(
                 "overwrite", summary, merged, new_stats=new_stats
             )
+        return self._commit_txn(_txn)
 
     def append(self, df: DataFrame, salts: int | None = None) -> None:
         """Append rows (new files only; existing files untouched).
@@ -1638,8 +1845,7 @@ class LakeTable:
         else:
             new_files = {}
 
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             if self.num_buckets != n or bucket in self.split_buckets:
                 # a concurrent rebucket (or a duplicate split of the same
                 # bucket) re-keyed the table while our rewrite ran: our
@@ -1680,6 +1886,7 @@ class LakeTable:
                 {"bucket": bucket, "children": [bucket, bucket + n]},
                 merged,
             )
+        return self._commit_txn(_txn)
 
     def rebucket(
         self, spark: SparkSession, new_num_buckets: int, salts: int | None = 2
@@ -1710,8 +1917,7 @@ class LakeTable:
             return
         import copy
 
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             old_n = self.num_buckets
             df = self.scan(spark)
             staged_meta = copy.deepcopy(self._meta)
@@ -1729,6 +1935,7 @@ class LakeTable:
                 },
                 files,
             )
+        return self._commit_txn(_txn)
 
     # ------------------------------------------------------------------- gc
     def expire_snapshots(self, keep_last: int = 2) -> int:
@@ -1741,9 +1948,9 @@ class LakeTable:
         concurrent committer just referenced nor clobber that commit's
         metadata.
         """
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             return self._expire_snapshots_locked(keep_last)
+        return self._commit_txn(_txn)
 
     def _expire_snapshots_locked(self, keep_last: int) -> int:
         snaps = sorted(self.snapshots, key=lambda s: s.snapshot_id)
@@ -1769,19 +1976,50 @@ class LakeTable:
         for s in expired:
             for fs in s.files.values():
                 dead.update(f for f in fs if f not in live)
+        # carry each kept snapshot's manifest refs (to_json drops them);
+        # re-sharding here would rewrite the whole live manifest set
+        old_by_id = {s["snapshot_id"]: s for s in self._meta["snapshots"]}
+        kept_dicts = []
+        for s in sorted(kept, key=lambda s: s.snapshot_id):
+            d = s.to_json()
+            refs = old_by_id.get(s.snapshot_id, {}).get("manifests")
+            if refs is not None:
+                d["manifests"] = refs
+            kept_dicts.append(d)
+        self._meta["snapshots"] = kept_dicts
+        self._meta["metadata_version"] += 1
+        self._write_metadata()
+        # physical deletes AFTER the commit point: if a CAS-mode conflict
+        # retries this transaction (e.g. a concurrent tag pinned a
+        # snapshot we were expiring), no file has been touched yet; after
+        # a successful commit the dead set is unreachable from current
+        # metadata, so deletion is safe and idempotent across crashes
         for rel in dead:
             full = os.path.join(self.root, rel)
-            crc = os.path.join(os.path.dirname(full), "." + os.path.basename(full) + ".crc")
+            crc = os.path.join(
+                os.path.dirname(full), "." + os.path.basename(full) + ".crc"
+            )
             for p in (full, crc):
                 try:
                     os.remove(p)
                 except FileNotFoundError:
                     pass
-        self._meta["snapshots"] = [
-            s.to_json() for s in sorted(kept, key=lambda s: s.snapshot_id)
-        ]
-        self._meta["metadata_version"] += 1
-        self._write_metadata()
+        # manifest GC: sidecars referenced only by expired snapshots are
+        # unreachable from the current metadata version — same lifecycle
+        # as the data files deleted above
+        live_mans = {
+            rel
+            for s in self._meta["snapshots"]
+            for rel in (s.get("manifests") or {}).values()
+        }
+        mdir = os.path.join(self.root, "metadata")
+        for name in os.listdir(mdir):
+            if name.startswith("man-") and f"metadata/{name}" not in live_mans:
+                try:
+                    os.remove(os.path.join(mdir, name))
+                except FileNotFoundError:
+                    pass
+                _MANIFEST_CACHE.pop(os.path.join(mdir, name), None)
         return len(dead)
 
     # ------------------------------------------------------------ refs
@@ -1795,8 +2033,7 @@ class LakeTable:
     def tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Pin a snapshot under a name (``ALTER TABLE ... CREATE TAG``).
         Defaults to the current snapshot. Metadata-only commit."""
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             sid = (
                 self.current_snapshot.snapshot_id
                 if snapshot_id is None
@@ -1808,16 +2045,17 @@ class LakeTable:
             self._meta["metadata_version"] += 1
             self._write_metadata()
             return sid
+        return self._commit_txn(_txn)
 
     def drop_tag(self, name: str) -> None:
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             refs = self._meta.get("refs", {})
             if name not in refs:
                 raise KeyError(f"unknown tag {name!r}")
             del refs[name]
             self._meta["metadata_version"] += 1
             self._write_metadata()
+        return self._commit_txn(_txn)
 
     # --------------------------------------------- write-audit-publish (WAP)
     def stage_append(self, df: DataFrame, salts: int | None = None) -> int:
@@ -1848,8 +2086,7 @@ class LakeTable:
         table since the stage (the staged manifest no longer extends
         ``current``), raises ``SpecConflictError`` — re-stage against the
         new state, exactly Iceberg's cherry-pick conflict rule."""
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             snap = next(
                 (s for s in self.snapshots if s.snapshot_id == snapshot_id),
                 None,
@@ -1865,6 +2102,7 @@ class LakeTable:
             self._meta["current_snapshot_id"] = snapshot_id
             self._meta["metadata_version"] += 1
             self._write_metadata()
+        return self._commit_txn(_txn)
 
     def discard_staged(self, snapshot_id: int) -> int:
         """Drop an unpublished staged snapshot — the audit failed.
@@ -1872,8 +2110,7 @@ class LakeTable:
         Deletes the files only it referenced and removes it from history.
         Refuses to drop the current snapshot, a snapshot with descendants,
         or a tagged one. Returns files deleted."""
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             snap = next(
                 (s for s in self.snapshots if s.snapshot_id == snapshot_id),
                 None,
@@ -1921,6 +2158,7 @@ class LakeTable:
             self._meta["metadata_version"] += 1
             self._write_metadata()
             return len(dead)
+        return self._commit_txn(_txn)
 
     def rollback(self, snapshot_id: int) -> None:
         """Restore the table's visible state to an earlier snapshot.
@@ -1932,8 +2170,7 @@ class LakeTable:
         rollback like a logical overwrite (rows vanished; a manifest diff
         cannot express that), so CDC-out consumers must resync across one.
         """
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             target = next(
                 (s for s in self.snapshots if s.snapshot_id == snapshot_id),
                 None,
@@ -1946,6 +2183,7 @@ class LakeTable:
                 dict(target.files),
                 new_stats=dict(target.file_stats),
             )
+        return self._commit_txn(_txn)
 
     def get_property(self, key: str, default=None):
         """Read one table property from current metadata (no refresh)."""
@@ -1957,11 +2195,11 @@ class LakeTable:
         maintainers to persist sync watermarks next to the data they
         describe — crash-safe because the property lands in the same
         versioned metadata chain as every other commit."""
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             self._meta["properties"][key] = value
             self._meta["metadata_version"] += 1
             self._write_metadata()
+        return self._commit_txn(_txn)
 
     def remove_orphan_files(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files on disk that NO snapshot references.
@@ -1977,8 +2215,7 @@ class LakeTable:
         """
         import time as _time
 
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             referenced: set[str] = set()
             for s in self.snapshots:
                 for fs in s.files.values():
@@ -2007,6 +2244,7 @@ class LakeTable:
                         pass
                     removed += 1
             return removed
+        return self._commit_txn(_txn)
 
     # ----------------------------------------------------- schema evolution
     def add_columns(self, fields: list[T.StructField]) -> None:
@@ -2016,8 +2254,7 @@ class LakeTable:
         Alembic autogenerate-upgrade flow,
         ``/root/reference/app/database/migrations.py:49-107``).
         """
-        with self._process_commit_lock():
-            self._refresh()
+        def _txn():
             cur = self.schema
             existing = {f.name for f in cur.fields}
             added = [f for f in fields if f.name not in existing]
@@ -2036,3 +2273,4 @@ class LakeTable:
                 {"added": [f.name for f in added]},
                 self.current_snapshot.files,
             )
+        return self._commit_txn(_txn)

@@ -1451,7 +1451,7 @@ _VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
                   14, 15)
 
 
-class _BitWriter:
+class _LsbBitWriter:
     """LSB-first bit packer (the VP8L stream convention)."""
 
     def __init__(self) -> None:
@@ -1481,7 +1481,7 @@ class _BitWriter:
         return out
 
 
-class _BitReader:
+class _LsbBitReader:
     """LSB-first bit reader over a bytes buffer."""
 
     def __init__(self, data: bytes) -> None:
@@ -1551,7 +1551,7 @@ class _CanonicalDecoder:
             code += len(group)
         self.max_len = max(by_len)
 
-    def read(self, br: _BitReader) -> int:
+    def read(self, br: _LsbBitReader) -> int:
         if self.single is not None:
             return self.single
         code = 0
@@ -1563,7 +1563,7 @@ class _CanonicalDecoder:
         raise ValueError("invalid prefix code in VP8L stream")
 
 
-def _write_simple_code(bw: _BitWriter, symbols: list[int]) -> None:
+def _write_simple_code(bw: _LsbBitWriter, symbols: list[int]) -> None:
     """RFC 9649 §5.2.1 simple code: 1-2 symbols, stored literally."""
     bw.write(1, 1)  # simple
     bw.write(len(symbols) - 1, 1)
@@ -1579,7 +1579,7 @@ def _write_simple_code(bw: _BitWriter, symbols: list[int]) -> None:
 
 
 def _write_normal_code(
-    bw: _BitWriter, lengths: dict[int, int], alphabet_size: int
+    bw: _LsbBitWriter, lengths: dict[int, int], alphabet_size: int
 ) -> None:
     """RFC 9649 §5.2.2 normal code: symbol lengths entropy-coded with the
     code-length code. The encoder emits every alphabet entry literally
@@ -1607,7 +1607,7 @@ def _write_normal_code(
         bw.write_code(code, n)
 
 
-def _read_code(br: _BitReader, alphabet_size: int) -> _CanonicalDecoder:
+def _read_code(br: _LsbBitReader, alphabet_size: int) -> _CanonicalDecoder:
     """Read one prefix code (simple or normal, incl. 16/17/18 repeats)."""
     if br.read(1):  # simple
         n_sym = br.read(1) + 1
@@ -1650,7 +1650,7 @@ def _read_code(br: _BitReader, alphabet_size: int) -> _CanonicalDecoder:
     return _CanonicalDecoder(lengths)
 
 
-def _lz77_prefix_value(br: _BitReader, sym: int) -> int:
+def _lz77_prefix_value(br: _LsbBitReader, sym: int) -> int:
     """RFC 9649 §4.2.2 LZ77 prefix coding: symbol -> (base + extra bits)."""
     if sym < 4:
         return sym + 1
@@ -1673,7 +1673,7 @@ def _encode_vp8l(i: int) -> bytes:
 
     w, h = 8 + i % 16, 4 + i % 8
     greens = [(i + x + y) % 256 for y in range(h) for x in range(w)]
-    bw = _BitWriter()
+    bw = _LsbBitWriter()
     bw.write(0x2F, 8)  # VP8L signature
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
@@ -1725,7 +1725,7 @@ def _decode_vp8l(data: bytes) -> tuple[int, int, int, int]:
         pos += 8 + ln + (ln & 1)
     if stream is None:
         raise ValueError("no VP8L chunk (lossy WebP unsupported)")
-    br = _BitReader(stream)
+    br = _LsbBitReader(stream)
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature")
     w = br.read(14) + 1

@@ -761,8 +761,8 @@ def test_vp8l_prefix_code_machinery():
     import random
 
     from etl_documentos_spark.sources.multimodal import (
-        _BitReader,
-        _BitWriter,
+        _LsbBitReader,
+        _LsbBitWriter,
         _canonical_codes,
         _huffman_lengths,
         _read_code,
@@ -779,27 +779,27 @@ def test_vp8l_prefix_code_machinery():
         for s in seq:
             counts[s] = counts.get(s, 0) + 1
         lengths = _huffman_lengths(counts)
-        bw = _BitWriter()
+        bw = _LsbBitWriter()
         _write_normal_code(bw, lengths, 256)
         codes = _canonical_codes(lengths)
         for s in seq:
             c, ln = codes[s]
             bw.write_code(c, ln)
-        br = _BitReader(bw.bytes())
+        br = _LsbBitReader(bw.bytes())
         dec = _read_code(br, 256)
         assert [dec.read(br) for _ in seq] == seq
     # simple codes: 1 and 2 symbols, small and 8-bit values
     for syms in ([0], [1], [200], [3, 77], [0, 255]):
-        bw = _BitWriter()
+        bw = _LsbBitWriter()
         _write_simple_code(bw, syms)
-        br = _BitReader(bw.bytes())
+        br = _LsbBitReader(bw.bytes())
         dec = _read_code(br, 256)
         got = sorted({dec.read(br) for _ in range(16)} if len(syms) == 1
                      else [dec.read(br) for _ in range(2)])
         if len(syms) == 1:
             assert got == syms
     # zero-run repeat codes (17/18) and prev-repeat (16): hand-built stream
-    bw = _BitWriter()
+    bw = _LsbBitWriter()
     bw.write(0, 1)          # normal code
     bw.write(19 - 4, 4)     # all 19 code-length slots
     # flat 3-bit lengths for symbols {0,8,16,17,18} -> canonical, complete
@@ -823,7 +823,7 @@ def test_vp8l_prefix_code_machinery():
     # order; append each code so the decoder must resolve them
     for v in range(5):
         bw.write_code(v, 8)
-    br = _BitReader(bw.bytes())
+    br = _LsbBitReader(bw.bytes())
     dec = _read_code(br, 19)
     assert [dec.read(br) for _ in range(5)] == [0, 1, 2, 3, 18]
 

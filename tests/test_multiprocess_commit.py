@@ -1,12 +1,15 @@
 """Cross-process commit concurrency: separate OS processes (the real
 executor topology) appending to one table must not lose each other's
-commits. Exercises the flock + reload-merge-write path in
-``LakeTable.commit_append`` without Spark (commits are metadata-only)."""
+commits. Exercises BOTH commit protocols without Spark (commits are
+metadata-only): ``flock`` (pessimistic POSIX mutex) and ``cas``
+(optimistic put-if-absent on the next metadata version — the
+object-store-portable mode; NO byte-range lock anywhere in the path)."""
 
 from __future__ import annotations
 
 import multiprocessing as mp
 
+import pytest
 from pyspark.sql import types as T
 
 from etl_documentos_spark.lake.table import LakeTable
@@ -20,9 +23,12 @@ def _appender(root: str, worker: int, n_commits: int) -> None:
         table.commit_append({str(worker % 4): [f"data/w{worker}-{i}.parquet"]})
 
 
-def test_concurrent_process_commits_all_survive(tmp_path):
+@pytest.mark.parametrize("mode", ["flock", "cas"])
+def test_concurrent_process_commits_all_survive(tmp_path, mode):
     root = str(tmp_path / "t")
-    LakeTable.create(root, SCHEMA, num_buckets=4)
+    LakeTable.create(
+        root, SCHEMA, num_buckets=4, properties={"commit.mode": mode}
+    )
     workers, commits = 6, 15
     ctx = mp.get_context("fork")
     procs = [
@@ -88,3 +94,64 @@ def test_refresh_sees_other_handles_commit(tmp_path):
     files = final.current_snapshot.files
     assert files.get("0") == ["data/a.parquet"]
     assert files.get("1") == ["data/b.parquet"]
+
+
+def test_cas_mode_uses_no_flock(tmp_path, monkeypatch):
+    """The CAS path must be truly lock-free: poison fcntl.flock and drive
+    a full contention scenario (two stale handles racing) — every commit
+    still lands, losers re-merge on fresh metadata."""
+    import fcntl
+
+    def boom(*a, **kw):  # pragma: no cover - called means the test fails
+        raise AssertionError("flock called in cas commit mode")
+
+    monkeypatch.setattr(fcntl, "flock", boom)
+    root = str(tmp_path / "t")
+    LakeTable.create(
+        root, SCHEMA, num_buckets=4, properties={"commit.mode": "cas"}
+    )
+    t1 = LakeTable.load(root)
+    t2 = LakeTable.load(root)  # both handles now stale-race each other
+    for i in range(10):
+        t1.commit_append({"0": [f"data/a{i}.parquet"]})
+        t2.commit_append({"1": [f"data/b{i}.parquet"]})
+    final = LakeTable.load(root)
+    assert len(final.current_snapshot.files["0"]) == 10
+    assert len(final.current_snapshot.files["1"]) == 10
+    assert final.current_snapshot.snapshot_id == 21
+
+
+def test_cas_hint_is_floor_probe_finds_newest(tmp_path):
+    """A regressed version hint (possible when two unlocked winners race
+    the pointer swap) must not strand readers: load() probes forward."""
+    import os
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root, SCHEMA, num_buckets=2, properties={"commit.mode": "cas"}
+    )
+    t.commit_append({"0": ["data/a.parquet"]})
+    t.commit_append({"0": ["data/b.parquet"]})
+    with open(os.path.join(root, "version-hint.text"), "w") as f:
+        f.write("1")  # simulate the losing writer's stale pointer
+    fresh = LakeTable.load(root)
+    assert len(fresh.current_snapshot.files["0"]) == 2
+    # and a subsequent commit repairs the hint monotonically
+    fresh.commit_append({"1": ["data/c.parquet"]})
+    with open(os.path.join(root, "version-hint.text")) as f:
+        assert int(f.read()) == fresh._meta["metadata_version"]
+
+
+def test_cas_expire_deletes_after_commit_point(tmp_path):
+    """Expiry in CAS mode: snapshots expire, orphan manifests are swept,
+    state intact — all without a lock."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root, SCHEMA, num_buckets=2, properties={"commit.mode": "cas"}
+    )
+    for i in range(5):
+        t.commit_append({"0": [f"data/a{i}.parquet"]})
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted == 0  # append-only: every file still referenced
+    final = LakeTable.load(root)
+    assert len(final.current_snapshot.files["0"]) == 5
