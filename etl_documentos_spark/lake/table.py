@@ -337,6 +337,8 @@ def _arrow_type(dt: T.DataType, tz: str):
         return pa.bool_()
     if isinstance(dt, T.TimestampType):
         return pa.timestamp("us", tz=tz)
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")  # wall-clock domain, no zone
     if isinstance(dt, T.DoubleType):
         return pa.float64()
     if isinstance(dt, T.FloatType):

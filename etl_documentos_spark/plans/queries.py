@@ -388,6 +388,91 @@ _BOOTSTRAP_SQL = f"""
 """
 
 
+def q_cdc_bulk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-IPC bulk backfill through the real engine, plus a crash replay.
+
+    The derived change stream is written out as an epoch-partitioned
+    parquet WAL (the on-disk shape the streaming source tails), then
+    backfilled into a fresh MOR lake table in ONE super-batch through
+    ``replay_bulk`` -> ``CdcPipeline.apply_epochs_bulk_files``: writer
+    tasks read the change-log files directly with pyarrow and bucket rows
+    with the numpy Spark-parity xxhash64, so the batch never crosses the
+    JVM->Python Arrow socket (the round-5 bulk fast path). A second
+    ``replay_bulk`` over the same WAL simulates a coordinator crash-restart
+    — every epoch must come back ``skipped`` via the commit log (raises
+    otherwise), proving the exactly-once records survive the fast path.
+    Final state (LWW winner per key, deletes filtered) must equal the
+    oracle's single SQL reduction. Result detached via ``_detached``.
+
+    Reference behavior analogue: idempotent reprocessing of an
+    already-ingested document batch
+    (``/root/reference/app/services/document_service.py``).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import (
+        physical_schema,
+        read_current,
+    )
+    from etl_documentos_spark.streaming.apply import CdcPipeline
+    from etl_documentos_spark.streaming.stream import replay_bulk
+
+    ch = _derive_changes(spark, sf_dir)
+    ch_types = {f.name: f.dataType for f in ch.schema.fields}
+    narrow = T.StructType(
+        [
+            T.StructField(c, ch_types[c], c not in ("conv_id", "turn_idx"))
+            for c in ("conv_id", "turn_idx", "role", "text", "ts")
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="bulkq_")
+    try:
+        events = os.path.join(root, "events")
+        # 6-epoch WAL: epoch id from modular arithmetic on lsn so the
+        # layout is deterministic and epochs interleave keys (the
+        # adversarial case for per-epoch dedup)
+        ch.withColumn("epoch", (F.col("lsn") % 6).cast("int")).write.partitionBy(
+            "epoch"
+        ).parquet(events)
+        LakeTable.create(
+            f"{root}/t", physical_schema(narrow), num_buckets=8
+        )
+        pipeline = CdcPipeline(spark, f"{root}/t", f"{root}/work")
+        replay_bulk(pipeline, events, schema=ch.schema)
+        # crash replay: a restarted coordinator re-submits the whole WAL;
+        # the commit log must skip every epoch without touching the table
+        again = replay_bulk(
+            CdcPipeline(spark, f"{root}/t", f"{root}/work"), events,
+            schema=ch.schema,
+        )
+        if any(not r.skipped for r in again):
+            raise AssertionError(
+                "bulk crash replay re-applied a committed epoch"
+            )
+        cur = read_current(spark, pipeline.table)
+        return _detached(
+            cur.select("conv_id", "turn_idx", "role", "text", "ts")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_BULK_REPLAY_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_dml_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate DML through the real lake machinery: the change stream is
     MERGEd into a scratch LakeTable, then a retention DELETE WHERE erases
@@ -4425,12 +4510,17 @@ _ASOF_SQL = """
 # rows (green in rounds 1 AND 2) rotate to the tail.
 #: Driver correctness window = the FIRST 50 entries (the driver checks 50
 #: per round). Rotation rule: any query whose implementation changed since
-#: its last driver-green check sits inside the window — this round that is
-#: the new SQL-DML/time-travel/TIFF/MERGE-INTO rows, the new
-#: bootstrap/DOCX/XLSX/PDF rows, every scratch-table query touched by the
-#: lazy `_detached` returns + read_current snapshot pinning, and the
-#: analytics/text rows last driver-checked in r1/r2 whose modules gained
-#: edits since. Rows 51+ are unchanged since their last green check.
+#: its last driver-green check sits inside the window — this round (r5)
+#: that is the new zero-IPC bulk-backfill row (cdc_bulk_replay), the
+#: never-driver-checked ann_lsh_multitable (added r4 outside the window),
+#: the new webp_decode/sql_evolve rows, and every row over a module edited
+#: this round: the lake table (sharded manifests + CAS commits: all
+#: scratch-table cdc/sql/dml/zorder/mview rows), streaming (stateful
+#: late-data fix: stateful_sessions, rate_limit_*), the dispatcher
+#: (ods/xlsx FORMATS fix: decode_dispatch) and the catalog (CTAS view
+#: scoping: sql_lifecycle). Rows 51+ are byte-unchanged since their last
+#: green check (multimodal.py's r5 diff is pure VP8L additions, so the
+#: r3/r4-green image-decode rows at the tail remain valid).
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
     "cdc_lww_window": q_cdc_lww_window,
@@ -4439,6 +4529,10 @@ QUERIES: dict[str, Query] = {
     "cdc_epoch_stats": q_cdc_epoch_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_bootstrap": q_cdc_bootstrap,
+    # new this round: the zero-IPC bulk backfill path, driver-gated
+    "cdc_bulk_replay": q_cdc_bulk_replay,
+    # never driver-checked (added r4 outside the window) -> window
+    "ann_lsh_multitable": q_ann_lsh_multitable,
     "docx_decode": q_docx_decode,
     "xlsx_decode": q_xlsx_decode,
     "pdf_decode": q_pdf_decode,
@@ -4451,8 +4545,6 @@ QUERIES: dict[str, Query] = {
     "odt_decode": q_odt_decode,
     "txt_decode": q_txt_decode,
     "adoc_decode": q_adoc_decode,
-    "ods_decode": q_ods_decode,
-    "odp_decode": q_odp_decode,
     "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
@@ -4510,7 +4602,6 @@ QUERIES: dict[str, Query] = {
     "frame_sample": q_frame_sample,
     "cpf_validation": q_cpf_validation,
     "multimodal_decode": q_multimodal_decode,
-    "ann_lsh_multitable": q_ann_lsh_multitable,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
@@ -4543,6 +4634,9 @@ QUERIES: dict[str, Query] = {
     "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
     "jpeg_decode": q_jpeg_decode,
+    # rotated out r5 (green r4; documents.py untouched since)
+    "ods_decode": q_ods_decode,
+    "odp_decode": q_odp_decode,
     "tfidf_top_terms": q_tfidf_top_terms,
 }
 
@@ -4576,6 +4670,7 @@ ORACLES: dict[str, str] = {
     """,
     "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "cdc_bootstrap": _BOOTSTRAP_SQL,
+    "cdc_bulk_replay": _BULK_REPLAY_SQL,
     "docx_decode": _DOCX_SQL,
     "xlsx_decode": _XLSX_SQL,
     "pdf_decode": _PDF_SQL,
