@@ -542,6 +542,10 @@ def sql(
     - **Maintenance**: ``OPTIMIZE t [ZORDER BY (a, b)]`` (sorted or
       Morton-clustered compaction) and ``VACUUM t [RETAIN n SNAPSHOTS]``
       (snapshot expiry + orphan-file sweep) — see `_run_maintenance`.
+    - **DDL on live tables**: ``ALTER TABLE t ADD COLUMNS (...)``
+      (metadata-only additive evolution) and ``ALTER TABLE t SET
+      TBLPROPERTIES ('k'='v', ...)`` (per-table engine knobs, e.g.
+      ``commit.mode='cas'``) — see `_run_alter`.
     """
     if _DML_HEAD.match(query):
         return _run_dml(spark, tables, query)
@@ -712,6 +716,13 @@ _ALTER_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_ALTER_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_PROP_PAIR_RE = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
+
 
 def _run_alter(
     spark: SparkSession, tables: dict[str, LakeTable], query: str
@@ -722,11 +733,35 @@ def _run_alter(
     rows read the new columns back as null. Types parse with Spark's own
     DDL parser, so any Spark SQL type works. Returns the added columns as
     (col_name, data_type) rows."""
+    pm = _ALTER_PROPS_RE.match(query)
+    if pm:
+        # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — Iceberg grammar.
+        # How a user flips per-table engine knobs through the SQL door:
+        # commit.mode='cas' (object-store commit protocol),
+        # stats.bloom.cols, compaction thresholds. Each property lands as
+        # one versioned metadata-only commit (crash-safe, time-travelable
+        # like every other table mutation).
+        name, body = pm.group(1), pm.group(2)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        pairs = []
+        for item in _split_top(body):
+            km = _PROP_PAIR_RE.match(item)
+            if not km:
+                raise ValueError(
+                    f"malformed TBLPROPERTIES entry {item!r} "
+                    "(expected 'key'='value')"
+                )
+            pairs.append((km.group(1), km.group(2)))
+        for k, v in pairs:
+            tables[name].set_property(k, v)
+        return spark.createDataFrame(pairs, "key string, value string")
     m = _ALTER_RE.match(query)
     if not m:
         raise ValueError(
             "unsupported ALTER statement (only ALTER TABLE <t> ADD "
-            f"COLUMNS (name type, ...) is implemented): {query!r}"
+            "COLUMNS (name type, ...) and ALTER TABLE <t> SET "
+            f"TBLPROPERTIES ('k'='v', ...) are implemented): {query!r}"
         )
     name, cols = m.group(1), m.group(2)
     if name not in tables:

@@ -294,3 +294,31 @@ def test_history_metadata_table(spark, sql_table, tmp_path):
     assert {k: v.is_current_ancestor for k, v in hist.items()} == {
         k: v.is_current_ancestor for k, v in direct.items()
     }
+
+
+def test_alter_table_set_tblproperties_sql(spark, sql_table):
+    """ALTER TABLE ... SET TBLPROPERTIES through the SQL door: properties
+    land as versioned metadata commits and immediately steer the engine —
+    commit.mode='cas' switches the table to the lock-free protocol."""
+    res = sql(
+        spark,
+        {"t": sql_table},
+        "ALTER TABLE t SET TBLPROPERTIES ("
+        "'commit.mode'='cas', 'stats.bloom.cols'='conv_id')",
+    ).collect()
+    assert [(r.key, r.value) for r in res] == [
+        ("commit.mode", "cas"), ("stats.bloom.cols", "conv_id"),
+    ]
+    sql_table._refresh()
+    assert sql_table.get_property("commit.mode") == "cas"
+    assert sql_table.commit_mode == "cas"
+    # the next mutation goes through the CAS path and still lands
+    v_before = sql_table._meta["metadata_version"]
+    sql_table.set_property("x", "y")
+    assert sql_table._meta["metadata_version"] > v_before
+    with pytest.raises(ValueError, match="malformed TBLPROPERTIES"):
+        sql(spark, {"t": sql_table},
+            "ALTER TABLE t SET TBLPROPERTIES (commit.mode=cas)")
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table},
+            "ALTER TABLE nope SET TBLPROPERTIES ('a'='b')")
