@@ -151,6 +151,7 @@ def run_ddl(
         DROP TABLE [IF EXISTS] ns.name [PURGE]
         SHOW TABLES
         SHOW CREATE TABLE ns.name
+        SHOW PARTITIONS ns.name
         DESCRIBE [TABLE] ns.name
 
     The column list is the LOGICAL schema; the engine appends its managed
@@ -175,6 +176,10 @@ def run_ddl(
         return spark.createDataFrame(
             [(n,) for n in sorted(names)] or [], "table string"
         )
+
+    m = re.match(r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*$", q, re.I)
+    if m:
+        return lake_sql.partitions_df(spark, catalog.load_table(m.group(1)))
 
     m = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", q, re.I)
     if m:

@@ -546,6 +546,9 @@ def sql(
       (metadata-only additive evolution) and ``ALTER TABLE t SET
       TBLPROPERTIES ('k'='v', ...)`` (per-table engine knobs, e.g.
       ``commit.mode='cas'``) — see `_run_alter`.
+    - **Partition inspection**: ``SHOW PARTITIONS t`` and the
+      ``t.partitions`` metadata table — per-bucket file/byte/row rollup
+      from parquet footers, for spotting bucket skew (`partitions_df`).
     """
     if _DML_HEAD.match(query):
         return _run_dml(spark, tables, query)
@@ -553,6 +556,12 @@ def sql(
         return _run_maintenance(spark, tables, query)
     if re.match(r"^\s*alter\b", query, re.IGNORECASE):
         return _run_alter(spark, tables, query)
+    sp = _SHOW_PARTS_RE.match(query)
+    if sp:
+        name = sp.group(1)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        return partitions_df(spark, tables[name])
 
     def pin_meta(m: re.Match) -> str:
         name, meta = m.group(1), m.group(2).lower()
@@ -672,6 +681,38 @@ def refs_df(spark: SparkSession, table: LakeTable) -> DataFrame:
     return spark.createDataFrame(rows, "name string, snapshot_id long")
 
 
+def partitions_df(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Per-partition rollup of the current snapshot (Iceberg
+    ``table.partitions``): one row per hash bucket with its file count,
+    byte total and PHYSICAL row total (parquet footer counts — includes
+    not-yet-compacted older versions and tombstones, exactly what the
+    files on disk hold). Footer reads only — O(files) metadata I/O, never
+    data rows — the same cost class as `files_df`. The reference exposes
+    per-collection document counts through its admin dashboard
+    (``/root/reference/app/database/repositories.py``); this is the
+    partition-grain analogue used to spot bucket skew before it hurts a
+    MERGE."""
+    import pyarrow.parquet as pq
+
+    snap = table.current_snapshot
+    rows = []
+    for b in sorted(snap.files, key=int):
+        n_files, n_bytes, n_rows = 0, 0, 0
+        for p in snap.files[b]:
+            full = os.path.join(table.root, p)
+            try:
+                n_bytes += os.path.getsize(full)
+                n_rows += pq.ParquetFile(full).metadata.num_rows
+                n_files += 1
+            except OSError:
+                continue  # raced with VACUUM; skip like files_df does
+        rows.append((int(b), n_files, n_bytes, n_rows))
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_files int, size_bytes long, n_rows long",
+    )
+
+
 def history_df(spark: SparkSession, table: LakeTable) -> DataFrame:
     """The table history as a DataFrame (Iceberg ``table.history``): when
     each snapshot was made current, its parent, and whether it is an
@@ -705,9 +746,14 @@ _META_TABLES = {
     "files": files_df,
     "refs": refs_df,
     "history": history_df,
+    "partitions": partitions_df,
 }
 _META_RE = re.compile(
-    r"\b(\w+)\.(snapshots|files|refs|history)\b", re.IGNORECASE
+    r"\b(\w+)\.(snapshots|files|refs|history|partitions)\b", re.IGNORECASE
+)
+
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
 
 

@@ -3107,6 +3107,91 @@ _SQL_EVOLVE_SQL = f"""
 """
 
 
+def q_sql_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition inspection through the SQL door (round 5): ``SHOW
+    PARTITIONS t`` and the ``t.partitions`` metadata table — per-bucket
+    file/byte/row rollup from parquet FOOTERS, the Iceberg
+    ``table.partitions`` analogue a user reaches for to spot bucket skew
+    before it hurts a MERGE. The change stream's LWW winners land via
+    ``INSERT INTO`` on a bucket(4) table, so physical rows == logical
+    rows; the two SQL forms must agree with each other and with the
+    manifest (asserted), and the value-checked surface is the rollup's
+    grand totals, which the oracle derives from the raw parquet alone.
+
+    Result detached via ``_detached`` (parquet spill + lazy read)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.catalog import Catalog
+
+    ch = _derive_changes(spark, sf_dir)
+    win = lww.lww_dedup(ch).filter(F.col("op") != "delete")
+    win.createOrReplaceTempView("parts_src")
+    root = tempfile.mkdtemp(prefix="sqlparts_q_")
+    try:
+        cat = Catalog(f"{root}/cat")
+        cat.sql(
+            spark,
+            "CREATE TABLE raw.notes ("
+            " conv_id string, turn_idx int, role string, text string,"
+            " ts timestamp) PARTITIONED BY (bucket(4, conv_id))"
+            " TBLPROPERTIES ('write.max-records-per-file'='200')",
+        )
+        cat.sql(
+            spark,
+            "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role, text,"
+            " CAST(ts AS TIMESTAMP) FROM parts_src",
+        )
+        shown = {
+            r["bucket"]: (r["n_files"], r["size_bytes"], r["n_rows"])
+            for r in cat.sql(spark, "SHOW PARTITIONS raw.notes").collect()
+        }
+        t = cat.load_table("raw.notes")
+        snap = t.current_snapshot
+        assert set(shown) == {int(b) for b in snap.files}
+        assert all(
+            shown[int(b)][0] == len(fs) for b, fs in snap.files.items()
+        ), "SHOW PARTITIONS file counts must match the manifest"
+        via_meta = {
+            r["bucket"]: (r["n_files"], r["size_bytes"], r["n_rows"])
+            for r in cat.sql(
+                spark,
+                "SELECT bucket, n_files, size_bytes, n_rows"
+                " FROM raw_notes.partitions",
+            ).collect()
+        }
+        assert via_meta == shown, "the two SQL forms must agree"
+        out = _detached(
+            cat.sql(
+                spark,
+                "SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,"
+                " CAST(SUM(n_rows) AS BIGINT) AS total_rows,"
+                " CAST(MIN(n_files) >= 1 AS BOOLEAN) AS every_bucket_has_files,"
+                " CAST(MIN(size_bytes) > 0 AS BOOLEAN) AS every_bucket_has_bytes"
+                " FROM raw_notes.partitions",
+            )
+        )
+        return out
+    finally:
+        spark.catalog.dropTempView("parts_src")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_PARTITIONS_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT CAST(4 AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           TRUE AS every_bucket_has_files,
+           TRUE AS every_bucket_has_bytes
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossless-WebP (VP8L) decode end-to-end, from scratch per RFC
     9649: synthesize spec-valid WebP files whose green channel is entropy-
@@ -4513,7 +4598,9 @@ _ASOF_SQL = """
 #: its last driver-green check sits inside the window — this round (r5)
 #: that is the new zero-IPC bulk-backfill row (cdc_bulk_replay), the
 #: never-driver-checked ann_lsh_multitable (added r4 outside the window),
-#: the new webp_decode/sql_evolve rows, and every row over a module edited
+#: the new webp_decode/sql_evolve/sql_partitions rows (txt_decode rotates
+#: to the tail to make room — green r4, documents.py untouched since),
+#: and every row over a module edited
 #: this round: the lake table (sharded manifests + CAS commits: all
 #: scratch-table cdc/sql/dml/zorder/mview rows), streaming (stateful
 #: late-data fix: stateful_sessions, rate_limit_*), the dispatcher
@@ -4543,7 +4630,6 @@ QUERIES: dict[str, Query] = {
     "md_decode": q_md_decode,
     "pptx_decode": q_pptx_decode,
     "odt_decode": q_odt_decode,
-    "txt_decode": q_txt_decode,
     "adoc_decode": q_adoc_decode,
     "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
@@ -4571,6 +4657,8 @@ QUERIES: dict[str, Query] = {
     "tiff_decode": q_tiff_decode,
     "webp_decode": q_webp_decode,
     "sql_evolve": q_sql_evolve,
+    # new this round: SHOW PARTITIONS / t.partitions metadata table
+    "sql_partitions": q_sql_partitions,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
@@ -4637,6 +4725,7 @@ QUERIES: dict[str, Query] = {
     # rotated out r5 (green r4; documents.py untouched since)
     "ods_decode": q_ods_decode,
     "odp_decode": q_odp_decode,
+    "txt_decode": q_txt_decode,
     "tfidf_top_terms": q_tfidf_top_terms,
 }
 
@@ -4780,6 +4869,7 @@ ORACLES: dict[str, str] = {
     "tiff_decode": _TIFF_SQL,
     "webp_decode": _WEBP_SQL,
     "sql_evolve": _SQL_EVOLVE_SQL,
+    "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,
     "cnpj_validation": _CNPJ_SQL,

@@ -322,3 +322,39 @@ def test_alter_table_set_tblproperties_sql(spark, sql_table):
     with pytest.raises(KeyError):
         sql(spark, {"t": sql_table},
             "ALTER TABLE nope SET TBLPROPERTIES ('a'='b')")
+
+
+def test_partitions_metadata_table(spark, sql_table):
+    """t.partitions / SHOW PARTITIONS: per-bucket rollup agrees with the
+    manifest (file counts) and with the physical rows on disk (footer
+    totals == rows readable from the raw bucket scan)."""
+    from etl_documentos_spark.lake.sql import partitions_df
+
+    parts = {r.bucket: r for r in partitions_df(spark, sql_table).collect()}
+    snap = sql_table.current_snapshot
+    assert set(parts) == {int(b) for b in snap.files}
+    for b, fs in snap.files.items():
+        assert parts[int(b)].n_files == len(fs)
+        assert parts[int(b)].size_bytes > 0
+    # footer row totals == physical rows (raw scan, pre-LWW, per bucket)
+    phys = {
+        b: sql_table.scan(spark, buckets=[b]).count() for b in parts
+    }
+    assert {b: r.n_rows for b, r in parts.items()} == phys
+
+    via_show = {
+        r.bucket: (r.n_files, r.size_bytes, r.n_rows)
+        for r in sql(spark, {"t": sql_table}, "SHOW PARTITIONS t").collect()
+    }
+    assert via_show == {
+        b: (r.n_files, r.size_bytes, r.n_rows) for b, r in parts.items()
+    }
+    # addressable in a FROM clause like the other metadata tables
+    tot = sql(
+        spark,
+        {"t": sql_table},
+        "SELECT SUM(n_rows) AS n FROM t.partitions",
+    ).first()
+    assert tot.n == sum(phys.values())
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "SHOW PARTITIONS nope")
