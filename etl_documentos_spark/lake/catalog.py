@@ -152,6 +152,7 @@ def run_ddl(
         SHOW TABLES
         SHOW CREATE TABLE ns.name
         SHOW PARTITIONS ns.name
+        SHOW TBLPROPERTIES ns.name [('key')]
         DESCRIBE [TABLE] ns.name
 
     The column list is the LOGICAL schema; the engine appends its managed
@@ -180,6 +181,26 @@ def run_ddl(
     m = re.match(r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*$", q, re.I)
     if m:
         return lake_sql.partitions_df(spark, catalog.load_table(m.group(1)))
+
+    m = re.match(
+        r"^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)"
+        r"(?:\s*\(\s*'([^']+)'\s*\))?\s*$",
+        q,
+        re.I,
+    )
+    if m:
+        props = catalog.load_table(m.group(1)).properties
+        key = m.group(2)
+        if key is not None:
+            if key not in props:
+                raise KeyError(
+                    f"table {m.group(1)!r} has no property {key!r}"
+                )
+            props = {key: props[key]}
+        return spark.createDataFrame(
+            [(k, str(v)) for k, v in sorted(props.items())],
+            "key string, value string",
+        )
 
     m = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", q, re.I)
     if m:

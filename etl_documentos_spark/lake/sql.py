@@ -543,12 +543,16 @@ def sql(
       Morton-clustered compaction) and ``VACUUM t [RETAIN n SNAPSHOTS]``
       (snapshot expiry + orphan-file sweep) — see `_run_maintenance`.
     - **DDL on live tables**: ``ALTER TABLE t ADD COLUMNS (...)``
-      (metadata-only additive evolution) and ``ALTER TABLE t SET
-      TBLPROPERTIES ('k'='v', ...)`` (per-table engine knobs, e.g.
-      ``commit.mode='cas'``) — see `_run_alter`.
+      (metadata-only additive evolution), ``RENAME COLUMN a TO b`` and
+      ``DROP COLUMN(S)`` (also metadata-only — historical physical names
+      fold back at scan, retired names cannot be reused), and ``ALTER
+      TABLE t SET TBLPROPERTIES ('k'='v', ...)`` (per-table engine knobs,
+      e.g. ``commit.mode='cas'``) — see `_run_alter`.
     - **Partition inspection**: ``SHOW PARTITIONS t`` and the
       ``t.partitions`` metadata table — per-bucket file/byte/row rollup
       from parquet footers, for spotting bucket skew (`partitions_df`).
+    - **Property inspection**: ``SHOW TBLPROPERTIES t [('key')]`` — the
+      read half of ``SET TBLPROPERTIES``, straight off current metadata.
     """
     if _DML_HEAD.match(query):
         return _run_dml(spark, tables, query)
@@ -562,6 +566,22 @@ def sql(
         if name not in tables:
             raise KeyError(f"unknown table {name!r}")
         return partitions_df(spark, tables[name])
+    pp = _SHOW_PROPS_RE.match(query)
+    if pp:
+        # SHOW TBLPROPERTIES t [('key')] — the read half of SET
+        # TBLPROPERTIES, straight off current metadata (no data I/O).
+        name, key = pp.group(1), pp.group(2)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        props = tables[name].properties
+        if key is not None:
+            if key not in props:
+                raise KeyError(f"table {name!r} has no property {key!r}")
+            props = {key: props[key]}
+        return spark.createDataFrame(
+            [(k, str(v)) for k, v in sorted(props.items())],
+            "key string, value string",
+        )
 
     def pin_meta(m: re.Match) -> str:
         name, meta = m.group(1), m.group(2).lower()
@@ -756,10 +776,26 @@ _SHOW_PARTS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*$", re.IGNORECASE
 )
 
+_SHOW_PROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+(\w+)"
+    r"(?:\s*\(\s*'([^']+)'\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s+\(?\s*([\w\s,]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 _ALTER_PROPS_RE = re.compile(
@@ -802,11 +838,34 @@ def _run_alter(
         for k, v in pairs:
             tables[name].set_property(k, v)
         return spark.createDataFrame(pairs, "key string, value string")
+    rm = _ALTER_RENAME_RE.match(query)
+    if rm:
+        # ALTER TABLE t RENAME COLUMN a TO b — Iceberg grammar. One
+        # metadata-only commit; pre-rename files keep the old physical
+        # name and scan folds it back (see LakeTable.rename_column).
+        name, old, new = rm.group(1), rm.group(2), rm.group(3)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        tables[name].rename_column(old, new)
+        return spark.createDataFrame(
+            [(old, new)], "from_name string, to_name string"
+        )
+    dm = _ALTER_DROP_RE.match(query)
+    if dm:
+        # ALTER TABLE t DROP COLUMN a / DROP COLUMNS (a, b) — one
+        # metadata-only commit, zero rewrite; the orphaned bytes leave
+        # old files at the next natural compaction.
+        name = dm.group(1)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        cols = [c.strip() for c in dm.group(2).split(",") if c.strip()]
+        tables[name].drop_columns(cols)
+        return spark.createDataFrame([(c,) for c in cols], "col_name string")
     m = _ALTER_RE.match(query)
     if not m:
         raise ValueError(
-            "unsupported ALTER statement (only ALTER TABLE <t> ADD "
-            "COLUMNS (name type, ...) and ALTER TABLE <t> SET "
+            "unsupported ALTER statement (only ADD COLUMNS (name type, "
+            "...), DROP COLUMN(S), RENAME COLUMN a TO b and SET "
             f"TBLPROPERTIES ('k'='v', ...) are implemented): {query!r}"
         )
     name, cols = m.group(1), m.group(2)

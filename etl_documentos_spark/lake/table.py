@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -977,7 +978,30 @@ class LakeTable:
                 files.append(os.path.join(self.root, p))
         if not files:
             return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(*files)
+        ren = self._meta.get("renamed_columns", {})
+        live = {f.name for f in self.schema.fields}
+        ren = {k: v for k, v in ren.items() if k in live}
+        if not ren:
+            return spark.read.schema(self.schema).parquet(*files)
+        # Renamed columns: files written before the rename physically hold
+        # a historical name. Read with a widened schema carrying every
+        # historical name (nullable, same type — each file has exactly ONE
+        # of the names physically, the rest surface as null), then fold
+        # them back with coalesce. One extra projection, only when a
+        # rename exists; rename itself stays metadata-only, zero rewrite.
+        cur = self.schema
+        read_fields = list(cur.fields)
+        for new, hist in ren.items():
+            dt = cur[new].dataType
+            read_fields.extend(T.StructField(h, dt, True) for h in hist)
+        df = spark.read.schema(T.StructType(read_fields)).parquet(*files)
+        cols = [
+            F.coalesce(F.col(f.name), *[F.col(h) for h in reversed(ren[f.name])]).alias(f.name)
+            if f.name in ren
+            else F.col(f.name)
+            for f in cur.fields
+        ]
+        return df.select(*cols)
 
     @staticmethod
     def _stats_overlap(st: dict | None, prune: dict[str, tuple]) -> bool:
@@ -2191,6 +2215,11 @@ class LakeTable:
         """Read one table property from current metadata (no refresh)."""
         return self._meta["properties"].get(key, default)
 
+    @property
+    def properties(self) -> dict:
+        """All table properties (a copy) from current metadata."""
+        return dict(self._meta["properties"])
+
     def set_property(self, key: str, value) -> None:
         """Set one table property as a metadata-only commit (Iceberg
         ``ALTER TABLE ... SET TBLPROPERTIES``). Used by derived-table
@@ -2262,10 +2291,20 @@ class LakeTable:
             added = [f for f in fields if f.name not in existing]
             if not added:
                 return
+            retired = self._retired_names()
             for f in added:
                 if not f.nullable:
                     raise ValueError(
                         f"added column {f.name} must be nullable"
+                    )
+                if f.name in retired:
+                    # name-based mapping (no Iceberg field ids): reusing a
+                    # dropped/renamed-away name would resurrect the stale
+                    # values still physically present in old data files
+                    raise ValueError(
+                        f"column name {f.name!r} was previously dropped or "
+                        "renamed away; reusing it would resurrect stale "
+                        "values from pre-evolution data files"
                     )
             new_schema = T.StructType(list(cur.fields) + added)
             self._meta["schema"] = new_schema.jsonValue()
@@ -2273,6 +2312,120 @@ class LakeTable:
             self._next_snapshot(
                 "add-columns",
                 {"added": [f.name for f in added]},
+                self.current_snapshot.files,
+            )
+        return self._commit_txn(_txn)
+
+    def _retired_names(self) -> set[str]:
+        """Column names no longer addressable but possibly still physically
+        present in pre-evolution data files: dropped columns plus every
+        historical name of a renamed column. New columns must not reuse
+        them (name-based mapping has no field ids to disambiguate)."""
+        out = set(self._meta.get("dropped_columns", []))
+        for hist in self._meta.get("renamed_columns", {}).values():
+            out.update(hist)
+        return out
+
+    def _protected_columns(self) -> set[str]:
+        """Columns structural to the engine: the partition source column
+        and the underscore-prefixed system columns (``_deleted``/``_lsn``
+        carry the merge/tombstone semantics)."""
+        return {self.bucket_col} | {
+            f.name for f in self.schema.fields if f.name.startswith("_")
+        }
+
+    def drop_columns(self, names: list[str]) -> None:
+        """Drop columns: metadata-only, ZERO data files touched.
+
+        The dropped column simply leaves the table schema; `scan` reads
+        with an explicit schema, so the parquet reader never materializes
+        the orphaned physical column again (Iceberg ``ALTER TABLE ... DROP
+        COLUMN`` read semantics — the bytes stay in old files until
+        compaction naturally rewrites them out). The name is retired
+        permanently: re-adding it would silently resurrect the stale
+        values in pre-drop files, so `add_columns` rejects retired names.
+        Partition-source and system columns cannot be dropped.
+
+        Reference behavior analogue: schema pruning on the extraction
+        side, ``/root/reference/app/core/document_tracking.py:127-137``
+        (fields removed from the required set stop being read, stored
+        rows are not rewritten)."""
+        def _txn():
+            cur = self.schema
+            have = {f.name for f in cur.fields}
+            missing = [n for n in names if n not in have]
+            if missing:
+                raise KeyError(f"no such column(s): {missing}")
+            bad = sorted(set(names) & self._protected_columns())
+            if bad:
+                raise ValueError(
+                    f"cannot drop partition/system column(s): {bad}"
+                )
+            drop = set(names)
+            new_schema = T.StructType(
+                [f for f in cur.fields if f.name not in drop]
+            )
+            retired = self._meta.setdefault("dropped_columns", [])
+            ren = self._meta.setdefault("renamed_columns", {})
+            for n in names:
+                # a dropped renamed column retires its whole name history
+                retired.extend(ren.pop(n, []))
+                retired.append(n)
+            self._meta["schema"] = new_schema.jsonValue()
+            self._meta["schema_version"] += 1
+            self._next_snapshot(
+                "drop-columns",
+                {"dropped": sorted(drop)},
+                self.current_snapshot.files,
+            )
+        return self._commit_txn(_txn)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column: metadata-only, ZERO data files touched.
+
+        Files written before the rename keep the old physical name;
+        `scan` widens its read schema with the historical names and folds
+        them back via ``coalesce`` (each file physically holds exactly one
+        of the names, so the fold is exact). Chained renames accumulate
+        the history (a->b->c reads all three physical names). The new
+        name must be globally fresh — not live, not dropped, not a prior
+        historical name — because name-based mapping cannot disambiguate
+        a reused name from the stale bytes in old files. Partition-source
+        and system columns cannot be renamed (the bucket transform and
+        merge semantics are bound to their names)."""
+        def _txn():
+            cur = self.schema
+            have = {f.name for f in cur.fields}
+            if old not in have:
+                raise KeyError(f"no such column: {old!r}")
+            if old in self._protected_columns():
+                raise ValueError(
+                    f"cannot rename partition/system column {old!r}"
+                )
+            if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", new):
+                raise ValueError(f"invalid column name {new!r}")
+            if new in have or new in self._retired_names():
+                raise ValueError(
+                    f"column name {new!r} already in use (live, dropped, "
+                    "or historical)"
+                )
+            new_schema = T.StructType(
+                [
+                    T.StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in cur.fields
+                ]
+            )
+            ren = self._meta.setdefault("renamed_columns", {})
+            hist = ren.pop(old, [])
+            hist.append(old)
+            ren[new] = hist
+            self._meta["schema"] = new_schema.jsonValue()
+            self._meta["schema_version"] += 1
+            self._next_snapshot(
+                "rename-column",
+                {"from": old, "to": new},
                 self.current_snapshot.files,
             )
         return self._commit_txn(_txn)

@@ -3010,14 +3010,18 @@ _PNG_SQL = """
 
 
 def q_sql_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution through the SQL door: ``ALTER TABLE ... ADD
-    COLUMNS`` (Iceberg grammar) on a live table is ONE metadata-only
-    commit — zero data files rewritten (asserted against the manifest and
-    against the ``history`` metadata table, also new this round) — after
-    which old rows read the new columns back as null and new inserts fill
-    them. The value-checked surface is the final SELECT mixing pre- and
-    post-evolution rows; the DuckDB oracle derives the same rows from the
-    raw parquet."""
+    """The FULL schema-evolution family through the SQL door, every step
+    metadata-only (zero data files rewritten, asserted against the
+    manifest): ``ALTER TABLE ... ADD COLUMNS`` (old rows read the new
+    columns back as null, new inserts fill them), ``RENAME COLUMN``
+    (pre-rename files keep the old physical name; scan folds it back via
+    the historical-name coalesce — Iceberg rename semantics without field
+    ids), and ``DROP COLUMN`` (the column leaves the schema; orphaned
+    bytes stay in old files until natural compaction). The value-checked
+    surface is the final SELECT spanning rows written under THREE schema
+    versions — pre-evolution, post-ADD (physical name ``review_tag``) and
+    post-RENAME (physical name ``quality_tag``); the DuckDB oracle
+    derives the same rows from the raw parquet."""
     import shutil
     import tempfile
 
@@ -3074,13 +3078,40 @@ def q_sql_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(ts AS TIMESTAMP),"
             " CAST(lsn % 97 AS DOUBLE) / 97.0,"
             " concat('tag-', CAST(turn_idx % 5 AS STRING))"
-            " FROM evolve_src WHERE turn_idx >= 10",
+            " FROM evolve_src WHERE turn_idx >= 10 AND turn_idx < 15",
+        )
+        t = cat.load_table("raw.notes")
+        files_mid = {
+            p for fs in t.current_snapshot.files.values() for p in fs
+        }
+        cat.sql(
+            spark,
+            "ALTER TABLE raw_notes RENAME COLUMN review_tag TO quality_tag",
+        )
+        cat.sql(spark, "ALTER TABLE raw_notes DROP COLUMN tool_latency_ms")
+        t = cat.load_table("raw.notes")
+        assert {
+            p for fs in t.current_snapshot.files.values() for p in fs
+        } == files_mid, "rename/drop must rewrite nothing"
+        assert [f.name for f in t.schema.fields if not f.name.startswith("_")] == [
+            "conv_id", "turn_idx", "role", "text", "ts", "quality_tag",
+        ]
+        # rows written under the THIRD schema version carry the new
+        # physical name; the final scan folds all three generations
+        cat.sql(
+            spark,
+            "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts,"
+            " quality_tag)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role, text,"
+            " CAST(ts AS TIMESTAMP),"
+            " concat('tag-', CAST(turn_idx % 5 AS STRING))"
+            " FROM evolve_src WHERE turn_idx >= 15",
         )
         out = _detached(
             cat.sql(
                 spark,
                 "SELECT conv_id, turn_idx, role, text, ts,"
-                " tool_latency_ms, review_tag FROM raw_notes",
+                " quality_tag FROM raw_notes",
             )
         )
         return out
@@ -3099,10 +3130,8 @@ _SQL_EVOLVE_SQL = f"""
     win AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
     SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, ts,
            CASE WHEN turn_idx >= 10
-                THEN CAST(lsn % 97 AS DOUBLE) / 97.0 END AS tool_latency_ms,
-           CASE WHEN turn_idx >= 10
                 THEN concat('tag-', CAST(turn_idx % 5 AS VARCHAR))
-           END AS review_tag
+           END AS quality_tag
     FROM win
 """
 

@@ -129,8 +129,19 @@ def test_catalog_ddl_lifecycle(spark, tmp_path):
     assert desc["conv_id"] == "string" and desc["turn_idx"] == "int"
     assert "_lsn" not in desc and "_deleted" not in desc  # engine-managed
     assert desc["bucket"] == "bucket(4, conv_id)"
-    # the created table honors TBLPROPERTIES
+    # the created table honors TBLPROPERTIES, readable back via SHOW
     assert cat.load_table("raw.notes").stat_cols() == ["conv_id", "ts"]
+    props = {
+        r["key"]: r["value"]
+        for r in cat.sql(spark, "SHOW TBLPROPERTIES raw.notes").collect()
+    }
+    assert props["stats.cols"] == "conv_id,ts"
+    one = cat.sql(
+        spark, "SHOW TBLPROPERTIES raw.notes ('stats.cols')"
+    ).collect()
+    assert [(r["key"], r["value"]) for r in one] == [
+        ("stats.cols", "conv_id,ts")
+    ]
 
     # the new table is writable/readable through the same SQL door
     cat.sql(

@@ -358,3 +358,101 @@ def test_partitions_metadata_table(spark, sql_table):
     assert tot.n == sum(phys.values())
     with pytest.raises(KeyError):
         sql(spark, {"t": sql_table}, "SHOW PARTITIONS nope")
+
+
+def test_show_tblproperties_sql(spark, sql_table):
+    """SHOW TBLPROPERTIES is the read half of SET TBLPROPERTIES."""
+    sql(
+        spark,
+        {"t": sql_table},
+        "ALTER TABLE t SET TBLPROPERTIES"
+        " ('commit.mode'='cas', 'write.compression'='zstd')",
+    )
+    rows = {
+        r.key: r.value
+        for r in sql(
+            spark, {"t": sql_table}, "SHOW TBLPROPERTIES t"
+        ).collect()
+    }
+    assert rows["commit.mode"] == "cas"
+    assert rows["write.compression"] == "zstd"
+    one = sql(
+        spark, {"t": sql_table}, "SHOW TBLPROPERTIES t ('commit.mode')"
+    ).collect()
+    assert [(r.key, r.value) for r in one] == [("commit.mode", "cas")]
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "SHOW TBLPROPERTIES t ('nope')")
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "SHOW TBLPROPERTIES nope")
+
+
+def test_rename_and_drop_column_sql(spark, sql_table):
+    """RENAME COLUMN / DROP COLUMN are metadata-only (zero files touched);
+    pre-rename files keep the old physical name and scan folds it back."""
+    from pyspark.sql import types as T
+
+    def live_files(t):
+        return {p for fs in t.current_snapshot.files.values() for p in fs}
+
+    files0 = live_files(sql_table)
+    orig = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in read_current(spark, sql_table).collect()
+    }
+    out = sql(
+        spark, {"t": sql_table}, "ALTER TABLE t RENAME COLUMN text TO body"
+    ).collect()
+    assert [(r.from_name, r.to_name) for r in out] == [("text", "body")]
+    assert live_files(sql_table) == files0, "rename must rewrite nothing"
+    got = {
+        (r.conv_id, r.turn_idx): r.body
+        for r in read_current(spark, sql_table).collect()
+    }
+    assert got == orig  # historical physical name folds back exactly
+
+    # post-rename writes use the NEW physical name; scan mixes both
+    sql(
+        spark,
+        {"t": sql_table},
+        "INSERT INTO t (conv_id, turn_idx, role, body, ts) VALUES"
+        " ('conv_new', 99, 'user', 'fresh row',"
+        " TIMESTAMP '2024-02-01 00:00:00')",
+    )
+    rows = sql(
+        spark,
+        {"t": sql_table},
+        "SELECT body FROM t WHERE conv_id = 'conv_new'",
+    ).collect()
+    assert [r.body for r in rows] == ["fresh row"]
+
+    files1 = live_files(sql_table)
+    dropped = sql(
+        spark, {"t": sql_table}, "ALTER TABLE t DROP COLUMN tool"
+    ).collect()
+    assert [r.col_name for r in dropped] == ["tool"]
+    assert live_files(sql_table) == files1, "drop must rewrite nothing"
+    assert "tool" not in read_current(spark, sql_table).columns
+    n = sql(spark, {"t": sql_table}, "SELECT count(*) AS n FROM t").first().n
+    assert n == len(orig) + 1
+
+    # retired names cannot be resurrected (name-based mapping, no field ids)
+    with pytest.raises(ValueError):
+        sql_table.add_columns([T.StructField("tool", T.StringType(), True)])
+    with pytest.raises(ValueError):
+        sql_table.add_columns([T.StructField("text", T.StringType(), True)])
+    with pytest.raises(ValueError):
+        sql_table.rename_column("role", "body")  # live name
+    with pytest.raises(ValueError):
+        sql_table.rename_column("conv_id", "cid")  # partition column
+    with pytest.raises(ValueError):
+        sql_table.drop_columns(["_lsn"])  # system column
+    with pytest.raises(KeyError):
+        sql_table.drop_columns(["nope"])
+    # chained rename keeps the whole name history readable
+    sql(spark, {"t": sql_table}, "ALTER TABLE t RENAME COLUMN body TO content")
+    got2 = {
+        (r.conv_id, r.turn_idx): r.content
+        for r in read_current(spark, sql_table).collect()
+        if r.conv_id != "conv_new"
+    }
+    assert got2 == orig
