@@ -46,7 +46,7 @@ def current_view(
 #: DML statements are dispatched onto `operators.dml` instead of Spark SQL
 #: (temp views are not writable targets)
 _DML_HEAD = re.compile(r"^\s*(delete|update|insert|merge)\b", re.IGNORECASE)
-_MAINT_HEAD = re.compile(r"^\s*(optimize|vacuum)\b", re.IGNORECASE)
+_MAINT_HEAD = re.compile(r"^\s*(optimize|vacuum|restore)\b", re.IGNORECASE)
 
 #: Iceberg-style time travel: ``FROM t VERSION AS OF 3`` (snapshot id) or
 #: ``FROM t VERSION AS OF 'tag'`` (named ref). Rewritten onto pinned views.
@@ -494,6 +494,38 @@ def _run_maintenance(
             "files_before long, files_after long",
         )
     m = re.match(
+        r"^\s*RESTORE\s+TABLE\s+(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+"
+        r"(\d+|'[^']+')\s*$",
+        q,
+        re.I,
+    )
+    if m:
+        # RESTORE TABLE t [TO] VERSION AS OF <snapshot_id|'tag'> — the
+        # bad-data recovery statement (Delta RESTORE / Iceberg
+        # rollback_to_snapshot). Appends a NEW `rollback` snapshot whose
+        # manifest copies the target's: metadata-only, nothing deleted,
+        # history preserved, so the restore itself is time-travelable and
+        # VACUUM still governs what old files actually expire.
+        name, token = m.group(1), m.group(2)
+        if name not in tables:
+            raise KeyError(f"no such table {name!r}")
+        table = tables[name]
+        if token.startswith("'"):
+            refs = table.refs
+            r = token.strip("'")
+            if r not in refs:
+                raise KeyError(f"no ref {r!r} on table {name!r}")
+            target = refs[r]
+        else:
+            target = int(token)
+        table.rollback(target)
+        table._refresh()
+        return spark.createDataFrame(
+            [(name, "restore", target, table.current_snapshot.snapshot_id)],
+            "table string, operation string, restored_to long, "
+            "snapshot_id long",
+        )
+    m = re.match(
         r"^\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", q, re.I
     )
     if m:
@@ -552,7 +584,13 @@ def sql(
       ``t.partitions`` metadata table — per-bucket file/byte/row rollup
       from parquet footers, for spotting bucket skew (`partitions_df`).
     - **Property inspection**: ``SHOW TBLPROPERTIES t [('key')]`` — the
-      read half of ``SET TBLPROPERTIES``, straight off current metadata.
+      read half of ``SET TBLPROPERTIES`` — and ``ALTER TABLE t UNSET
+      TBLPROPERTIES [IF EXISTS] ('k', ...)``, its inverse.
+    - **Recovery**: ``RESTORE TABLE t [TO] VERSION AS OF <id|'tag'>`` —
+      appends a metadata-only ``rollback`` snapshot copying the target's
+      manifest (Delta RESTORE / Iceberg rollback_to_snapshot): history is
+      preserved, the restore itself is time-travelable, and subsequent
+      commits build on the restored state.
     """
     if _DML_HEAD.match(query):
         return _run_dml(spark, tables, query)
@@ -803,6 +841,12 @@ _ALTER_PROPS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_ALTER_UNSET_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*"
+    r"(IF\s+EXISTS\s+)?\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _PROP_PAIR_RE = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
 
 
@@ -815,6 +859,21 @@ def _run_alter(
     rows read the new columns back as null. Types parse with Spark's own
     DDL parser, so any Spark SQL type works. Returns the added columns as
     (col_name, data_type) rows."""
+    um = _ALTER_UNSET_RE.match(query)
+    if um:
+        # ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...) — the
+        # inverse of SET, one metadata-only commit; unknown keys raise
+        # unless IF EXISTS (Spark/Iceberg grammar).
+        name, if_exists, body = um.group(1), bool(um.group(2)), um.group(3)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        keys = [
+            k.strip().strip("'") for k in body.split(",") if k.strip()
+        ]
+        removed = tables[name].remove_properties(keys, if_exists=if_exists)
+        return spark.createDataFrame(
+            [(k,) for k in removed], "key string"
+        )
     pm = _ALTER_PROPS_RE.match(query)
     if pm:
         # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — Iceberg grammar.
@@ -865,8 +924,9 @@ def _run_alter(
     if not m:
         raise ValueError(
             "unsupported ALTER statement (only ADD COLUMNS (name type, "
-            "...), DROP COLUMN(S), RENAME COLUMN a TO b and SET "
-            f"TBLPROPERTIES ('k'='v', ...) are implemented): {query!r}"
+            "...), DROP COLUMN(S), RENAME COLUMN a TO b, SET "
+            "TBLPROPERTIES ('k'='v', ...) and UNSET TBLPROPERTIES "
+            f"[IF EXISTS] ('k', ...) are implemented): {query!r}"
         )
     name, cols = m.group(1), m.group(2)
     if name not in tables:

@@ -2232,6 +2232,30 @@ class LakeTable:
             self._write_metadata()
         return self._commit_txn(_txn)
 
+    def remove_properties(
+        self, keys: list[str], if_exists: bool = False
+    ) -> list[str]:
+        """Remove table properties as one metadata-only commit (Iceberg
+        ``ALTER TABLE ... UNSET TBLPROPERTIES``). Returns the keys actually
+        removed; unknown keys raise unless ``if_exists``."""
+        removed: list[str] = []
+
+        def _txn():
+            removed.clear()  # _commit_txn may retry the body on conflict
+            props = self._meta["properties"]
+            missing = [k for k in keys if k not in props]
+            if missing and not if_exists:
+                raise KeyError(f"no such table propert(ies): {missing}")
+            for k in keys:
+                if k in props:
+                    del props[k]
+                    removed.append(k)
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+
+        self._commit_txn(_txn)
+        return removed
+
     def remove_orphan_files(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files on disk that NO snapshot references.
 

@@ -832,6 +832,74 @@ _SQL_TIME_TRAVEL_SQL = """
 """
 
 
+def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-data recovery through the SQL door: tranche 1 merges and is
+    tagged ``clean``; tranche 2 (the "incident" load) merges after.
+    ``RESTORE TABLE t TO VERSION AS OF 'clean'`` then appends ONE
+    metadata-only ``rollback`` snapshot whose manifest copies the tag's —
+    asserted file-identical, zero data rewritten, history preserved (Delta
+    RESTORE / Iceberg rollback_to_snapshot). A corrective DELETE after the
+    restore proves subsequent commits build on the restored state. The
+    value-checked surface is per-conversation counts over the final state;
+    the oracle re-derives it as LWW winners of tranche 1 minus the deleted
+    slice — tranche 2 must have vanished completely."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake import sql as lake_sql
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import merge_into, physical_schema
+
+    ch = _derive_changes(spark, sf_dir)
+    thr = int(ch.agg(F.max("lsn")).first()[0]) * 3 // 5
+    root = tempfile.mkdtemp(prefix="sqlrestore_q_")
+    try:
+        table = LakeTable.create(
+            f"{root}/transcripts", physical_schema(_narrow_schema(ch)),
+            num_buckets=8,
+        )
+        merge_into(spark, table, ch.filter(F.col("lsn") < thr))
+        table.tag("clean")
+        tag_snap = next(
+            s for s in table.snapshots
+            if s.snapshot_id == table.refs["clean"]
+        )
+        merge_into(spark, table, ch.filter(F.col("lsn") >= thr))
+        t = LakeTable.load(table.root)
+        lake_sql.sql(
+            spark, {"t": t}, "RESTORE TABLE t TO VERSION AS OF 'clean'"
+        )
+        t._refresh()
+        assert t.current_snapshot.operation == "rollback"
+        assert t.current_snapshot.files == tag_snap.files, (
+            "restore must be a metadata-only manifest copy"
+        )
+        lake_sql.sql(spark, {"t": t}, "DELETE FROM t WHERE turn_idx % 7 = 3")
+        out = lake_sql.sql(
+            spark, {"t": LakeTable.load(table.root)},
+            "SELECT conv_id, count(*) AS n_turns,"
+            " max(turn_idx) AS max_turn"
+            " FROM t GROUP BY conv_id",
+        )
+        return _detached(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_RESTORE_SQL = """
+    WITH ch AS ({derive}),
+    thr AS (SELECT (max(lsn) * 3) // 5 AS v FROM ch),
+    win AS (
+      SELECT conv_id, turn_idx, op FROM (
+        SELECT conv_id, turn_idx, op, row_number() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM ch, thr WHERE lsn < thr.v) x
+      WHERE rn = 1 AND op <> 'delete')
+    SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn
+    FROM win WHERE turn_idx % 7 <> 3 GROUP BY conv_id
+"""
+
+
 def q_mview_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained materialized view through the real lake
     machinery: three change tranches are MOR-appended to a scratch source
@@ -4650,16 +4718,19 @@ QUERIES: dict[str, Query] = {
     # never driver-checked (added r4 outside the window) -> window
     "ann_lsh_multitable": q_ann_lsh_multitable,
     "docx_decode": q_docx_decode,
-    "xlsx_decode": q_xlsx_decode,
-    "pdf_decode": q_pdf_decode,
-    "csv_decode": q_csv_decode,
-    "html_decode": q_html_decode,
-    "rtf_decode": q_rtf_decode,
-    "xml_decode": q_xml_decode,
-    "md_decode": q_md_decode,
-    "pptx_decode": q_pptx_decode,
-    "odt_decode": q_odt_decode,
-    "adoc_decode": q_adoc_decode,
+    # sources/multimodal.py gained the WebP codec this round, so every
+    # row exercising that module re-proves in the driver window (the
+    # rotation rule); the documents/markup decode rows it displaces were
+    # driver-green in r4 and their modules are untouched since
+    "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
+    "multimodal_decode": q_multimodal_decode,
+    "gif_decode": q_gif_decode,
+    "gif_frame_sample": q_gif_frame_sample,
+    "bmp_decode": q_bmp_decode,
+    "png_decode": q_png_decode,
+    "wav_decode": q_wav_decode,
+    "jpeg_decode": q_jpeg_decode,
     "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
@@ -4668,6 +4739,8 @@ QUERIES: dict[str, Query] = {
     "sql_merge": q_sql_merge,
     "sql_changes": q_sql_changes,
     "sql_time_travel": q_sql_time_travel,
+    # new this round: RESTORE TABLE (rollback through the SQL door)
+    "sql_restore": q_sql_restore,
     "pii_redaction": q_pii_redaction,
     "cdc_replication": q_cdc_replication,
     "stateful_sessions": q_stateful_sessions,
@@ -4715,10 +4788,11 @@ QUERIES: dict[str, Query] = {
     "quality_scores": q_quality_scores,
     "llm_cost_report": q_llm_cost_report,
     "extract_patterns": q_extract_patterns,
-    "multimodal_meta": q_multimodal_meta,
-    "frame_sample": q_frame_sample,
+    # rotated out r5 (green r4; documents.py/markup.py untouched since)
+    "xlsx_decode": q_xlsx_decode,
+    "pdf_decode": q_pdf_decode,
     "cpf_validation": q_cpf_validation,
-    "multimodal_decode": q_multimodal_decode,
+    "csv_decode": q_csv_decode,
     "null_audit": q_null_audit,
     "tumbling_windows": q_tumbling_windows,
     "cube_orders": q_cube_orders,
@@ -4729,8 +4803,8 @@ QUERIES: dict[str, Query] = {
     "conversation_timeline": q_conversation_timeline,
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
-    "gif_decode": q_gif_decode,
-    "gif_frame_sample": q_gif_frame_sample,
+    "html_decode": q_html_decode,
+    "rtf_decode": q_rtf_decode,
     "near_dup_jaccard": q_near_dup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
@@ -4747,10 +4821,11 @@ QUERIES: dict[str, Query] = {
     "adaptive_classifier": q_adaptive_classifier,
     "near_dup_embedding_lsh": q_near_dup_embedding_lsh,
     "salted_rollup": q_salted_rollup,
-    "bmp_decode": q_bmp_decode,
-    "png_decode": q_png_decode,
-    "wav_decode": q_wav_decode,
-    "jpeg_decode": q_jpeg_decode,
+    "xml_decode": q_xml_decode,
+    "md_decode": q_md_decode,
+    "pptx_decode": q_pptx_decode,
+    "odt_decode": q_odt_decode,
+    "adoc_decode": q_adoc_decode,
     # rotated out r5 (green r4; documents.py untouched since)
     "ods_decode": q_ods_decode,
     "odp_decode": q_odp_decode,
@@ -4811,6 +4886,7 @@ ORACLES: dict[str, str] = {
     "sql_merge": _SQL_MERGE_SQL,
     "sql_changes": _SQL_CHANGES_SQL,
     "sql_time_travel": _SQL_TIME_TRAVEL_SQL.format(derive=_DERIVE_SQL),
+    "sql_restore": _SQL_RESTORE_SQL.format(derive=_DERIVE_SQL),
     "pii_redaction": _PII_SQL,
     "cdc_replication": _REPLICATION_SQL,
     "stateful_sessions": _STATEFUL_SESSIONS_SQL,

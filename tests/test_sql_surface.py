@@ -456,3 +456,92 @@ def test_rename_and_drop_column_sql(spark, sql_table):
         if r.conv_id != "conv_new"
     }
     assert got2 == orig
+
+
+def test_restore_table_sql(spark, sql_table):
+    """RESTORE TABLE appends a metadata-only rollback snapshot; the bad
+    DML vanishes from the current view but stays in history."""
+    before = {
+        (r.conv_id, r.turn_idx)
+        for r in read_current(spark, sql_table).collect()
+    }
+    v0 = sql_table.current_snapshot.snapshot_id
+    sql_table.tag("good", v0)
+
+    # the "incident": a destructive DELETE plus a bad insert
+    sql(spark, {"t": sql_table}, "DELETE FROM t WHERE conv_id = 'conv_1'")
+    sql(
+        spark,
+        {"t": sql_table},
+        "INSERT INTO t (conv_id, turn_idx, role, text, ts) VALUES"
+        " ('conv_bad', 1, 'bot', 'oops', TIMESTAMP '2024-03-01 00:00:00')",
+    )
+    mid = {
+        (r.conv_id, r.turn_idx)
+        for r in read_current(spark, sql_table).collect()
+    }
+    assert ("conv_bad", 1) in mid and not any(
+        c == "conv_1" for c, _ in mid
+    )
+
+    out = sql(
+        spark, {"t": sql_table},
+        f"RESTORE TABLE t TO VERSION AS OF {v0}",
+    ).collect()
+    assert [(r.table, r.operation, r.restored_to) for r in out] == [
+        ("t", "restore", v0)
+    ]
+    after = {
+        (r.conv_id, r.turn_idx)
+        for r in read_current(spark, sql_table).collect()
+    }
+    assert after == before
+    # history preserved: the rollback is a NEW snapshot, nothing deleted
+    ops = [s.operation for s in sql_table.snapshots]
+    assert ops[-1] == "rollback"
+    assert sql_table.current_snapshot.snapshot_id > v0
+    # the incident state is still time-travelable (snapshot before restore)
+    bad_id = sql_table.snapshots[-2].snapshot_id
+    n_bad = sql(
+        spark, {"t": sql_table},
+        f"SELECT count(*) AS n FROM t VERSION AS OF {bad_id}"
+        " WHERE conv_id = 'conv_bad'",
+    ).first().n
+    assert n_bad == 1
+
+    # restore by tag, without the optional TO
+    sql(spark, {"t": sql_table}, "RESTORE TABLE t VERSION AS OF 'good'")
+    assert {
+        (r.conv_id, r.turn_idx)
+        for r in read_current(spark, sql_table).collect()
+    } == before
+
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "RESTORE TABLE t VERSION AS OF 'nope'")
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "RESTORE TABLE t VERSION AS OF 999999")
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "RESTORE TABLE nope VERSION AS OF 1")
+
+
+def test_unset_tblproperties_sql(spark, sql_table):
+    sql(
+        spark,
+        {"t": sql_table},
+        "ALTER TABLE t SET TBLPROPERTIES ('a'='1', 'b'='2', 'c'='3')",
+    )
+    out = sql(
+        spark, {"t": sql_table},
+        "ALTER TABLE t UNSET TBLPROPERTIES ('a', 'b')",
+    ).collect()
+    assert sorted(r.key for r in out) == ["a", "b"]
+    props = sql_table.properties
+    assert "a" not in props and "b" not in props and props["c"] == "3"
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "ALTER TABLE t UNSET TBLPROPERTIES ('a')")
+    out = sql(
+        spark, {"t": sql_table},
+        "ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('a', 'c')",
+    ).collect()
+    assert [r.key for r in out] == ["c"]
+    assert "c" not in sql_table.properties
