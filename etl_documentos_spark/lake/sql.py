@@ -586,6 +586,10 @@ def sql(
     - **Property inspection**: ``SHOW TBLPROPERTIES t [('key')]`` — the
       read half of ``SET TBLPROPERTIES`` — and ``ALTER TABLE t UNSET
       TBLPROPERTIES [IF EXISTS] ('k', ...)``, its inverse.
+    - **Refs**: ``ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF
+      VERSION n]`` / ``DROP TAG name`` — named snapshot pins that
+      ``VERSION AS OF``, ``CHANGES BETWEEN``, ``RESTORE`` and ``VACUUM``
+      (tags never expire) all honor.
     - **Recovery**: ``RESTORE TABLE t [TO] VERSION AS OF <id|'tag'>`` —
       appends a metadata-only ``rollback`` snapshot copying the target's
       manifest (Delta RESTORE / Iceberg rollback_to_snapshot): history is
@@ -841,6 +845,17 @@ _ALTER_PROPS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_ALTER_TAG_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+"
+    r"(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_DROP_TAG_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+TAG\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _ALTER_UNSET_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*"
     r"(IF\s+EXISTS\s+)?\((.+)\)\s*;?\s*$",
@@ -859,6 +874,38 @@ def _run_alter(
     rows read the new columns back as null. Types parse with Spark's own
     DDL parser, so any Spark SQL type works. Returns the added columns as
     (col_name, data_type) rows."""
+    tm = _ALTER_TAG_RE.match(query)
+    if tm:
+        # ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION n] —
+        # Iceberg branch/tag DDL, routed onto the refs primitive: one
+        # metadata-only commit pinning a snapshot under a name that
+        # VERSION AS OF / CHANGES BETWEEN / VACUUM all honor. Plain
+        # CREATE refuses to clobber an existing tag; OR REPLACE moves it.
+        name, replace, tag_name, ver = (
+            tm.group(1), bool(tm.group(2)), tm.group(3), tm.group(4)
+        )
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        t = tables[name]
+        if not replace and tag_name in t.refs:
+            raise ValueError(
+                f"tag {tag_name!r} already exists on table {name!r} "
+                "(use CREATE OR REPLACE TAG to move it)"
+            )
+        sid = t.tag(tag_name, int(ver) if ver is not None else None)
+        return spark.createDataFrame(
+            [(name, tag_name, sid)],
+            "table string, tag string, snapshot_id long",
+        )
+    dtm = _ALTER_DROP_TAG_RE.match(query)
+    if dtm:
+        name, tag_name = dtm.group(1), dtm.group(2)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        tables[name].drop_tag(tag_name)
+        return spark.createDataFrame(
+            [(name, tag_name)], "table string, tag string"
+        )
     um = _ALTER_UNSET_RE.match(query)
     if um:
         # ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...) — the
@@ -925,8 +972,10 @@ def _run_alter(
         raise ValueError(
             "unsupported ALTER statement (only ADD COLUMNS (name type, "
             "...), DROP COLUMN(S), RENAME COLUMN a TO b, SET "
-            "TBLPROPERTIES ('k'='v', ...) and UNSET TBLPROPERTIES "
-            f"[IF EXISTS] ('k', ...) are implemented): {query!r}"
+            "TBLPROPERTIES ('k'='v', ...), UNSET TBLPROPERTIES "
+            "[IF EXISTS] ('k', ...), CREATE [OR REPLACE] TAG name "
+            "[AS OF VERSION n] and DROP TAG name are implemented): "
+            f"{query!r}"
         )
     name, cols = m.group(1), m.group(2)
     if name not in tables:

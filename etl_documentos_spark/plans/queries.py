@@ -834,7 +834,8 @@ _SQL_TIME_TRAVEL_SQL = """
 
 def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bad-data recovery through the SQL door: tranche 1 merges and is
-    tagged ``clean``; tranche 2 (the "incident" load) merges after.
+    tagged ``clean`` via ``ALTER TABLE ... CREATE TAG`` (the round-5 ref
+    DDL); tranche 2 (the "incident" load) merges after.
     ``RESTORE TABLE t TO VERSION AS OF 'clean'`` then appends ONE
     metadata-only ``rollback`` snapshot whose manifest copies the tag's —
     asserted file-identical, zero data rewritten, history preserved (Delta
@@ -859,7 +860,7 @@ def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_buckets=8,
         )
         merge_into(spark, table, ch.filter(F.col("lsn") < thr))
-        table.tag("clean")
+        lake_sql.sql(spark, {"t": table}, "ALTER TABLE t CREATE TAG clean")
         tag_snap = next(
             s for s in table.snapshots
             if s.snapshot_id == table.refs["clean"]

@@ -545,3 +545,59 @@ def test_unset_tblproperties_sql(spark, sql_table):
     ).collect()
     assert [r.key for r in out] == ["c"]
     assert "c" not in sql_table.properties
+
+
+def test_tag_ddl_sql(spark, sql_table):
+    """CREATE/DROP TAG through the SQL door; VERSION AS OF honors them."""
+    v0 = sql_table.current_snapshot.snapshot_id
+    out = sql(
+        spark, {"t": sql_table}, "ALTER TABLE t CREATE TAG release_1"
+    ).collect()
+    assert [(r.table, r.tag, r.snapshot_id) for r in out] == [
+        ("t", "release_1", v0)
+    ]
+    sql(
+        spark,
+        {"t": sql_table},
+        "INSERT INTO t (conv_id, turn_idx, role, text, ts) VALUES"
+        " ('conv_tag', 1, 'user', 'after tag',"
+        " TIMESTAMP '2024-02-01 00:00:00')",
+    )
+    n_tag = sql(
+        spark, {"t": sql_table},
+        "SELECT count(*) AS n FROM t VERSION AS OF 'release_1'",
+    ).first().n
+    n_now = sql(
+        spark, {"t": sql_table}, "SELECT count(*) AS n FROM t"
+    ).first().n
+    assert n_now == n_tag + 1
+
+    # plain CREATE refuses to clobber; OR REPLACE moves the tag
+    with pytest.raises(ValueError):
+        sql(spark, {"t": sql_table}, "ALTER TABLE t CREATE TAG release_1")
+    out = sql(
+        spark, {"t": sql_table},
+        "ALTER TABLE t CREATE OR REPLACE TAG release_1",
+    ).collect()
+    assert out[0].snapshot_id > v0
+    assert sql(
+        spark, {"t": sql_table},
+        "SELECT count(*) AS n FROM t VERSION AS OF 'release_1'",
+    ).first().n == n_now
+
+    # pin an explicit older version
+    sql(
+        spark, {"t": sql_table},
+        f"ALTER TABLE t CREATE TAG pre_insert AS OF VERSION {v0}",
+    )
+    assert sql_table.refs["pre_insert"] == v0
+
+    sql(spark, {"t": sql_table}, "ALTER TABLE t DROP TAG release_1")
+    assert "release_1" not in sql_table.refs
+    with pytest.raises(KeyError):
+        sql(spark, {"t": sql_table}, "ALTER TABLE t DROP TAG release_1")
+    with pytest.raises(KeyError):
+        sql(
+            spark, {"t": sql_table},
+            "ALTER TABLE t CREATE TAG bad AS OF VERSION 999999",
+        )
