@@ -4706,6 +4706,109 @@ _ASOF_SQL = """
 #: scoping: sql_lifecycle). Rows 51+ are byte-unchanged since their last
 #: green check (multimodal.py's r5 diff is pure VP8L additions, so the
 #: r3/r4-green image-decode rows at the tail remain valid).
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021, arXiv:2112.11446
+    §A1.1) over the documents table: word-count bounds, mean-word-length
+    band, symbol-to-word ratio, distinct-stopword floor — each flag a
+    pure column expression (whole-stage codegen, zero UDF), plus the
+    conjunction `gopher_pass` a training-data pipeline filters on. The
+    oracle re-derives every flag in SQL from the same tokenizer."""
+    from etl_documentos_spark.functions import text as tx
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *tx.gopher_flags("text"))
+
+
+_STOP_SQL = (
+    "['the','a','an','and','or','of','to','in','is','it','for','on',"
+    "'with','as','at','by','this','that']"
+)
+
+_GOPHER_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(CASE WHEN len(ws) > 0 THEN
+               list_sum(list_transform(ws, w -> len(w)))::DOUBLE / len(ws)
+               ELSE 0.0 END, 6) AS mean_wlen,
+             round(CASE WHEN len(ws) > 0 THEN
+               ((length(text) - length(regexp_replace(text, '#', '', 'g')))
+                + (length(text) - length(regexp_replace(text, '\.\.\.',
+                    '', 'g'))) / 3.0)::DOUBLE / len(ws)
+               ELSE 0.0 END, 6) AS symbol_ratio,
+             len(list_distinct(list_filter(ws,
+                 w -> list_contains({_STOP_SQL}, w)))) AS n_stop_distinct
+      FROM toks JOIN documents USING (doc_id))
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_wlen,
+           symbol_ratio, CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+           (n_words >= 50 AND n_words <= 100000) AS ok_n_words,
+           (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_mean_wlen,
+           (symbol_ratio <= 0.1) AS ok_symbol,
+           (n_stop_distinct >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+            AND (symbol_ratio <= 0.1)
+            AND (n_stop_distinct >= 2)) AS gopher_pass
+    FROM m
+"""
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style corpus-level boilerplate removal: a line (here, a
+    deterministic 4-word segment — the corpus has no newlines, so the
+    query first inserts one after every 4th word with a single
+    regexp_replace) that appears in >= 3 DISTINCT documents is template,
+    not content, and is dropped from every document; survivors reassemble
+    in original order. One aggregation shuffle finds the
+    diversity-bounded boilerplate set, a broadcast anti-join strips it,
+    one regroup reassembles — no pairwise product anywhere
+    (`operators/dedup.py: explode_lines / boilerplate_lines /
+    strip_boilerplate`). Value-checked per doc: total segments, dropped
+    count, and the exact reassembled text."""
+    from etl_documentos_spark.operators.dedup import strip_boilerplate
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            "text", r"((?:\S+\s+){3}\S+)\s+", "$1\n"
+        ),
+    )
+    return strip_boilerplate(d, min_docs=3)
+
+
+_BOILERPLATE_SQL = r"""
+    WITH seg AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text,
+                 '((?:\S+\s+){3}\S+)\s+', '\1' || chr(10), 'g'),
+                 chr(10)) AS parts
+      FROM documents),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(parts,
+                 (p, i) -> struct_pack(pos := i, line := trim(p)))) AS u
+      FROM seg),
+    lines AS (
+      SELECT doc_id, u.pos AS pos, u.line AS line FROM ex
+      WHERE length(u.line) >= 1),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 3),
+    kept AS (SELECT l.* FROM lines l ANTI JOIN boiler b USING (line)),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    re AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_lines,
+           t.n_lines - coalesce(re.n_kept, 0) AS n_dropped,
+           coalesce(re.text_clean, '') AS text_clean
+    FROM tot t LEFT JOIN re USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
     "cdc_lww_window": q_cdc_lww_window,
@@ -4765,6 +4868,10 @@ QUERIES: dict[str, Query] = {
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
+    # new this round: corpus-level boilerplate strip + Gopher rules
+    "boilerplate_strip": q_boilerplate_strip,
+    "gopher_quality": q_gopher_quality,
+    # displaced by the two new rows (green r4; analytics.py untouched)
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
     "word_freq": q_word_freq,
@@ -4952,6 +5059,8 @@ ORACLES: dict[str, str] = {
     "events_by_nation": _NATION_SQL,
     "customers_with_orders_by_region": _REGION_SQL,
     "priority_merge": _PRIORITY_SQL,
+    "boilerplate_strip": _BOILERPLATE_SQL,
+    "gopher_quality": _GOPHER_SQL,
     "word_freq": _WORD_FREQ_SQL,
     "token_counts": _TOKEN_SQL,
     "doc_fingerprints": _FP_SQL,

@@ -858,3 +858,60 @@ def test_webp_decoder_rejects_garbage():
         _decode_vp8l(b"RIFF\x00\x00\x00\x00NOPE")
     with _pytest.raises(ValueError):
         _decode_vp8l(b"\x89PNG\r\n\x1a\n")
+
+
+def test_strip_boilerplate(spark):
+    """C4-style corpus-level line dedup: a line in >= min_docs distinct
+    docs is dropped everywhere; survivors keep original order; a doc of
+    pure boilerplate degrades to empty, not to a lost row."""
+    from etl_documentos_spark.operators.dedup import (
+        boilerplate_lines,
+        explode_lines,
+        strip_boilerplate,
+    )
+
+    rows = [
+        (1, "cookie banner\nalpha body text\nall rights reserved"),
+        (2, "cookie banner\nbeta body text\nall rights reserved"),
+        (3, "cookie banner\ngamma body text\nall rights reserved"),
+        (4, "cookie banner\nall rights reserved"),  # pure boilerplate
+        (5, "standalone document\nnothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = {
+        r.line: r.n_docs
+        for r in boilerplate_lines(explode_lines(df), min_docs=3).collect()
+    }
+    assert boiler == {"cookie banner": 4, "all rights reserved": 4}
+    out = {
+        r.doc_id: r for r in strip_boilerplate(df, min_docs=3).collect()
+    }
+    assert len(out) == 5  # pure-boilerplate doc 4 survives as a row
+    assert out[1].text_clean == "alpha body text"
+    assert out[1].n_lines == 3 and out[1].n_dropped == 2
+    assert out[4].text_clean == "" and out[4].n_dropped == 2
+    assert out[5].n_dropped == 0
+    assert out[5].text_clean == "standalone document\nnothing shared here"
+    # duplicate lines WITHIN one doc don't cross the distinct-doc gate
+    solo = spark.createDataFrame(
+        [(9, "same line\nsame line\nsame line\nother")],
+        "doc_id long, text string",
+    )
+    assert boilerplate_lines(explode_lines(solo), min_docs=3).count() == 0
+
+
+def test_gopher_flags(spark):
+    from etl_documentos_spark.functions.text import gopher_flags
+
+    good = "the quick brown foxes jumped over a lazy sleeping hound " * 8
+    short = "too short to pass"
+    symbols = "#### " * 30 + "the of to in is wordy tokens flowing onward " * 8
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in df.select("doc_id", *gopher_flags("text")).collect()}
+    assert out[1].gopher_pass is True
+    assert out[1].ok_n_words and out[1].ok_mean_wlen
+    assert out[2].ok_n_words is False and out[2].gopher_pass is False
+    assert out[3].ok_symbol is False and out[3].gopher_pass is False
+    assert out[3].n_stop_distinct >= 2

@@ -118,3 +118,16 @@ def test_merge_scan_prunes_buckets(spark, tmp_path):
     n_pruned_files = len(table.current_snapshot.files[str(one_bucket)])
     assert n_pruned_files < all_files
     assert pruned.count() > 0
+
+
+def test_boilerplate_strip_plan_shape(spark):
+    """The corpus-level line-dedup plan must broadcast the (diversity-
+    bounded) boilerplate set into the anti-join — never a cartesian, and
+    never a sort-merge join whose build side is the full corpus."""
+    from etl_documentos_spark.plans.queries import q_boilerplate_strip
+
+    df = q_boilerplate_strip(spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
