@@ -4713,10 +4713,10 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure column expression (whole-stage codegen, zero UDF), plus the
     conjunction `gopher_pass` a training-data pipeline filters on. The
     oracle re-derives every flag in SQL from the same tokenizer."""
-    from etl_documentos_spark.functions import text as tx
+    from etl_documentos_spark.functions.quality import gopher_flags
 
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", *tx.gopher_flags("text"))
+    return d.select("doc_id", *gopher_flags("text"))
 
 
 _STOP_SQL = (
@@ -4764,10 +4764,10 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     in original order. One aggregation shuffle finds the
     diversity-bounded boilerplate set, a broadcast anti-join strips it,
     one regroup reassembles — no pairwise product anywhere
-    (`operators/dedup.py: explode_lines / boilerplate_lines /
+    (`operators/linedup.py: explode_lines / boilerplate_lines /
     strip_boilerplate`). Value-checked per doc: total segments, dropped
     count, and the exact reassembled text."""
-    from etl_documentos_spark.operators.dedup import strip_boilerplate
+    from etl_documentos_spark.operators.linedup import strip_boilerplate
 
     d = load(spark, sf_dir, "documents").withColumn(
         "text",

@@ -864,7 +864,7 @@ def test_strip_boilerplate(spark):
     """C4-style corpus-level line dedup: a line in >= min_docs distinct
     docs is dropped everywhere; survivors keep original order; a doc of
     pure boilerplate degrades to empty, not to a lost row."""
-    from etl_documentos_spark.operators.dedup import (
+    from etl_documentos_spark.operators.linedup import (
         boilerplate_lines,
         explode_lines,
         strip_boilerplate,
@@ -901,7 +901,7 @@ def test_strip_boilerplate(spark):
 
 
 def test_gopher_flags(spark):
-    from etl_documentos_spark.functions.text import gopher_flags
+    from etl_documentos_spark.functions.quality import gopher_flags
 
     good = "the quick brown foxes jumped over a lazy sleeping hound " * 8
     short = "too short to pass"
