@@ -69,3 +69,95 @@ def gopher_flags(col: Column | str) -> list[Column]:
             "gopher_pass"
         ),
     ]
+
+def repetition_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+):
+    """Gopher-style intra-document repetition filters (arXiv:2112.11446
+    §A1.1): a document that keeps repeating itself is low-quality even
+    when every individual line looks fine.
+
+    Per document:
+
+    - ``dup_line_frac``   fraction of line occurrences that are repeats
+      of an earlier identical line in the SAME document (paper gate:
+      <= 0.30)
+    - ``top_bigram``, ``top_bigram_frac``   the most frequent word
+      2-gram and the fraction of all bigram occurrences it claims
+      (paper gate: <= 0.18); ties break on the lexicographically
+      smallest bigram so the result is deterministic cross-engine
+    - the two boolean gates plus their conjunction ``repetition_pass``
+
+    Plan shape: both statistics aggregate keyed by the document id (one
+    explode + two groupBys, map-side combine on each) — per-doc state
+    never leaves its partition chain, no pairwise product, scales with
+    corpus size not vocabulary. Fractions round to 6 decimals for exact
+    oracle comparison."""
+    ws = words(F.col(text_col))
+    lines_arr = F.filter(
+        F.transform(
+            F.split(F.col(text_col), sep), lambda x: F.trim(x)
+        ),
+        lambda x: F.length(x) >= 1,
+    )
+    n_lines = F.size(lines_arr)
+    dup_line_frac = F.round(
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines_arr)))
+            .cast("double") / n_lines,
+        ).otherwise(0.0),
+        6,
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        ws.alias("_ws"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_ws") >= 2,
+                F.zip_with(
+                    F.slice("_ws", 1, F.size("_ws") - 1),
+                    F.slice("_ws", 2, F.size("_ws") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    per_bigram = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("n")
+    )
+    top = per_bigram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.min_by(
+            "bigram", F.struct((-F.col("n")).alias("neg"), F.col("bigram"))
+        ).alias("top_bigram"),
+        F.max("n").alias("top_n"),
+    )
+    out = base.drop("_ws").join(top, "doc_id", "left")
+    top_frac = F.round(
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("top_n").cast("double") / F.col("n_bigrams"),
+        ).otherwise(0.0),
+        6,
+    )
+    ok_dup = F.col("dup_line_frac") <= 0.30
+    ok_big = top_frac <= 0.18
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        top_frac.alias("top_bigram_frac"),
+        ok_dup.alias("ok_dup_lines"),
+        ok_big.alias("ok_top_bigram"),
+        (ok_dup & ok_big).alias("repetition_pass"),
+    )

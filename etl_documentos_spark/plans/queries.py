@@ -4809,6 +4809,75 @@ _BOILERPLATE_SQL = r"""
 """
 
 
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters
+    (`functions/quality.py: repetition_stats`): duplicate-line fraction
+    (on the same deterministic 4-word segmentation the boilerplate row
+    uses) and top-bigram dominance, each against the paper's published
+    gate, with a deterministic lexicographic tie-break on the top bigram
+    so the oracle reproduces it exactly. Two doc-keyed aggregations with
+    map-side combine — no vocabulary-sized state, no pairwise product."""
+    from etl_documentos_spark.functions.quality import repetition_stats
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace("text", r"((?:\S+\s+){3}\S+)\s+", "$1\n"),
+    )
+    return repetition_stats(d)
+
+
+_REPETITION_SQL_TMPL = r"""
+    WITH seg AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text,
+                 '((?:\S+\s+){3}\S+)\s+', '\1' || chr(10), 'g'),
+                 chr(10)) AS parts,
+             __WORDS__ AS ws
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             list_filter(list_transform(parts, p -> trim(p)),
+                         p -> length(p) >= 1) AS ls, ws
+      FROM seg),
+    base AS (
+      SELECT doc_id, len(ls) AS n_lines,
+             round(CASE WHEN len(ls) > 0 THEN
+               (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+             CASE WHEN len(ws) >= 2 THEN
+               list_transform(ws[1:len(ws)-1], (w, i) -> w || ' ' || ws[i+1])
+             ELSE [] END AS bgs
+      FROM lines),
+    ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM base),
+    per AS (SELECT doc_id, bigram, count(*) AS n FROM ex
+            GROUP BY doc_id, bigram),
+    top AS (
+      SELECT doc_id, n_bigrams, bigram AS top_bigram, n AS top_n FROM (
+        SELECT doc_id, bigram, n,
+               sum(n) OVER (PARTITION BY doc_id) AS n_bigrams,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, bigram ASC) AS rn
+        FROM per) WHERE rn = 1)
+    SELECT b.doc_id, CAST(b.n_lines AS INT) AS n_lines, b.dup_line_frac,
+           coalesce(t.top_bigram, '') AS top_bigram,
+           round(CASE WHEN coalesce(t.n_bigrams, 0) > 0 THEN
+             t.top_n::DOUBLE / t.n_bigrams ELSE 0.0 END, 6)
+             AS top_bigram_frac,
+           (b.dup_line_frac <= 0.30) AS ok_dup_lines,
+           (round(CASE WHEN coalesce(t.n_bigrams, 0) > 0 THEN
+             t.top_n::DOUBLE / t.n_bigrams ELSE 0.0 END, 6) <= 0.18)
+             AS ok_top_bigram,
+           ((b.dup_line_frac <= 0.30) AND
+            (round(CASE WHEN coalesce(t.n_bigrams, 0) > 0 THEN
+              t.top_n::DOUBLE / t.n_bigrams ELSE 0.0 END, 6) <= 0.18))
+             AS repetition_pass
+    FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+_REPETITION_SQL = _REPETITION_SQL_TMPL.replace("__WORDS__", _WORDS_SQL)
+
+
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
     "cdc_lww_window": q_cdc_lww_window,
@@ -4867,11 +4936,12 @@ QUERIES: dict[str, Query] = {
     "sql_partitions": q_sql_partitions,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "lang_id": q_lang_id,
-    "priority_merge": q_priority_merge,
     # new this round: corpus-level boilerplate strip + Gopher rules
     "boilerplate_strip": q_boilerplate_strip,
     "gopher_quality": q_gopher_quality,
-    # displaced by the two new rows (green r4; analytics.py untouched)
+    "repetition_quality": q_repetition_quality,
+    # displaced by the three new rows (green r4; their modules untouched)
+    "priority_merge": q_priority_merge,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
     "word_freq": q_word_freq,
@@ -5061,6 +5131,7 @@ ORACLES: dict[str, str] = {
     "priority_merge": _PRIORITY_SQL,
     "boilerplate_strip": _BOILERPLATE_SQL,
     "gopher_quality": _GOPHER_SQL,
+    "repetition_quality": _REPETITION_SQL,
     "word_freq": _WORD_FREQ_SQL,
     "token_counts": _TOKEN_SQL,
     "doc_fingerprints": _FP_SQL,

@@ -915,3 +915,30 @@ def test_gopher_flags(spark):
     assert out[2].ok_n_words is False and out[2].gopher_pass is False
     assert out[3].ok_symbol is False and out[3].gopher_pass is False
     assert out[3].n_stop_distinct >= 2
+
+
+def test_repetition_stats(spark):
+    from etl_documentos_spark.functions.quality import repetition_stats
+
+    rows = [
+        (1, "alpha beta\ngamma delta\nalpha beta\nalpha beta"),
+        (2, "spam spam spam spam spam ham"),
+        (3, "one line only with varied words here indeed"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert len(out) == 4
+    r1 = out[1]  # 4 lines, "alpha beta" x3 -> 2 repeats of 4 lines
+    assert r1.n_lines == 4 and abs(r1.dup_line_frac - 0.5) < 1e-9
+    assert r1.ok_dup_lines is False and r1.repetition_pass is False
+    r2 = out[2]  # bigrams: spam-spam x4, spam-ham x1 -> 0.8 dominance
+    assert r2.top_bigram == "spam spam"
+    assert abs(r2.top_bigram_frac - 0.8) < 1e-9
+    assert r2.ok_top_bigram is False and r2.repetition_pass is False
+    # all-unique bigrams tie-break deterministically (lexicographic min)
+    assert out[3].top_bigram == "here indeed"
+    assert out[3].repetition_pass is True
+    # empty doc degrades gracefully, passes both gates
+    assert out[4].n_lines == 0 and out[4].top_bigram == ""
+    assert out[4].repetition_pass is True
