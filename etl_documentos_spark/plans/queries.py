@@ -4878,6 +4878,52 @@ _REPETITION_SQL_TMPL = r"""
 _REPETITION_SQL = _REPETITION_SQL_TMPL.replace("__WORDS__", _WORDS_SQL)
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`operators/decontaminate.py`): docs
+    with ``doc_id % 23 == 0`` play the eval set; every other corpus doc
+    sharing >= 1 distinct word 4-gram with any of them is flagged, clean
+    docs included with a zero count. 4-grams (not the natural-text
+    default 8) because the synthetic corpus draws from a ~30-word
+    vocabulary — at n=8 only one planted near-dup crosses the gate, at
+    n=4 the near-dup family lights up (31 docs at sf0.01), which is the
+    behavior worth value-checking. Plan: the eval n-gram set broadcasts,
+    corpus text never shuffles; one doc-keyed count aggregation."""
+    from etl_documentos_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 23 == 0)
+    corpus = d.where(F.col("doc_id") % 23 != 0)
+    return ngram_contamination(corpus, ev, n=4)
+
+
+_DECONTAMINATION_SQL_TMPL = r"""
+    WITH docs AS (SELECT doc_id, __WORDS__ AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(ws) >= 4 THEN
+        list_transform(ws[1:len(ws)-3],
+          (w, i) -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                    || ws[i+3])
+        ELSE [] END) AS gram
+      FROM docs),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_eval_hits
+      FROM grams g SEMI JOIN ev USING (gram)
+      WHERE g.doc_id % 23 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+           (coalesce(h.n_eval_hits, 0) >= 1) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+"""
+
+_DECONTAMINATION_SQL = _DECONTAMINATION_SQL_TMPL.replace(
+    "__WORDS__", _WORDS_SQL
+)
+
+
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
     "cdc_lww_window": q_cdc_lww_window,
@@ -4935,12 +4981,13 @@ QUERIES: dict[str, Query] = {
     # new this round: SHOW PARTITIONS / t.partitions metadata table
     "sql_partitions": q_sql_partitions,
     "ann_ivf_persisted": q_ann_ivf_persisted,
-    "lang_id": q_lang_id,
     # new this round: corpus-level boilerplate strip + Gopher rules
     "boilerplate_strip": q_boilerplate_strip,
     "gopher_quality": q_gopher_quality,
     "repetition_quality": q_repetition_quality,
-    # displaced by the three new rows (green r4; their modules untouched)
+    "decontamination": q_decontamination,
+    # displaced by the four new rows (green r4; their modules untouched)
+    "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
     "sessionize": q_sessionize,
     "rate_limit_violations": q_rate_limit_violations,
@@ -5132,6 +5179,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_strip": _BOILERPLATE_SQL,
     "gopher_quality": _GOPHER_SQL,
     "repetition_quality": _REPETITION_SQL,
+    "decontamination": _DECONTAMINATION_SQL,
     "word_freq": _WORD_FREQ_SQL,
     "token_counts": _TOKEN_SQL,
     "doc_fingerprints": _FP_SQL,

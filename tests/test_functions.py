@@ -942,3 +942,37 @@ def test_repetition_stats(spark):
     # empty doc degrades gracefully, passes both gates
     assert out[4].n_lines == 0 and out[4].top_bigram == ""
     assert out[4].repetition_pass is True
+
+
+def test_ngram_contamination(spark):
+    from etl_documentos_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the secret benchmark answer is forty two exactly and more"),
+            (2, "totally unrelated text with no overlap whatsoever present"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, ev, n=8).collect()
+    }
+    assert len(out) == 3  # clean docs included with zero counts
+    assert out[1].contaminated is True and out[1].n_eval_hits >= 1
+    assert out[2].contaminated is False and out[2].n_eval_hits == 0
+    assert out[3].contaminated is False  # shorter than n never matches
+    # threshold gates the flag without changing the counts
+    strict = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, ev, n=8, threshold=99).collect()
+    }
+    assert strict[1].contaminated is False
+    assert strict[1].n_eval_hits == out[1].n_eval_hits

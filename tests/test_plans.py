@@ -131,3 +131,15 @@ def test_boilerplate_strip_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_decontamination_plan_shape(spark):
+    """The eval n-gram set must broadcast — corpus text never shuffles
+    into a sort-merge join, and nothing degenerates to a cartesian."""
+    from etl_documentos_spark.plans.queries import q_decontamination
+
+    df = q_decontamination(spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
