@@ -789,17 +789,31 @@ class LakeTable:
 
     @classmethod
     def load(cls, root: str) -> "LakeTable":
-        with open(os.path.join(root, _HINT)) as f:
-            v = int(f.read().strip())
-        # the hint is a FLOOR, not the truth: CAS committers update it
-        # best-effort after the exclusive version create, so probe forward
-        # to the newest published version (0-1 stats in steady state)
-        while os.path.exists(
-            os.path.join(root, "metadata", f"v{v + 1:06d}.json")
-        ):
-            v += 1
-        with open(os.path.join(root, "metadata", f"v{v:06d}.json")) as f:
-            meta = json.load(f)
+        # Both publish paths are atomic-with-content (flock: temp +
+        # os.replace; CAS: temp + os.link), so a clean read succeeds
+        # first try on POSIX. The bounded retry guards filesystems with
+        # weaker rename visibility (NFS attribute caching): re-resolve
+        # the version and re-read rather than crash a racing reader.
+        for attempt in range(3):
+            with open(os.path.join(root, _HINT)) as f:
+                v = int(f.read().strip())
+            # the hint is a FLOOR, not the truth: CAS committers update it
+            # best-effort after the exclusive version create, so probe
+            # forward to the newest published version (0-1 stats steady)
+            while os.path.exists(
+                os.path.join(root, "metadata", f"v{v + 1:06d}.json")
+            ):
+                v += 1
+            try:
+                with open(
+                    os.path.join(root, "metadata", f"v{v:06d}.json")
+                ) as f:
+                    meta = json.load(f)
+                break
+            except (json.JSONDecodeError, FileNotFoundError):
+                if attempt == 2:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
         # format 2: snapshots carry per-bucket manifest refs; materialize
         # files/stats in memory (manifest parses hit the immutable cache,
         # and snapshots sharing a manifest share the parsed objects — a
@@ -1120,8 +1134,14 @@ class LakeTable:
                 os.unlink(tmp)
             self._advance_hint(v)
             return
-        with open(path, "w") as f:
+        # flock serializes writer-vs-writer, but READERS are lock-free and
+        # probe forward past the hint (see `load`) — publish the version
+        # file atomically (temp + rename) so a probing reader can never
+        # open a created-but-not-yet-written v{N}.json
+        tmp_v = path + f".tmp{os.getpid()}"
+        with open(tmp_v, "w") as f:
             json.dump(meta_out, f)
+        os.replace(tmp_v, path)
         tmp = os.path.join(self.root, _HINT + ".tmp")
         with open(tmp, "w") as f:
             f.write(str(v))
