@@ -155,3 +155,58 @@ def test_cas_expire_deletes_after_commit_point(tmp_path):
     assert deleted == 0  # append-only: every file still referenced
     final = LakeTable.load(root)
     assert len(final.current_snapshot.files["0"]) == 5
+
+
+def _prop_setter(root: str, worker: int, n: int) -> None:
+    table = LakeTable.load(root)
+    for i in range(n):
+        table.set_property(f"k{worker}", str(i))
+
+
+def _evolver(root: str, worker: int, n: int) -> None:
+    table = LakeTable.load(root)
+    for i in range(n):
+        table.add_columns(
+            [T.StructField(f"c{worker}_{i}", T.LongType(), True)]
+        )
+
+
+def _reader(root: str, worker: int, n: int) -> None:
+    for _ in range(n * 3):
+        t = LakeTable.load(root)
+        assert t.current_snapshot is not None
+        _ = t.properties
+
+
+@pytest.mark.parametrize("mode", ["flock", "cas"])
+def test_mixed_workload_commit_stress(tmp_path, mode):
+    """Appenders, property-setters, schema-evolvers and LOCK-FREE readers
+    race on one table: no commit may be lost, no reader may crash on a
+    half-published version (the reader leg is what caught the flock
+    publish race — readers probe forward past the hint, so the version
+    file must appear atomically with its content)."""
+    root = str(tmp_path / "t")
+    LakeTable.create(
+        root, SCHEMA, num_buckets=4, properties={"commit.mode": mode}
+    )
+    n = 8
+    ctx = mp.get_context("fork")
+    procs = (
+        [ctx.Process(target=_appender, args=(root, w, n)) for w in range(4)]
+        + [ctx.Process(target=_prop_setter, args=(root, w, n)) for w in range(2)]
+        + [ctx.Process(target=_evolver, args=(root, w, n)) for w in range(2)]
+        + [ctx.Process(target=_reader, args=(root, w, n)) for w in range(3)]
+    )
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    assert all(p.exitcode == 0 for p in procs)
+
+    t = LakeTable.load(root)
+    files = [f for fs in t.current_snapshot.files.values() for f in fs]
+    assert len(files) == 4 * n and len(set(files)) == 4 * n
+    for w in range(2):
+        assert t.properties.get(f"k{w}") == str(n - 1)
+    cols = {f.name for f in t.schema.fields}
+    assert {f"c{w}_{i}" for w in range(2) for i in range(n)} <= cols
