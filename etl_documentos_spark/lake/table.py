@@ -791,10 +791,17 @@ class LakeTable:
     def load(cls, root: str) -> "LakeTable":
         # Both publish paths are atomic-with-content (flock: temp +
         # os.replace; CAS: temp + os.link), so a clean read succeeds
-        # first try on POSIX. The bounded retry guards filesystems with
-        # weaker rename visibility (NFS attribute caching): re-resolve
-        # the version and re-read rather than crash a racing reader.
-        for attempt in range(3):
+        # first try on POSIX. The bounded retry guards two real races:
+        # (a) filesystems with weaker rename visibility (NFS attribute
+        # caching) serving a partial version file, and (b) a concurrent
+        # snapshot expiry GC'ing a manifest sidecar between this reader
+        # resolving a version and dereferencing its refs — the retry
+        # re-probes and lands on the newer version, whose manifests are
+        # live. Manifest materialization therefore sits INSIDE the loop.
+        last_exc: Exception | None = None
+        for attempt in range(5):
+            if attempt:
+                time.sleep(0.05 * attempt)
             with open(os.path.join(root, _HINT)) as f:
                 v = int(f.read().strip())
             # the hint is a FLOOR, not the truth: CAS committers update it
@@ -809,29 +816,28 @@ class LakeTable:
                     os.path.join(root, "metadata", f"v{v:06d}.json")
                 ) as f:
                     meta = json.load(f)
-                break
-            except (json.JSONDecodeError, FileNotFoundError):
-                if attempt == 2:
-                    raise
-                time.sleep(0.05 * (attempt + 1))
-        # format 2: snapshots carry per-bucket manifest refs; materialize
-        # files/stats in memory (manifest parses hit the immutable cache,
-        # and snapshots sharing a manifest share the parsed objects — a
-        # refresh after someone else's commit re-reads only the small
-        # v{N}.json plus the few manifests that actually changed)
-        for s in meta.get("snapshots", []):
-            refs = s.get("manifests")
-            if refs is None:
-                continue  # format 1: files/file_stats are inline
-            files: dict[str, list[str]] = {}
-            stats: dict[str, dict] = {}
-            for b, rel in refs.items():
-                man = _load_manifest(root, rel)
-                files[b] = man["files"]
-                stats.update(man.get("stats", {}))
-            s["files"] = files
-            s["file_stats"] = stats
-        return cls(root, meta)
+                # format 2: snapshots carry per-bucket manifest refs;
+                # materialize files/stats in memory (manifest parses hit
+                # the immutable cache, and snapshots sharing a manifest
+                # share the parsed objects — a refresh after someone
+                # else's commit re-reads only the small v{N}.json plus
+                # the few manifests that actually changed)
+                for s in meta.get("snapshots", []):
+                    refs = s.get("manifests")
+                    if refs is None:
+                        continue  # format 1: files/file_stats inline
+                    files: dict[str, list[str]] = {}
+                    stats: dict[str, dict] = {}
+                    for b, rel in refs.items():
+                        man = _load_manifest(root, rel)
+                        files[b] = man["files"]
+                        stats.update(man.get("stats", {}))
+                    s["files"] = files
+                    s["file_stats"] = stats
+                return cls(root, meta)
+            except (json.JSONDecodeError, FileNotFoundError) as e:
+                last_exc = e
+        raise last_exc
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -1984,7 +1990,9 @@ class LakeTable:
         return self._commit_txn(_txn)
 
     # ------------------------------------------------------------------- gc
-    def expire_snapshots(self, keep_last: int = 2) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 2, manifest_grace_seconds: float | None = None
+    ) -> int:
         """Expire old snapshots and delete data files no longer referenced.
 
         Keeps the most recent ``keep_last`` snapshots (time travel window);
@@ -1993,12 +2001,31 @@ class LakeTable:
         commit flock on fresh metadata, so it can neither delete a file a
         concurrent committer just referenced nor clobber that commit's
         metadata.
-        """
+
+        Manifest sidecars orphaned by the expiry are garbage-collected
+        only once OLDER than ``manifest_grace_seconds`` (default: the
+        ``gc.manifest.grace`` table property, else 60 s): a lock-free
+        reader that resolved the previous metadata version an instant ago
+        still dereferences the manifests that version points at, so
+        instant GC would yank them out from under it (caught by the
+        mixed-workload stress). Young manifests survive this pass and the
+        NEXT expiry collects them — same lifecycle as the staging grace
+        in `remove_orphan_files`. Pass ``0`` only when no concurrent
+        readers can exist."""
+        if manifest_grace_seconds is None:
+            manifest_grace_seconds = float(
+                self.get_property("gc.manifest.grace", 60.0)
+            )
+
         def _txn():
-            return self._expire_snapshots_locked(keep_last)
+            return self._expire_snapshots_locked(
+                keep_last, manifest_grace_seconds
+            )
         return self._commit_txn(_txn)
 
-    def _expire_snapshots_locked(self, keep_last: int) -> int:
+    def _expire_snapshots_locked(
+        self, keep_last: int, manifest_grace_seconds: float = 60.0
+    ) -> int:
         snaps = sorted(self.snapshots, key=lambda s: s.snapshot_id)
         if len(snaps) <= keep_last:
             return 0
@@ -2051,21 +2078,30 @@ class LakeTable:
                 except FileNotFoundError:
                     pass
         # manifest GC: sidecars referenced only by expired snapshots are
-        # unreachable from the current metadata version — same lifecycle
-        # as the data files deleted above
+        # unreachable from the current metadata version — but a lock-free
+        # reader may have resolved the PREVIOUS version microseconds ago
+        # and still be dereferencing its manifest refs, so only collect
+        # sidecars past the grace age; the next expiry sweeps the rest
         live_mans = {
             rel
             for s in self._meta["snapshots"]
             for rel in (s.get("manifests") or {}).values()
         }
         mdir = os.path.join(self.root, "metadata")
+        now = time.time()
         for name in os.listdir(mdir):
-            if name.startswith("man-") and f"metadata/{name}" not in live_mans:
-                try:
-                    os.remove(os.path.join(mdir, name))
-                except FileNotFoundError:
-                    pass
-                _MANIFEST_CACHE.pop(os.path.join(mdir, name), None)
+            if not name.startswith("man-"):
+                continue
+            if f"metadata/{name}" in live_mans:
+                continue
+            full = os.path.join(mdir, name)
+            try:
+                if now - os.path.getmtime(full) < manifest_grace_seconds:
+                    continue
+                os.remove(full)
+            except FileNotFoundError:
+                pass
+            _MANIFEST_CACHE.pop(full, None)
         return len(dead)
 
     # ------------------------------------------------------------ refs

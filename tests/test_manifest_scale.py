@@ -110,7 +110,8 @@ def test_expire_collects_orphan_manifests(tmp_path):
     for i in range(4):
         t.commit_append({"1": [f"data/d/e{i}.parquet"]})
     n_before = len(glob.glob(os.path.join(t.root, "metadata", "man-*")))
-    t.expire_snapshots(keep_last=1)
+    # grace 0: no concurrent readers in this test, collect instantly
+    t.expire_snapshots(keep_last=1, manifest_grace_seconds=0)
     live = {
         rel
         for s in LakeTable.load(t.root)._meta["snapshots"]

@@ -210,3 +210,38 @@ def test_mixed_workload_commit_stress(tmp_path, mode):
         assert t.properties.get(f"k{w}") == str(n - 1)
     cols = {f.name for f in t.schema.fields}
     assert {f"c{w}_{i}" for w in range(2) for i in range(n)} <= cols
+
+
+def _expirer(root: str, n: int) -> None:
+    table = LakeTable.load(root)
+    for _ in range(n):
+        table._refresh()
+        table.expire_snapshots(keep_last=3)
+
+
+@pytest.mark.parametrize("mode", ["flock", "cas"])
+def test_expiry_races_appends_and_readers(tmp_path, mode):
+    """Snapshot expiry racing appenders and lock-free readers: the
+    manifest-GC grace window (default 60 s) must keep just-orphaned
+    sidecars alive long enough that a reader which resolved the previous
+    metadata version an instant ago can still dereference them — with
+    instant GC this crashed ~every run (FileNotFoundError on man-*)."""
+    root = str(tmp_path / "t")
+    LakeTable.create(
+        root, SCHEMA, num_buckets=4, properties={"commit.mode": mode}
+    )
+    n = 10
+    ctx = mp.get_context("fork")
+    procs = (
+        [ctx.Process(target=_appender, args=(root, w, n)) for w in range(4)]
+        + [ctx.Process(target=_expirer, args=(root, n))]
+        + [ctx.Process(target=_reader, args=(root, w, n)) for w in range(2)]
+    )
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    assert all(p.exitcode == 0 for p in procs)
+    t = LakeTable.load(root)
+    files = [f for fs in t.current_snapshot.files.values() for f in fs]
+    assert len(files) == 4 * n and len(set(files)) == 4 * n
