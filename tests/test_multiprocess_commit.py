@@ -245,3 +245,50 @@ def test_expiry_races_appends_and_readers(tmp_path, mode):
     t = LakeTable.load(root)
     files = [f for fs in t.current_snapshot.files.values() for f in fs]
     assert len(files) == 4 * n and len(set(files)) == 4 * n
+
+
+def _compactor(root: str, n: int) -> None:
+    table = LakeTable.load(root)
+    for i in range(n):
+        table._refresh()
+        expected = dict(table.current_snapshot.files)
+        table.commit_overwrite(
+            {"0": [f"data/compact-{i}.parquet"]}, buckets=[0],
+            expected=expected,
+        )
+
+
+@pytest.mark.parametrize("mode", ["flock", "cas"])
+def test_overwrite_races_appends_and_readers(tmp_path, mode):
+    """Version-checked compaction overwrites racing appenders and
+    lock-free readers: appends to untouched buckets must survive
+    verbatim; bucket-0 appends either survive as deltas (landed after the
+    compactor's scan capture) or were absorbed by an overwrite whose
+    expected-set included them; nobody crashes."""
+    root = str(tmp_path / "t")
+    LakeTable.create(
+        root, SCHEMA, num_buckets=4, properties={"commit.mode": mode}
+    )
+    n = 8
+    ctx = mp.get_context("fork")
+    procs = (
+        [ctx.Process(target=_appender, args=(root, w, n)) for w in range(4)]
+        + [ctx.Process(target=_compactor, args=(root, n))]
+        + [ctx.Process(target=_reader, args=(root, w, n)) for w in range(2)]
+    )
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    assert all(p.exitcode == 0 for p in procs)
+    t = LakeTable.load(root)
+    files = [f for fs in t.current_snapshot.files.values() for f in fs]
+    for w in range(4):
+        if w % 4 == 0:
+            continue
+        for i in range(n):
+            assert f"data/w{w}-{i}.parquet" in files
+    assert any(
+        f.startswith("data/compact-")
+        for f in t.current_snapshot.files.get("0", [])
+    )
