@@ -1694,6 +1694,45 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, k: int = 3) -> str:
     """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not pairs: MinHash-LSH candidate pairs over the
+    documents table (same parameters as `minhash_lsh`) fed through the
+    alternating large-star/small-star connected-components algorithm
+    (`operators/components.py`, Kiveris et al. SoCC 2014) — every doc
+    labeled with its component's min-id canonical, `is_canonical` marking
+    the row a keep-one dedup pass retains, `n_members` the cluster size.
+    The oracle recomputes the SAME pair list in SQL and closes it with a
+    recursive CTE (reachability closure + min label), so the iterative
+    Spark fixed point is value-checked against a declarative ground truth.
+    """
+    from etl_documentos_spark.operators.components import dedup_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_k=3)
+    return dedup_components(d, pairs)
+
+
+def _components_sql() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_sql()}),
+        und AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.node, u.v FROM reach r JOIN und u ON u.u = r.lab),
+        comp AS (
+          SELECT node AS doc_id, min(lab) AS component_id
+          FROM reach GROUP BY node)
+        SELECT doc_id, component_id,
+               doc_id = component_id AS is_canonical,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members
+        FROM comp
+    """
+
+
 def q_near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (word 3-shingle) Jaccard near-dup pairs — order-sensitive
     variant of the token-set form; exact (df-cap off) for the oracle."""
@@ -4936,7 +4975,10 @@ QUERIES: dict[str, Query] = {
     "cdc_bulk_replay": q_cdc_bulk_replay,
     # never driver-checked (added r4 outside the window) -> window
     "ann_lsh_multitable": q_ann_lsh_multitable,
-    "docx_decode": q_docx_decode,
+    # new this round: near-dup clusters via large-star/small-star
+    # connected components (displaces docx_decode — green r4,
+    # documents.py and its oracle untouched since)
+    "dedup_components": q_dedup_components,
     # sources/multimodal.py gained the WebP codec this round, so every
     # row exercising that module re-proves in the driver window (the
     # rotation rule); the documents/markup decode rows it displaces were
@@ -4987,6 +5029,7 @@ QUERIES: dict[str, Query] = {
     "repetition_quality": q_repetition_quality,
     "decontamination": q_decontamination,
     # displaced by the four new rows (green r4; their modules untouched)
+    "docx_decode": q_docx_decode,
     "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
     "sessionize": q_sessionize,
@@ -5089,6 +5132,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "cdc_bootstrap": _BOOTSTRAP_SQL,
     "cdc_bulk_replay": _BULK_REPLAY_SQL,
+    "dedup_components": _components_sql(),
     "docx_decode": _DOCX_SQL,
     "xlsx_decode": _XLSX_SQL,
     "pdf_decode": _PDF_SQL,
