@@ -174,13 +174,17 @@ def _run_insert(
     state as of THIS statement (same snapshot isolation as queries)."""
     from etl_documentos_spark.operators import dml
 
-    m = re.match(r"^\s*INSERT\s+INTO\s+(\w+)\s*", q, re.I)
+    m = re.match(
+        r"^\s*INSERT\s+INTO\s+(\w+)(?:\.branch_(\w+))?\s*", q, re.I
+    )
     if not m:
         raise ValueError(f"unsupported INSERT statement: {q!r}")
-    name, rest = m.group(1), q[m.end() :].strip()
+    name, branch, rest = m.group(1), m.group(2), q[m.end() :].strip()
     if name not in tables:
         raise KeyError(f"no such table {name!r}")
     table = tables[name]
+    if branch is not None and branch not in table.branches:
+        raise KeyError(f"no branch {branch!r} on table {name!r}")
     cols: list[str] | None = None
     if rest.startswith("("):
         end = _match_paren(rest, 0)
@@ -200,7 +204,7 @@ def _run_insert(
             rows = rows.toDF(*cols)
     else:
         raise ValueError(f"expected VALUES or SELECT after INSERT INTO: {q!r}")
-    n_rows = dml.insert_into(spark, table, rows)
+    n_rows = dml.insert_into(spark, table, rows, branch=branch)
     return spark.createDataFrame(
         [(name, "insert", n_rows)],
         "table string, operation string, affected_rows long",
@@ -511,11 +515,7 @@ def _run_maintenance(
             raise KeyError(f"no such table {name!r}")
         table = tables[name]
         if token.startswith("'"):
-            refs = table.refs
-            r = token.strip("'")
-            if r not in refs:
-                raise KeyError(f"no ref {r!r} on table {name!r}")
-            target = refs[r]
+            target = table.resolve_ref(token.strip("'"))
         else:
             target = int(token)
         table.rollback(target)
@@ -590,6 +590,15 @@ def sql(
       VERSION n]`` / ``DROP TAG name`` — named snapshot pins that
       ``VERSION AS OF``, ``CHANGES BETWEEN``, ``RESTORE`` and ``VACUUM``
       (tags never expire) all honor.
+    - **Branches (write-audit-publish)**: ``ALTER TABLE t CREATE [OR
+      REPLACE] BRANCH b [AS OF VERSION n]`` / ``DROP BRANCH b`` create a
+      MOVABLE ref; ``INSERT INTO t.branch_b ...`` lands commits on the
+      branch head (merge-on-read delta appends — main's files are never
+      rewritten by unpublished writes); ``SELECT ... FROM t.branch_b``
+      audits the branch state; ``ALTER TABLE t FAST FORWARD TO b``
+      publishes the whole chain with one metadata pointer swap iff main
+      is still an ancestor (SpecConflictError otherwise — rebase).
+      Branch heads and their ancestry stay pinned through ``VACUUM``.
     - **Recovery**: ``RESTORE TABLE t [TO] VERSION AS OF <id|'tag'>`` —
       appends a metadata-only ``rollback`` snapshot copying the target's
       manifest (Delta RESTORE / Iceberg rollback_to_snapshot): history is
@@ -647,11 +656,7 @@ def sql(
             if token.upper() == "CURRENT":
                 return t.current_snapshot.snapshot_id
             if token.startswith("'"):
-                refs = t.refs
-                r = token.strip("'")
-                if r not in refs:
-                    raise KeyError(f"no ref {r!r} on table {name!r}")
-                return refs[r]
+                return t.resolve_ref(token.strip("'"))
             return int(token)
 
         lo, hi = resolve(m.group(2)), resolve(m.group(3))
@@ -677,6 +682,22 @@ def sql(
         return view
 
     query = _ASOF.sub(pin, query)
+
+    def pin_branch(m: re.Match) -> str:
+        # FROM t.branch_b — Iceberg's branch-read identifier: the LWW
+        # reader view over the branch HEAD (unpublished commits visible,
+        # main untouched). The audit half of write-audit-publish.
+        name, br = m.group(1), m.group(2)
+        if name not in tables:
+            return m.group(0)
+        t = tables[name]
+        if br not in t.branches:
+            raise KeyError(f"no branch {br!r} on table {name!r}")
+        view = f"{name}__branch_{br}"
+        read_current(spark, t, ref=br).createOrReplaceTempView(view)
+        return view
+
+    query = _BRANCH_RE.sub(pin_branch, query)
     for name, t in tables.items():
         current_view(spark, t, name)
     return spark.sql(query)
@@ -738,9 +759,17 @@ def files_df(spark: SparkSession, table: LakeTable) -> DataFrame:
 
 
 def refs_df(spark: SparkSession, table: LakeTable) -> DataFrame:
-    """Named refs/tags as a DataFrame (Iceberg ``table.refs``)."""
-    rows = [(name, sid) for name, sid in sorted(table.refs.items())]
-    return spark.createDataFrame(rows, "name string, snapshot_id long")
+    """Named refs as a DataFrame (Iceberg ``table.refs``): tags AND
+    branches, distinguished by ``type`` exactly like Iceberg's table."""
+    rows = [
+        (name, "tag", sid) for name, sid in sorted(table.refs.items())
+    ] + [
+        (name, "branch", sid)
+        for name, sid in sorted(table.branches.items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
 
 
 def partitions_df(spark: SparkSession, table: LakeTable) -> DataFrame:
@@ -810,6 +839,8 @@ _META_TABLES = {
     "history": history_df,
     "partitions": partitions_df,
 }
+_BRANCH_RE = re.compile(r"\b(\w+)\.branch_(\w+)\b")
+
 _META_RE = re.compile(
     r"\b(\w+)\.(snapshots|files|refs|history|partitions)\b", re.IGNORECASE
 )
@@ -856,6 +887,22 @@ _ALTER_DROP_TAG_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_BRANCH_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(OR\s+REPLACE\s+)?BRANCH\s+"
+    r"(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_DROP_BRANCH_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+BRANCH\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_FF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+TO\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _ALTER_UNSET_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*"
     r"(IF\s+EXISTS\s+)?\((.+)\)\s*;?\s*$",
@@ -874,6 +921,51 @@ def _run_alter(
     rows read the new columns back as null. Types parse with Spark's own
     DDL parser, so any Spark SQL type works. Returns the added columns as
     (col_name, data_type) rows."""
+    bm = _ALTER_BRANCH_RE.match(query)
+    if bm:
+        # ALTER TABLE t CREATE [OR REPLACE] BRANCH b [AS OF VERSION n] —
+        # Iceberg branch DDL. A branch is a MOVABLE ref: INSERT INTO
+        # t.branch_b advances it while main is untouched (multi-commit
+        # write-audit-publish); ALTER TABLE t FAST FORWARD TO b publishes.
+        name, replace, br, ver = (
+            bm.group(1), bool(bm.group(2)), bm.group(3), bm.group(4)
+        )
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        sid = tables[name].create_branch(
+            br, int(ver) if ver is not None else None, replace=replace
+        )
+        return spark.createDataFrame(
+            [(name, br, sid)],
+            "table string, branch string, snapshot_id long",
+        )
+    dbm = _ALTER_DROP_BRANCH_RE.match(query)
+    if dbm:
+        name, br = dbm.group(1), dbm.group(2)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        tables[name].drop_branch(br)
+        return spark.createDataFrame(
+            [(name, br)], "table string, branch string"
+        )
+    ffm = _ALTER_FF_RE.match(query)
+    if ffm:
+        # ALTER TABLE t FAST FORWARD TO b — publish a branch: main
+        # fast-forwards to the branch head iff it is an ancestor
+        # (otherwise SpecConflictError — rebase the branch). Iceberg
+        # exposes this as CALL system.fast_forward('t','main','b'); this
+        # engine keeps every statement in ALTER grammar instead of
+        # adding a CALL procedure namespace for one verb.
+        name, br = ffm.group(1), ffm.group(2)
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        t = tables[name]
+        sid = t.fast_forward(br)
+        t._refresh()
+        return spark.createDataFrame(
+            [(name, br, sid)],
+            "table string, branch string, snapshot_id long",
+        )
     tm = _ALTER_TAG_RE.match(query)
     if tm:
         # ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION n] —

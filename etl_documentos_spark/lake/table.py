@@ -978,10 +978,7 @@ class LakeTable:
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass either ref or snapshot_id, not both")
-            refs = self.refs
-            if ref not in refs:
-                raise KeyError(f"unknown ref {ref!r}")
-            snapshot_id = refs[ref]
+            snapshot_id = self.resolve_ref(ref)
         snap = (
             self.current_snapshot
             if snapshot_id is None
@@ -1206,13 +1203,24 @@ class LakeTable:
         files: dict,
         new_stats: dict[str, dict] | None = None,
         stage: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Append a snapshot; advance ``current`` unless ``stage`` (WAP).
+
+        ``branch``: commit onto a named branch instead of main — the new
+        snapshot's parent is the BRANCH HEAD and only the branch ref
+        advances; readers of main see nothing until ``fast_forward``.
 
         Ids come from max+1 (not current+1): an unpublished staged snapshot
         may hold a higher id than ``current``, and two stages must never
         collide."""
-        cur = self.current_snapshot
+        if branch is not None:
+            head = self._meta.get("branches", {}).get(branch)
+            if head is None:
+                raise KeyError(f"unknown branch {branch!r}")
+            cur = next(s for s in self.snapshots if s.snapshot_id == head)
+        else:
+            cur = self.current_snapshot
         # carry the parent's per-file stats for surviving files, add the
         # newly staged files' stats, drop entries for removed files — the
         # stats map always indexes a subset of the live manifest
@@ -1228,7 +1236,9 @@ class LakeTable:
             operation, summary, files, stats,
         )
         self._meta["snapshots"].append(snap.to_json())
-        if not stage:
+        if branch is not None:
+            self._meta["branches"][branch] = snap.snapshot_id
+        elif not stage:
             self._meta["current_snapshot_id"] = snap.snapshot_id
         self._meta["metadata_version"] += 1
         self._write_metadata()
@@ -1598,12 +1608,16 @@ class LakeTable:
         return _gather_direct_rows(rows, rel, stats=True)
 
     def append_direct(
-        self, df: DataFrame, target_tasks: int | None = None
+        self,
+        df: DataFrame,
+        target_tasks: int | None = None,
+        branch: str | None = None,
     ) -> None:
         """Append via the shuffle-free Arrow writer (raw change batches).
         Retries staging if a concurrent split/rebucket changes the spec.
         Manifest stats come from the write tasks themselves when the table
-        opted in (no file re-read); otherwise from the footer pass."""
+        opted in (no file re-read); otherwise from the footer pass.
+        ``branch`` lands the delta files on a named branch (WAP)."""
         for _ in range(5):
             spec = self.spec_fingerprint()
             files, man_stats = self._write_data_direct(df, target_tasks)
@@ -1612,6 +1626,7 @@ class LakeTable:
                     files,
                     staged_spec=spec,
                     new_stats=man_stats or self._collect_stats(files),
+                    branch=branch,
                 )
             except SpecConflictError:
                 self._refresh()  # restage under the new transform
@@ -1683,6 +1698,7 @@ class LakeTable:
         staged_spec: tuple | None = None,
         new_stats: dict[str, dict] | None = None,
         stage: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Commit previously staged files as an append snapshot.
 
@@ -1696,7 +1712,9 @@ class LakeTable:
 
         ``stage=True`` (write-audit-publish): the snapshot is recorded but
         ``current`` does NOT advance — readers keep seeing the pre-stage
-        state until ``publish``. Returns the new snapshot id either way.
+        state until ``publish``. ``branch``: append onto a named branch
+        (multi-commit WAP) — the merge base and the advanced ref are the
+        branch head, main is untouched. Returns the new snapshot id.
         """
         def _txn():
             if staged_spec is not None and staged_spec != self.spec_fingerprint():
@@ -1704,9 +1722,18 @@ class LakeTable:
                     f"partition spec changed: staged={staged_spec} "
                     f"current={self.spec_fingerprint()}"
                 )
+            if branch is not None:
+                head = self._meta.get("branches", {}).get(branch)
+                if head is None:
+                    raise KeyError(f"unknown branch {branch!r}")
+                base = next(
+                    s for s in self.snapshots if s.snapshot_id == head
+                )
+            else:
+                base = self.current_snapshot
             # untouched buckets carry the parent's list OBJECT (identity =
             # O(1) manifest reuse at write time); only touched buckets copy
-            merged = dict(self.current_snapshot.files)
+            merged = dict(base.files)
             for b, fs in new_files.items():
                 merged[b] = list(merged.get(b, [])) + list(fs)
             return self._next_snapshot(
@@ -1717,6 +1744,7 @@ class LakeTable:
                 merged,
                 new_stats=new_stats,
                 stage=stage,
+                branch=branch,
             )
         return self._commit_txn(_txn)
 
@@ -1777,8 +1805,14 @@ class LakeTable:
             )
         return self._commit_txn(_txn)
 
-    def append(self, df: DataFrame, salts: int | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        salts: int | None = None,
+        branch: str | None = None,
+    ) -> None:
         """Append rows (new files only; existing files untouched).
+        ``branch`` targets a named branch instead of main (WAP).
         Retries staging if a concurrent split/rebucket changes the spec."""
         for _ in range(5):
             spec = self.spec_fingerprint()
@@ -1788,6 +1822,7 @@ class LakeTable:
                     files,
                     staged_spec=spec,
                     new_stats=self._collect_stats(files),
+                    branch=branch,
                 )
             except SpecConflictError:
                 self._refresh()
@@ -2034,6 +2069,19 @@ class LakeTable:
         # otherwise drop the snapshot readers are on)
         pinned = set(self._meta.get("refs", {}).values())
         pinned.add(self._meta["current_snapshot_id"])
+        # branch heads pin their whole ancestor chain down to current:
+        # fast_forward's ancestry walk must survive expiry. Bounded by
+        # branch length for a live branch; a STALE branch (forked before
+        # a retired main chain) pins its full chain — drop such branches
+        # rather than letting them hold history.
+        cur_id = self._meta["current_snapshot_id"]
+        by_id = {s.snapshot_id: s for s in snaps}
+        for head in self._meta.get("branches", {}).values():
+            sid: int | None = head
+            while sid is not None and sid != cur_id:
+                pinned.add(sid)
+                snap = by_id.get(sid)
+                sid = snap.parent_id if snap is not None else None
         kept = snaps[-keep_last:] + [
             s for s in snaps[:-keep_last] if s.snapshot_id in pinned
         ]
@@ -2112,6 +2160,17 @@ class LakeTable:
         its files) until the tag is dropped."""
         return dict(self._meta.get("refs", {}))
 
+    def resolve_ref(self, ref: str) -> int:
+        """Resolve a named ref to a snapshot id: tags first, then branch
+        heads (tag/branch name collisions are rejected at creation)."""
+        refs = self._meta.get("refs", {})
+        if ref in refs:
+            return refs[ref]
+        branches = self._meta.get("branches", {})
+        if ref in branches:
+            return branches[ref]
+        raise KeyError(f"unknown ref {ref!r}")
+
     def tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Pin a snapshot under a name (``ALTER TABLE ... CREATE TAG``).
         Defaults to the current snapshot. Metadata-only commit."""
@@ -2123,6 +2182,8 @@ class LakeTable:
             )
             if all(s.snapshot_id != sid for s in self.snapshots):
                 raise KeyError(f"unknown snapshot {sid}")
+            if name in self._meta.get("branches", {}):
+                raise ValueError(f"a branch named {name!r} already exists")
             self._meta.setdefault("refs", {})[name] = sid
             self._meta["metadata_version"] += 1
             self._write_metadata()
@@ -2137,6 +2198,93 @@ class LakeTable:
             del refs[name]
             self._meta["metadata_version"] += 1
             self._write_metadata()
+        return self._commit_txn(_txn)
+
+    # ------------------------------------------------------------- branches
+    @property
+    def branches(self) -> dict[str, int]:
+        """Named BRANCH refs (Iceberg branches): name -> head snapshot_id.
+
+        Unlike a tag, a branch ADVANCES: ``append(..., branch=name)`` /
+        ``commit_append(..., branch=name)`` commit onto the branch head
+        and move the ref, while main (``current``) is untouched. The
+        multi-commit write-audit-publish flow: create a branch, land any
+        number of commits on it, audit with ``scan(ref=name)``, then
+        ``fast_forward(name)`` publishes the whole chain with one
+        metadata pointer swap. Branch heads and their ancestor chains are
+        pinned against ``expire_snapshots`` until the branch is dropped."""
+        return dict(self._meta.get("branches", {}))
+
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        replace: bool = False,
+    ) -> int:
+        """Create a branch at ``snapshot_id`` (default: current). The name
+        must not collide with a tag — reads resolve tags first, so a
+        shadowed branch would be unreachable."""
+        def _txn():
+            if name in self._meta.get("refs", {}):
+                raise ValueError(f"a tag named {name!r} already exists")
+            branches = self._meta.setdefault("branches", {})
+            if name in branches and not replace:
+                raise ValueError(f"branch {name!r} already exists")
+            sid = (
+                self.current_snapshot.snapshot_id
+                if snapshot_id is None
+                else snapshot_id
+            )
+            if all(s.snapshot_id != sid for s in self.snapshots):
+                raise KeyError(f"unknown snapshot {sid}")
+            branches[name] = sid
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+            return sid
+        return self._commit_txn(_txn)
+
+    def drop_branch(self, name: str) -> None:
+        """Drop a branch ref. Branch-only snapshots lose their pin and
+        become ordinary ``expire_snapshots`` candidates."""
+        def _txn():
+            branches = self._meta.get("branches", {})
+            if name not in branches:
+                raise KeyError(f"unknown branch {name!r}")
+            del branches[name]
+            self._meta["metadata_version"] += 1
+            self._write_metadata()
+        return self._commit_txn(_txn)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: fast-forward main to the branch head.
+
+        Valid only when current is an ANCESTOR of the branch head (the
+        branch strictly extends main). If main advanced since the fork,
+        raises ``SpecConflictError`` — rebase by replaying the branch's
+        commits onto a fresh branch, exactly Iceberg's
+        ``fast_forward('main', branch)`` conflict rule. The branch ref
+        survives the publish (it now equals main) until dropped."""
+        def _txn():
+            branches = self._meta.get("branches", {})
+            if name not in branches:
+                raise KeyError(f"unknown branch {name!r}")
+            head = branches[name]
+            cur = self._meta["current_snapshot_id"]
+            by_id = {s.snapshot_id: s for s in self.snapshots}
+            sid: int | None = head
+            while sid is not None and sid != cur:
+                snap = by_id.get(sid)
+                sid = snap.parent_id if snap is not None else None
+            if sid != cur:
+                raise SpecConflictError(
+                    f"cannot fast-forward: current snapshot {cur} is not "
+                    f"an ancestor of branch {name!r} head {head}"
+                )
+            if head != cur:
+                self._meta["current_snapshot_id"] = head
+                self._meta["metadata_version"] += 1
+                self._write_metadata()
+            return head
         return self._commit_txn(_txn)
 
     # --------------------------------------------- write-audit-publish (WAP)
@@ -2207,6 +2355,10 @@ class LakeTable:
                 raise ValueError("cannot discard the current snapshot")
             if snapshot_id in set(self._meta.get("refs", {}).values()):
                 raise ValueError(f"snapshot {snapshot_id} is tagged")
+            if snapshot_id in set(self._meta.get("branches", {}).values()):
+                raise ValueError(
+                    f"snapshot {snapshot_id} is a branch head"
+                )
             others: set[str] = set()
             for s in self.snapshots:
                 if s.snapshot_id == snapshot_id:

@@ -141,7 +141,10 @@ def update_where(
 
 
 def insert_into(
-    spark: SparkSession, table: LakeTable, rows: DataFrame
+    spark: SparkSession,
+    table: LakeTable,
+    rows: DataFrame,
+    branch: str | None = None,
 ) -> int:
     """INSERT INTO table — returns rows inserted.
 
@@ -152,6 +155,12 @@ def insert_into(
     ``lsn = 0``: a key that already exists with a newer version keeps
     winning (LWW) — INSERT is snapshot-consistent upsert-by-version, the
     only insert semantics compatible with a keyed change-log table.
+
+    ``branch``: write onto a named branch instead of main (WAP). The
+    branch path routes through the MERGE-ON-READ apply (delta append on
+    the branch head) rather than copy-on-write — identical visible
+    semantics under the LWW read reduction, and main's files are never
+    rewritten by an unpublished write.
     """
     names = {f.name for f in rows.schema.fields}
     missing = {*KEY_COLS, "ts"} - names
@@ -164,16 +173,35 @@ def insert_into(
         and f.name != "ts"
         and f.name not in SYSTEM_COL_NAMES
     ]
+    types = {f.name: f.dataType for f in table.schema.fields}
     changes = rows.select(
         F.lit("insert").alias("op"),
         *[F.col(k) for k in KEY_COLS],
         *[
-            (F.col(c) if c in names else F.lit(None)).alias(c)
+            (
+                F.col(c)
+                if c in names
+                # typed NULL, not NullType: the MOR branch path writes
+                # the batch through the Arrow writer as-is, and an
+                # untyped null column would land with the wrong
+                # physical parquet type
+                else F.lit(None).cast(types[c])
+            ).alias(c)
             for c in payload
         ],
         F.col("ts"),
         F.lit(0).cast("long").alias("lsn"),
     )
+    if branch is not None:
+        from etl_documentos_spark.operators.merge import merge_mor
+
+        changes = changes.persist()
+        try:
+            n = changes.count()
+            merge_mor(spark, table, changes, branch=branch)
+            return n
+        finally:
+            changes.unpersist()
     return _apply(spark, table, changes)
 
 

@@ -230,6 +230,7 @@ def merge_mor(
     table: LakeTable,
     changes: DataFrame,
     target_tasks: int | None = None,
+    branch: str | None = None,
 ) -> None:
     """Merge-on-read apply: append the batch as delta files, defer the LWW
     reduction to read time (`read_current`) / compaction (`compact`).
@@ -245,9 +246,16 @@ def merge_mor(
     tasks x buckets-per-task); callers with small per-epoch batches pass a
     low value to bound delta-file churn between compactions, the bulk
     backfill leaves the default (~2x parallelism).
+
+    ``branch``: land the delta files on a named branch (multi-commit
+    WAP) — because MOR defers the LWW reduction to read time, a branch
+    upsert is JUST an append on the branch head, and ``read_current(...,
+    ref=branch)`` shows the merged state; ``fast_forward`` publishes.
     """
     table.append_direct(
-        changes_to_physical(changes, table.schema), target_tasks=target_tasks
+        changes_to_physical(changes, table.schema),
+        target_tasks=target_tasks,
+        branch=branch,
     )
 
 

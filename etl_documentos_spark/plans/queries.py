@@ -1694,6 +1694,87 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, k: int = 3) -> str:
     """
 
 
+def q_sql_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through named BRANCHES, end to end in SQL:
+    CREATE BRANCH, two ``INSERT INTO t.branch_audit`` commits (merge-on-
+    read delta appends whose LWW winners overwrite odd turns with new
+    text/ts — main's files untouched), the audit reads (main must still
+    equal the base load, ``t.branch_audit`` must show the merged branch
+    state), then ``ALTER TABLE t FAST FORWARD TO audit`` publishes the
+    whole chain with one metadata pointer swap. Value-checked surface:
+    the post-publish table state — even turns keep the base row, odd
+    turns carry the branch rewrite — which the oracle recomputes from
+    the plain LWW reduction. Branch machinery: `lake/table.py`
+    ``create_branch``/``fast_forward``; SQL door: `lake/sql.py`."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.sql import sql as lake_sql
+    from etl_documentos_spark.lake.table import LakeTable
+    from etl_documentos_spark.operators.merge import physical_schema
+    from etl_documentos_spark.schemas import TRANSCRIPTS
+
+    win = lww.lww_dedup(_derive_changes(spark, sf_dir)).filter(
+        F.col("op") != "delete"
+    )
+    win.select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    ).createOrReplaceTempView("wap_base_src")
+    root = tempfile.mkdtemp(prefix="wapq_")
+    try:
+        t = LakeTable.create(
+            f"{root}/t", physical_schema(TRANSCRIPTS), num_buckets=4
+        )
+        tb = {"t": t}
+        lake_sql(
+            spark, tb,
+            "INSERT INTO t (conv_id, turn_idx, role, text, ts)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role, text,"
+            " CAST(ts AS TIMESTAMP) FROM wap_base_src",
+        )
+        n_base = lake_sql(
+            spark, tb, "SELECT count(*) AS n FROM t"
+        ).first().n
+        lake_sql(spark, tb, "ALTER TABLE t CREATE BRANCH audit")
+        lake_sql(
+            spark, tb,
+            "INSERT INTO t.branch_audit (conv_id, turn_idx, role, text, ts)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role,"
+            " 'wap: ' || text, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR"
+            " FROM wap_base_src WHERE turn_idx % 2 = 1",
+        )
+        # audit: main unchanged, branch shows the LWW-merged state
+        assert (
+            lake_sql(spark, tb, "SELECT count(*) AS n FROM t").first().n
+            == n_base
+        ), "unpublished branch commits leaked into main"
+        n_branch = lake_sql(
+            spark, tb, "SELECT count(*) AS n FROM t.branch_audit"
+        ).first().n
+        assert n_branch == n_base, "branch must rewrite keys, not add them"
+        lake_sql(spark, tb, "ALTER TABLE t FAST FORWARD TO audit")
+        t._refresh()
+        return _detached(
+            lake_sql(
+                spark, tb,
+                "SELECT conv_id, turn_idx, role, text, ts FROM t",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_WAP_SQL = f"""
+    WITH final AS ({_LWW_SQL})
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN turn_idx % 2 = 1 THEN 'wap: ' || text ELSE text END
+             AS text,
+           CASE WHEN turn_idx % 2 = 1 THEN ts + INTERVAL 1 HOUR ELSE ts END
+             AS ts
+    FROM final
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not pairs: MinHash-LSH candidate pairs over the
     documents table (same parameters as `minhash_lsh`) fed through the
@@ -5002,7 +5083,10 @@ QUERIES: dict[str, Query] = {
     "sql_time_travel": q_sql_time_travel,
     # new this round: RESTORE TABLE (rollback through the SQL door)
     "sql_restore": q_sql_restore,
-    "pii_redaction": q_pii_redaction,
+    # new this round: named branches + write-audit-publish in SQL
+    # (displaces pii_redaction — green r4, functions/text.py and its
+    # oracle untouched since)
+    "sql_wap_branch": q_sql_wap_branch,
     "cdc_replication": q_cdc_replication,
     "stateful_sessions": q_stateful_sessions,
     "rate_limit_sliding": q_rate_limit_sliding,
@@ -5030,6 +5114,7 @@ QUERIES: dict[str, Query] = {
     "decontamination": q_decontamination,
     # displaced by the four new rows (green r4; their modules untouched)
     "docx_decode": q_docx_decode,
+    "pii_redaction": q_pii_redaction,
     "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
     "sessionize": q_sessionize,
@@ -5132,6 +5217,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "cdc_bootstrap": _BOOTSTRAP_SQL,
     "cdc_bulk_replay": _BULK_REPLAY_SQL,
+    "sql_wap_branch": _WAP_SQL,
     "dedup_components": _components_sql(),
     "docx_decode": _DOCX_SQL,
     "xlsx_decode": _XLSX_SQL,
