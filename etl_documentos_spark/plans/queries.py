@@ -1814,6 +1814,75 @@ def _components_sql() -> str:
     """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of the documents table into 256-token
+    bins (`operators/packing.py`): docs split into 16 independent pack
+    groups by md5(doc_id) prefix, each group packed in id order by one
+    Arrow-batched `applyInPandas` scan — the inherently sequential
+    bin-fill recurrence runs task-local, the groups run in parallel.
+    Per-doc output is the loader coordinate (pack_group, bin_idx,
+    offset). The oracle replays the SAME recurrence declaratively with
+    a recursive CTE over row_number-ordered docs."""
+    from etl_documentos_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), capacity=256)
+
+
+def _pack_sql(capacity: int = 256) -> str:
+    return f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, len({_WORDS_SQL}) AS n_tokens,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pack_group
+          FROM documents),
+        ord AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY pack_group ORDER BY doc_id) AS rn
+          FROM toks),
+        pk(pack_group, rn, doc_id, n_tokens, bin_idx, fill) AS (
+          SELECT pack_group, rn, doc_id, n_tokens, 0, n_tokens
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.pack_group, o.rn, o.doc_id, o.n_tokens,
+                 CASE WHEN p.fill + o.n_tokens > {capacity}
+                      THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                 CASE WHEN p.fill + o.n_tokens > {capacity}
+                      THEN o.n_tokens ELSE p.fill + o.n_tokens END
+          FROM pk p JOIN ord o
+            ON o.pack_group = p.pack_group AND o.rn = p.rn + 1)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, pack_group,
+               CAST(bin_idx AS BIGINT) AS bin_idx,
+               CAST(fill - n_tokens AS BIGINT) AS "offset"
+        FROM pk
+    """
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-source cap: keep at most 10 docs per source,
+    ranked by the reproducible md5(doc_id) shuffle. Skew-safe two-phase
+    rank (`operators/packing.py: quota_sample`): local top-10 within
+    (source, salt) shards prunes map-side, then the global window ranks
+    only the survivors — identical to a single window, hot sources
+    spread across tasks. Oracle: the plain one-window form."""
+    from etl_documentos_spark.operators.packing import quota_sample
+
+    d = load(spark, sf_dir, "documents")
+    return quota_sample(d, key_col="source", quota=10).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+_QUOTA_SQL = """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents)
+    SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 10
+"""
+
+
 def q_near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (word 3-shingle) Jaccard near-dup pairs — order-sensitive
     variant of the token-set form; exact (df-cap off) for the oracle."""
@@ -5096,11 +5165,14 @@ QUERIES: dict[str, Query] = {
     # session_windows boundary oracle corrected this round ->
     # keep inside the driver correctness window
     "session_windows": q_session_windows,
-    "transcript_assembly": q_transcript_assembly,
+    # new this round: sequence packing + per-source quota sampling
+    # (displace transcript_assembly and winnow_fingerprints — green r4,
+    # their operators and oracles untouched since)
+    "pack_sequences": q_pack_sequences,
+    "source_quota_sample": q_source_quota_sample,
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_usage_counters": q_cdc_usage_counters,
     "dlq_triage": q_dlq_triage,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "tiff_decode": q_tiff_decode,
     "webp_decode": q_webp_decode,
     "sql_evolve": q_sql_evolve,
@@ -5115,6 +5187,8 @@ QUERIES: dict[str, Query] = {
     # displaced by the four new rows (green r4; their modules untouched)
     "docx_decode": q_docx_decode,
     "pii_redaction": q_pii_redaction,
+    "transcript_assembly": q_transcript_assembly,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "lang_id": q_lang_id,
     "priority_merge": q_priority_merge,
     "sessionize": q_sessionize,
@@ -5219,6 +5293,8 @@ ORACLES: dict[str, str] = {
     "cdc_bulk_replay": _BULK_REPLAY_SQL,
     "sql_wap_branch": _WAP_SQL,
     "dedup_components": _components_sql(),
+    "pack_sequences": _pack_sql(),
+    "source_quota_sample": _QUOTA_SQL,
     "docx_decode": _DOCX_SQL,
     "xlsx_decode": _XLSX_SQL,
     "pdf_decode": _PDF_SQL,
