@@ -115,7 +115,7 @@ def test_changes_and_current_state_in_one_statement(spark, mor_table):
 
 
 def test_changes_unknown_ref_raises(spark, mor_table):
-    with pytest.raises(KeyError, match="no ref"):
+    with pytest.raises(KeyError, match="unknown ref"):
         sql(
             spark,
             {"transcripts": mor_table},
