@@ -158,7 +158,7 @@ def minhash_signature(
     return df.select(F.col(id_col).alias("_id"), sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
+def banded_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -166,20 +166,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding of minhash signatures.
+    """LSH band rows: (_id, sig, band, key), one row per (doc, band).
 
-    rows_per_band = num_hashes / bands; docs agreeing on ALL rows of any band
-    collide. Pipeline: signature (narrow) -> explode bands -> groupBy-free
-    self-equi-join on (band_idx, band_key) -> distinct pairs. The join key is
-    a hash bucket, so hot buckets are bounded by collision rate, not by data
-    skew. Returns (id_a, id_b) candidates (verify with `near_dup_jaccard`
-    semantics downstream if exact jaccard is needed).
+    rows_per_band = num_hashes / bands; two docs agreeing on ALL signature
+    components of any band get the same ``key`` for that band. The full
+    signature rides along with every band row so a downstream consumer can
+    estimate Jaccard (fraction of equal components) with a single equi-join
+    on (band, key) — no second lookup against a signature table. Shared by
+    `minhash_lsh_pairs` (batch self-join) and the persisted incremental
+    index (`lake/dedup_index.py`).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
-    banded = sigs.select(
+    return sigs.select(
         "_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -195,7 +197,28 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
+    ).select("_id", "sig", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding of minhash signatures.
+
+    Pipeline: signature (narrow) -> explode bands -> groupBy-free
+    self-equi-join on (band_idx, band_key) -> distinct pairs. The join key is
+    a hash bucket, so hot buckets are bounded by collision rate, not by data
+    skew. Returns (id_a, id_b) candidates (verify with `near_dup_jaccard`
+    semantics downstream if exact jaccard is needed).
+    """
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    ).select("_id", "band", "key")
     a = banded.select(F.col("_id").alias("id_a"), "band", "key")
     b = banded.select(F.col("_id").alias("id_b"), "band", "key")
     return (

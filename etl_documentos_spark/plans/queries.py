@@ -1662,6 +1662,93 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup via the PERSISTED MinHash-LSH band index
+    (`lake/dedup_index.py`): the existing corpus (doc_id % 10 != 0) is
+    indexed on disk in two installments — ``build`` on the odd ids, then
+    an incremental ``add`` of the remaining ids (the CDC-epoch shape: the
+    corpus index grows by O(batch), never rebuilt) — then the "new" batch
+    (doc_id % 10 == 0) is queried against it. The query prunes the index
+    scan to the key-prefix partitions the batch's band keys land in and
+    broadcasts the batch into the candidate join; est_jaccard is the
+    fraction of equal minhash components. threshold=0.125 returns the
+    full ranked candidate set (any shared band).
+
+    Reference parity: exact-hash re-upload detection
+    (/root/reference/app/services/extraction_service.py:295-296)
+    generalized to near-dup, with the persisted/incremental lifecycle of
+    the FAISS stores (vector_service.py:75-228)."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.dedup_index import MinHashLshIndex
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    newb = docs.filter("doc_id % 10 = 0")
+    root = tempfile.mkdtemp(prefix="dedup_idx_")
+    try:
+        MinHashLshIndex.build(
+            spark, f"{root}/idx", corpus.filter("doc_id % 2 = 1"),
+            num_hashes=8, bands=8, shingle_k=3,
+        )
+        idx = MinHashLshIndex.load(spark, f"{root}/idx")
+        idx.add(corpus.filter("doc_id % 2 = 0"))
+        out = (
+            idx.query(newb, threshold=0.125)
+            .orderBy("new_id", "corpus_id")
+        )
+        return _detached(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _dedup_incremental_sql(
+    num_hashes: int = 8, bands: int = 8, k: int = 3, threshold: float = 0.125
+) -> str:
+    r = num_hashes // bands
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{j}'))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_rows = ", ".join(
+        "STRUCT_PACK(band := {i}, key := md5({expr}))".format(
+            i=i,
+            expr=" || '|' || ".join(f"mh{i * r + j}" for j in range(r)),
+        )
+        for i in range(bands)
+    )
+    est = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= {k}
+                      THEN list_transform(generate_series(1, len(ws) - {k - 1}),
+                           i -> array_to_string(list_slice(ws, i, i + {k - 1}), ' '))
+                      ELSE [] END AS sh
+          FROM w),
+        sig AS (SELECT doc_id, {mh_cols} FROM sh),
+        banded AS (
+          SELECT doc_id, unnest([{band_rows}]) AS bk FROM sig),
+        flat AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM banded),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          FROM flat a JOIN flat b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+        SELECT c.new_id, c.corpus_id,
+               ({est}) / {num_hashes}.0 AS est_jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.new_id
+        JOIN sig b ON b.doc_id = c.corpus_id
+        WHERE ({est}) / {num_hashes}.0 >= {threshold}
+        ORDER BY new_id, corpus_id
+    """
+
+
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, k: int = 3) -> str:
     r = num_hashes // bands
     mh_cols = ", ".join(
@@ -5178,12 +5265,16 @@ QUERIES: dict[str, Query] = {
     "sql_evolve": q_sql_evolve,
     # new this round: SHOW PARTITIONS / t.partitions metadata table
     "sql_partitions": q_sql_partitions,
-    "ann_ivf_persisted": q_ann_ivf_persisted,
+    # new this round: persisted incremental MinHash-LSH dedup index
+    # (displaces ann_ivf_persisted — green r4, vector_index.py and its
+    # oracle untouched since)
+    "dedup_incremental": q_dedup_incremental,
     # new this round: corpus-level boilerplate strip + Gopher rules
     "boilerplate_strip": q_boilerplate_strip,
     "gopher_quality": q_gopher_quality,
     "repetition_quality": q_repetition_quality,
     "decontamination": q_decontamination,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
     # displaced by the four new rows (green r4; their modules untouched)
     "docx_decode": q_docx_decode,
     "pii_redaction": q_pii_redaction,
@@ -5393,6 +5484,7 @@ ORACLES: dict[str, str] = {
     "quality_scores": _QUALITY_SQL,
     "near_dup_jaccard": _NEAR_DUP_SQL,
     "minhash_lsh": _minhash_sql(),
+    "dedup_incremental": _dedup_incremental_sql(),
     "knn_cosine": _KNN_SQL,
     "longest_text_per_lang": _LONGEST_SQL,
     "llm_cost_report": _COST_SQL,
