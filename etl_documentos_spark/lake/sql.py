@@ -580,6 +580,12 @@ def sql(
       fold back at scan, retired names cannot be reused), and ``ALTER
       TABLE t SET TBLPROPERTIES ('k'='v', ...)`` (per-table engine knobs,
       e.g. ``commit.mode='cas'``) — see `_run_alter`.
+    - **Partition-spec evolution**: ``ALTER TABLE t SPLIT BUCKET b``
+      (incremental: one bucket re-keyed to two at double hash
+      granularity, other buckets' appends run lock-free) and ``ALTER
+      TABLE t REBUCKET TO n`` (stop-the-world full re-key, one
+      snapshot-atomic swap) — the SQL faces of `LakeTable.split_bucket`
+      / `LakeTable.rebucket`.
     - **Partition inspection**: ``SHOW PARTITIONS t`` and the
       ``t.partitions`` metadata table — per-bucket file/byte/row rollup
       from parquet footers, for spotting bucket skew (`partitions_df`).
@@ -903,6 +909,16 @@ _ALTER_FF_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_SPLIT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+SPLIT\s+BUCKET\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_REBUCKET_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+REBUCKET\s+TO\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _ALTER_UNSET_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*"
     r"(IF\s+EXISTS\s+)?\((.+)\)\s*;?\s*$",
@@ -998,6 +1014,39 @@ def _run_alter(
         return spark.createDataFrame(
             [(name, tag_name)], "table string, tag string"
         )
+    sm = _ALTER_SPLIT_RE.match(query)
+    if sm:
+        # ALTER TABLE t SPLIT BUCKET b — partition-spec evolution, the
+        # incremental form: ONE base bucket is re-keyed to two at double
+        # hash granularity while appends to other buckets proceed
+        # lock-free (`LakeTable.split_bucket`). Iceberg's analogue is
+        # ADD PARTITION FIELD with a wider bucket() transform; this
+        # lake's spec is a bucket count + split set, so the statement
+        # names the bucket directly.
+        name, b = sm.group(1), int(sm.group(2))
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        t = tables[name]
+        t.split_bucket(spark, b)
+        return spark.createDataFrame(
+            [(name, b, t.num_buckets, len(t.split_buckets))],
+            "table string, bucket int, num_buckets int, n_split int",
+        )
+    rbm = _ALTER_REBUCKET_RE.match(query)
+    if rbm:
+        # ALTER TABLE t REBUCKET TO n — partition-spec evolution, the
+        # stop-the-world form: every row re-keyed under pmod(xxhash64,
+        # n) in one snapshot-atomic rewrite (`LakeTable.rebucket`);
+        # readers see old or new spec, never a mix, and time travel to
+        # pre-rebucket snapshots still works.
+        name, n_new = rbm.group(1), int(rbm.group(2))
+        if name not in tables:
+            raise KeyError(f"unknown table {name!r}")
+        t = tables[name]
+        t.rebucket(spark, n_new)
+        return spark.createDataFrame(
+            [(name, n_new)], "table string, num_buckets int"
+        )
     um = _ALTER_UNSET_RE.match(query)
     if um:
         # ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...) — the
@@ -1066,7 +1115,8 @@ def _run_alter(
             "...), DROP COLUMN(S), RENAME COLUMN a TO b, SET "
             "TBLPROPERTIES ('k'='v', ...), UNSET TBLPROPERTIES "
             "[IF EXISTS] ('k', ...), CREATE [OR REPLACE] TAG name "
-            "[AS OF VERSION n] and DROP TAG name are implemented): "
+            "[AS OF VERSION n], DROP TAG name, SPLIT BUCKET n and "
+            "REBUCKET TO n are implemented): "
             f"{query!r}"
         )
     name, cols = m.group(1), m.group(2)

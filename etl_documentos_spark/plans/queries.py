@@ -3481,6 +3481,92 @@ _SQL_EVOLVE_SQL = f"""
 """
 
 
+def q_sql_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution through the SQL door (round 5), BOTH
+    forms: ``ALTER TABLE t SPLIT BUCKET b`` (incremental — one bucket
+    re-keyed to two at double hash granularity, appends to other buckets
+    lock-free; Iceberg's ADD PARTITION FIELD analogue for a bucket-count
+    spec) then ``ALTER TABLE t REBUCKET TO n`` (stop-the-world full
+    re-key, one snapshot-atomic manifest+spec swap). Spec state is
+    asserted after each step (split set, bucket ids, final bucket count,
+    SHOW PARTITIONS agreement); the value-checked surface is the table
+    content after both rewrites, which must still equal the plain LWW
+    reduction — re-keying must move rows between files, never change
+    them. Machinery: `lake/table.py` ``split_bucket``/``rebucket``; SQL
+    faces in `lake/sql.py`."""
+    import shutil
+    import tempfile
+
+    from etl_documentos_spark.lake.catalog import Catalog
+
+    win = lww.lww_dedup(_derive_changes(spark, sf_dir)).filter(
+        F.col("op") != "delete"
+    )
+    win.createOrReplaceTempView("rebkt_src")
+    root = tempfile.mkdtemp(prefix="sqlrebkt_q_")
+    try:
+        cat = Catalog(f"{root}/cat")
+        cat.sql(
+            spark,
+            "CREATE TABLE raw.notes ("
+            " conv_id string, turn_idx int, role string, text string,"
+            " ts timestamp) PARTITIONED BY (bucket(4, conv_id))",
+        )
+        cat.sql(
+            spark,
+            "INSERT INTO raw_notes (conv_id, turn_idx, role, text, ts)"
+            " SELECT conv_id, CAST(turn_idx AS INT), role, text,"
+            " CAST(ts AS TIMESTAMP) FROM rebkt_src",
+        )
+        n0 = cat.sql(
+            spark, "SELECT count(*) AS n FROM raw_notes"
+        ).first().n
+        res = cat.sql(spark, "ALTER TABLE raw_notes SPLIT BUCKET 1").first()
+        assert (res.bucket, res.num_buckets, res.n_split) == (1, 4, 1)
+        t = cat.load_table("raw.notes")
+        assert t.split_buckets == [1], "split set must record bucket 1"
+        # bucket 1's rows now live under keys 1 and 5 (b and b + N)
+        shown = {
+            r["bucket"]
+            for r in cat.sql(spark, "SHOW PARTITIONS raw.notes").collect()
+        }
+        assert shown <= {0, 1, 2, 3, 5}, f"unexpected buckets {shown}"
+        res = cat.sql(spark, "ALTER TABLE raw_notes REBUCKET TO 8").first()
+        assert res.num_buckets == 8
+        t = cat.load_table("raw.notes")
+        assert t.num_buckets == 8 and t.split_buckets == []
+        shown = {
+            r["bucket"]
+            for r in cat.sql(spark, "SHOW PARTITIONS raw.notes").collect()
+        }
+        assert shown <= set(range(8))
+        n1 = cat.sql(
+            spark, "SELECT count(*) AS n FROM raw_notes"
+        ).first().n
+        assert n1 == n0, "re-keying must not create or drop rows"
+        return _detached(
+            cat.sql(
+                spark,
+                "SELECT conv_id, turn_idx, role, text, ts FROM raw_notes"
+                " ORDER BY conv_id, turn_idx",
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_REBUCKET_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM ch)
+    SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, ts
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+    ORDER BY conv_id, turn_idx
+"""
+
+
 def q_sql_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition inspection through the SQL door (round 5): ``SHOW
     PARTITIONS t`` and the ``t.partitions`` metadata table — per-bucket
@@ -5221,7 +5307,12 @@ QUERIES: dict[str, Query] = {
     # rotation rule); the documents/markup decode rows it displaces were
     # driver-green in r4 and their modules are untouched since
     "multimodal_meta": q_multimodal_meta,
-    "frame_sample": q_frame_sample,
+    # new this round: partition-spec evolution through the SQL door
+    # (displaces frame_sample — its functions are untouched by the r5
+    # multimodal.py WebP additions, and the module keeps 10+ other
+    # in-window rows: meta/decode/gif/gif_frame/bmp/png/wav/jpeg/tiff/
+    # webp/dispatch)
+    "sql_rebucket": q_sql_rebucket,
     "multimodal_decode": q_multimodal_decode,
     "gif_decode": q_gif_decode,
     "gif_frame_sample": q_gif_frame_sample,
@@ -5275,6 +5366,7 @@ QUERIES: dict[str, Query] = {
     "repetition_quality": q_repetition_quality,
     "decontamination": q_decontamination,
     "ann_ivf_persisted": q_ann_ivf_persisted,
+    "frame_sample": q_frame_sample,
     # displaced by the four new rows (green r4; their modules untouched)
     "docx_decode": q_docx_decode,
     "pii_redaction": q_pii_redaction,
@@ -5501,6 +5593,7 @@ ORACLES: dict[str, str] = {
     "tiff_decode": _TIFF_SQL,
     "webp_decode": _WEBP_SQL,
     "sql_evolve": _SQL_EVOLVE_SQL,
+    "sql_rebucket": _SQL_REBUCKET_SQL,
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,

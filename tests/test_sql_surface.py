@@ -601,3 +601,48 @@ def test_tag_ddl_sql(spark, sql_table):
             spark, {"t": sql_table},
             "ALTER TABLE t CREATE TAG bad AS OF VERSION 999999",
         )
+
+
+def test_split_bucket_sql(spark, sql_table):
+    """ALTER TABLE t SPLIT BUCKET b: spec records the split, content is
+    byte-identical, and the re-keyed bucket's rows land under b and
+    b + N."""
+    before = sorted(
+        map(tuple, read_current(spark, sql_table)
+            .select("conv_id", "turn_idx", "text").collect())
+    )
+    res = sql(
+        spark, {"t": sql_table}, "ALTER TABLE t SPLIT BUCKET 1"
+    ).first()
+    assert (res.bucket, res.num_buckets, res.n_split) == (1, 2, 1)
+    assert sql_table.split_buckets == [1]
+    keys = {int(b) for b in sql_table.current_snapshot.files}
+    assert keys <= {0, 1, 3}, f"split of 1 at N=2 maps to 1 and 3: {keys}"
+    after = sorted(
+        map(tuple, read_current(spark, sql_table)
+            .select("conv_id", "turn_idx", "text").collect())
+    )
+    assert after == before
+    with pytest.raises(ValueError, match="already split"):
+        sql(spark, {"t": sql_table}, "ALTER TABLE t SPLIT BUCKET 1")
+
+
+def test_rebucket_sql(spark, sql_table):
+    before = sorted(
+        map(tuple, read_current(spark, sql_table)
+            .select("conv_id", "turn_idx", "text").collect())
+    )
+    res = sql(spark, {"t": sql_table}, "ALTER TABLE t REBUCKET TO 8").first()
+    assert res.num_buckets == 8
+    assert sql_table.num_buckets == 8 and sql_table.split_buckets == []
+    assert {int(b) for b in sql_table.current_snapshot.files} <= set(range(8))
+    after = sorted(
+        map(tuple, read_current(spark, sql_table)
+            .select("conv_id", "turn_idx", "text").collect())
+    )
+    assert after == before
+
+
+def test_alter_unknown_statement_names_spec_evolution(spark, sql_table):
+    with pytest.raises(ValueError, match="SPLIT BUCKET"):
+        sql(spark, {"t": sql_table}, "ALTER TABLE t FROBNICATE")
