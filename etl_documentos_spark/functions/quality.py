@@ -9,6 +9,8 @@ touching the tokenizer layer.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -160,4 +162,59 @@ def repetition_stats(
         ok_dup.alias("ok_dup_lines"),
         ok_big.alias("ok_top_bigram"),
         (ok_dup & ok_big).alias("repetition_pass"),
+    )
+
+
+def unigram_lm_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_vocab: int = 500,
+    alpha: float = 0.5,
+):
+    """Corpus-trained unigram-LM quality score per document — the shape of
+    CCNet's LM-perplexity filter (Wenzek et al. 2019, arXiv:1911.00359 —
+    public paper), with the KenLM stage replaced by a unigram model the
+    engine trains on the corpus itself in one aggregation.
+
+    Two passes, both scale-correct:
+
+    1. **Train**: token counts over the corpus (explode -> groupBy token,
+       map-side combine), keep the TOP ``k_vocab`` tokens (count DESC,
+       token ASC tie-break — deterministic cutoff); everything else is
+       out-of-vocabulary. The vocab is k-bounded, so at 100 TB it is a
+       BROADCAST table no matter the corpus size.
+    2. **Score**: explode each doc's tokens, broadcast-join the vocab,
+       per-token log10 p(tok) = log10(count / total) for hits and the
+       smoothed floor log10(alpha / total) for OOV, then mean per doc.
+
+    Returns (id, n_tokens, mean_logp): higher mean_logp = more typical
+    of the corpus (boilerplate scores high, lorem-ipsum noise low) — the
+    filter is two-sided in CCNet, cut-offs are the caller's.
+    """
+    from pyspark.sql import DataFrame  # local: keep module import surface
+
+    assert isinstance(df, DataFrame)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(words(text_col)).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 1
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(int(k_vocab))
+        .withColumn("logp", F.log10(F.col("cnt") / F.lit(float(total))))
+        .select("tok", "logp")
+    )
+    floor = F.lit(math.log10(alpha / float(total)))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .withColumn("logp", F.coalesce(F.col("logp"), floor))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("logp").alias("mean_logp"),
+        )
+        .withColumnRenamed("_id", id_col)
     )

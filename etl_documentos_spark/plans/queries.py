@@ -1662,6 +1662,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality score (CCNet's LM-perplexity
+    filter shape, Wenzek et al. 2019, arXiv:1911.00359): one aggregation
+    trains the token model, the top-k vocab (k-bounded, so always
+    broadcastable) scores every document by mean log10 token probability
+    with a smoothed OOV floor. `functions/quality.py::unigram_lm_score`."""
+    from etl_documentos_spark.functions.quality import unigram_lm_score
+
+    return unigram_lm_score(
+        load(spark, sf_dir, "documents"), k_vocab=500, alpha=0.5
+    ).orderBy("doc_id")
+
+
+_UNIGRAM_LM_SQL = f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    vocab AS (
+      SELECT tok, log10(cnt * 1.0 / (SELECT total FROM tot)) AS logp
+      FROM counts ORDER BY cnt DESC, tok ASC LIMIT 500),
+    scored AS (
+      SELECT t.doc_id,
+             coalesce(v.logp, log10(0.5 / (SELECT total FROM tot))) AS logp
+      FROM toks t LEFT JOIN vocab v USING (tok))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(logp) AS mean_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup via the PERSISTED MinHash-LSH band index
     (`lake/dedup_index.py`): the existing corpus (doc_id % 10 != 0) is
@@ -5315,7 +5346,10 @@ QUERIES: dict[str, Query] = {
     "sql_rebucket": q_sql_rebucket,
     "multimodal_decode": q_multimodal_decode,
     "gif_decode": q_gif_decode,
-    "gif_frame_sample": q_gif_frame_sample,
+    # new this round: corpus-trained unigram-LM quality score (displaces
+    # gif_frame_sample — its functions are untouched by the r5 WebP
+    # additions; gif_decode still re-proves the GIF codec in-window)
+    "unigram_lm": q_unigram_lm,
     "bmp_decode": q_bmp_decode,
     "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
@@ -5367,6 +5401,7 @@ QUERIES: dict[str, Query] = {
     "decontamination": q_decontamination,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "frame_sample": q_frame_sample,
+    "gif_frame_sample": q_gif_frame_sample,
     # displaced by the four new rows (green r4; their modules untouched)
     "docx_decode": q_docx_decode,
     "pii_redaction": q_pii_redaction,
@@ -5594,6 +5629,7 @@ ORACLES: dict[str, str] = {
     "webp_decode": _WEBP_SQL,
     "sql_evolve": _SQL_EVOLVE_SQL,
     "sql_rebucket": _SQL_REBUCKET_SQL,
+    "unigram_lm": _UNIGRAM_LM_SQL,
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,

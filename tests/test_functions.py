@@ -976,3 +976,32 @@ def test_ngram_contamination(spark):
     }
     assert strict[1].contaminated is False
     assert strict[1].n_eval_hits == out[1].n_eval_hits
+
+
+def test_unigram_lm_score(spark):
+    """Hand-checkable corpus: vocab cutoff, OOV floor, per-doc mean."""
+    import math
+
+    from etl_documentos_spark.functions.quality import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a b c"),
+            (3, "zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    # tokens: a=3, b=2, c=1, zzz=1 -> total 7; k=2 keeps {a, b}
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logp)
+        for r in unigram_lm_score(df, k_vocab=2, alpha=0.5).collect()
+    }
+    pa, pb, floor = (
+        math.log10(3 / 7), math.log10(2 / 7), math.log10(0.5 / 7)
+    )
+    assert got[1][0] == 3 and abs(got[1][1] - (2 * pa + pb) / 3) < 1e-12
+    assert got[2][0] == 3 and abs(got[2][1] - (pa + pb + floor) / 3) < 1e-12
+    assert got[3][0] == 1 and abs(got[3][1] - floor) < 1e-12
+    # boilerplate scores higher than noise
+    assert got[1][1] > got[3][1]
