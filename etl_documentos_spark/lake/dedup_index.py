@@ -48,10 +48,21 @@ from etl_documentos_spark.operators.dedup import banded_signatures
 
 _META = "meta.json"
 _BANDS = "bands"
+_TOMBS = "tombstones"
 
 
 class MinHashLshIndex:
-    """Persisted MinHash-LSH band index with incremental add."""
+    """Persisted MinHash-LSH band index with incremental add.
+
+    Deletes follow the lake's merge-on-read recipe: ``remove`` appends id
+    tombstones (O(batch), no index rewrite), ``query`` anti-joins them
+    out, and ``compact`` folds them into a rewritten band set — publishing
+    the new generation with one atomic metadata swap (temp +
+    ``os.replace``), so a crashed compaction leaves the old generation
+    intact. Maintenance (``compact``) is single-writer, like ``rebucket``
+    on the lake table; ``add``/``remove`` between compactions are
+    append-only.
+    """
 
     def __init__(self, spark: SparkSession, root: str, meta: dict):
         self.spark = spark
@@ -79,12 +90,14 @@ class MinHashLshIndex:
             "shingle_k": shingle_k,
             "text_col": text_col,
             "id_col": id_col,
+            "bands_dir": _BANDS,
+            "generation": 0,
+            "id_type": df.schema[id_col].dataType.simpleString(),
         }
         idx = cls(spark, root, meta)
         idx._write_rows(df, mode="overwrite")
         os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, _META), "w") as f:
-            json.dump(meta, f)
+        idx._write_meta()
         return idx
 
     @classmethod
@@ -95,6 +108,43 @@ class MinHashLshIndex:
     def add(self, df: DataFrame) -> None:
         """Append a new batch's band rows — O(batch), corpus untouched."""
         self._write_rows(df, mode="append")
+
+    def remove(self, ids: list) -> None:
+        """Tombstone documents by id — O(batch), no band-row rewrite.
+        Removed ids stop matching immediately (``query`` anti-joins the
+        tombstone set); their band rows are physically dropped at the
+        next ``compact``."""
+        self.spark.createDataFrame(
+            [(i,) for i in ids], f"{self.meta['id_col']} {self._id_type()}"
+        ).withColumnRenamed(self.meta["id_col"], "id").write.mode(
+            "append"
+        ).parquet(os.path.join(self.root, _TOMBS))
+
+    def compact(self) -> None:
+        """Fold tombstones into a rewritten band generation and coalesce
+        the small files ``add`` accumulates (one output file per key
+        prefix). Single-writer maintenance: the new generation is written
+        beside the old and published with one atomic metadata swap, so a
+        crash mid-compaction leaves the current generation untouched;
+        already-loaded readers keep the old (still-complete) directory.
+        """
+        import shutil
+
+        old_dir = self.meta.get("bands_dir", _BANDS)
+        gen = int(self.meta.get("generation", 0)) + 1
+        new_dir = f"{_BANDS}_v{gen}"
+        live = self._anti_tombstoned(self.scan())
+        (
+            live.repartition(F.col("kp"))
+            .write.partitionBy("kp")
+            .mode("overwrite")
+            .parquet(os.path.join(self.root, new_dir))
+        )
+        self.meta["bands_dir"] = new_dir
+        self.meta["generation"] = gen
+        self._write_meta()
+        shutil.rmtree(os.path.join(self.root, old_dir), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.root, _TOMBS), ignore_errors=True)
 
     # -- internals -----------------------------------------------------
 
@@ -115,12 +165,38 @@ class MinHashLshIndex:
             .withColumnRenamed("_id", "id")
             .write.partitionBy("kp")
             .mode(mode)
-            .parquet(os.path.join(self.root, _BANDS))
+            .parquet(os.path.join(self.root, self.meta.get("bands_dir", _BANDS)))
         )
+
+    def _write_meta(self) -> None:
+        tmp = os.path.join(self.root, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.root, _META))
+
+    def _id_type(self) -> str:
+        return self.meta.get("id_type", "long")
+
+    def _tombstones(self) -> DataFrame | None:
+        path = os.path.join(self.root, _TOMBS)
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _anti_tombstoned(self, df: DataFrame) -> DataFrame:
+        """Drop band rows of removed ids. Tombstone sets are small between
+        compactions (each compact clears them), so the anti-join
+        broadcasts."""
+        tombs = self._tombstones()
+        if tombs is None:
+            return df
+        return df.join(F.broadcast(tombs), "id", "left_anti")
 
     def scan(self, key_prefixes: list[str] | None = None) -> DataFrame:
         """Index band rows; ``key_prefixes`` prunes to those partitions."""
-        df = self.spark.read.parquet(os.path.join(self.root, _BANDS))
+        df = self.spark.read.parquet(
+            os.path.join(self.root, self.meta.get("bands_dir", _BANDS))
+        )
         if key_prefixes is not None:
             df = df.filter(F.col("kp").isin(key_prefixes))
         return df
@@ -145,7 +221,7 @@ class MinHashLshIndex:
         nh = self.meta["num_hashes"]
         new_rows = self._banded(df_new).withColumnRenamed("_id", "new_id")
         kps = [r.kp for r in new_rows.select("kp").distinct().collect()]
-        corpus = self.scan(kps).select(
+        corpus = self._anti_tombstoned(self.scan(kps)).select(
             F.col("id").alias("corpus_id"),
             F.col("sig").alias("corpus_sig"),
             "band",

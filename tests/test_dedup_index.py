@@ -155,3 +155,45 @@ def test_query_plan_broadcasts_new_side(spark, tmp_path):
         _docs(spark, [(5000, BASE[0])])
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_remove_and_compact(spark, tmp_path):
+    """MOR-style deletes: tombstones take effect immediately, compact
+    folds them in, rewrites one file per key prefix, and publishes a new
+    generation atomically."""
+    import os as _os
+
+    root = str(tmp_path / "idx")
+    MinHashLshIndex.build(spark, root, _docs(spark, _corpus_rows()))
+    idx = MinHashLshIndex.load(spark, root)
+    # add a second installment so bands/ holds multiple files per kp
+    idx.add(_docs(spark, [(2000, BASE[0] + " again"), (2001, BASE[2])]))
+
+    probe = _docs(spark, [(5000, BASE[0])])
+    before = {r.corpus_id for r in idx.query(probe, threshold=0.5).collect()}
+    assert {0, 1, 2000} <= before
+
+    idx.remove([0, 2000])
+    after = {r.corpus_id for r in idx.query(probe, threshold=0.5).collect()}
+    assert after == before - {0, 2000}, "tombstones must hide ids at once"
+
+    n_live = idx._anti_tombstoned(idx.scan()).count()
+    idx.compact()
+    assert idx.meta["generation"] == 1
+    assert idx.meta["bands_dir"] == "bands_v1"
+    assert not _os.path.isdir(_os.path.join(root, "bands"))
+    assert not _os.path.isdir(_os.path.join(root, "tombstones"))
+    assert idx.scan().count() == n_live
+    # one data file per kp dir after compaction
+    bands = _os.path.join(root, "bands_v1")
+    for d in _os.listdir(bands):
+        if d.startswith("kp="):
+            files = [f for f in _os.listdir(_os.path.join(bands, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    # a fresh load sees the new generation and the same answers
+    idx2 = MinHashLshIndex.load(spark, root)
+    again = {r.corpus_id for r in idx2.query(probe, threshold=0.5).collect()}
+    assert again == after
+    # removed ids never resurrect after compaction either
+    assert 0 not in again and 2000 not in again
