@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_documentos_spark import analytics
 from etl_documentos_spark.functions import text as tx
 from etl_documentos_spark.operators import dedup, lww, similarity
+from etl_documentos_spark.operators.split import split_sql as _split_sql
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -5317,6 +5318,127 @@ _DECONTAMINATION_SQL = _DECONTAMINATION_SQL_TMPL.replace(
 )
 
 
+def q_cdc_key_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-changing updates (Debezium before.key != after.key) applied as
+    retract+upsert (`operators/rekey.py`): every 7th update renumbers its
+    turn to ``turn_idx + 100`` carrying the old key in ``prev_*`` columns;
+    the operator expands each into delete@old-key + insert@new-key sharing
+    the source (ts, lsn), and plain LWW replay of the canonicalized stream
+    gives the final state. The reference's update path is a blind
+    overwrite-by-PK (repositories.py:51-68) that would duplicate the row.
+    Plan: one codegen'd explode-over-struct-array projection — no join, no
+    extra shuffle beyond the LWW aggregation itself."""
+    from etl_documentos_spark.operators.rekey import split_key_migrations
+
+    ch = _derive_changes(spark, sf_dir)
+    mig = (F.col("op") == "update") & (F.col("lsn") % 7 == 0)
+    stream = (
+        ch.withColumn("prev_conv_id", F.when(mig, F.col("conv_id")))
+        .withColumn("prev_turn_idx", F.when(mig, F.col("turn_idx")))
+        .withColumn(
+            "turn_idx",
+            F.when(mig, F.col("turn_idx") + 100).otherwise(
+                F.col("turn_idx")
+            ),
+        )
+    )
+    canon = split_key_migrations(stream)
+    win = lww.lww_dedup(canon)
+    return win.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "ts", "lsn"
+    )
+
+
+_KEY_MIGRATION_SQL = f"""
+    WITH ch AS ({_DERIVE_SQL}),
+    flagged AS (
+      SELECT *, (op = 'update' AND lsn % 7 = 0) AS mig FROM ch),
+    stream AS (
+      SELECT op, conv_id,
+             CASE WHEN mig THEN turn_idx + 100 ELSE turn_idx END AS turn_idx,
+             role, text, ts, lsn,
+             CASE WHEN mig THEN conv_id END AS prev_conv_id,
+             CASE WHEN mig THEN turn_idx END AS prev_turn_idx
+      FROM flagged),
+    canon AS (
+      SELECT op, conv_id, turn_idx, role, text, ts, lsn
+      FROM stream WHERE prev_conv_id IS NULL
+      UNION ALL
+      SELECT 'delete', prev_conv_id, prev_turn_idx, role, text, ts, lsn
+      FROM stream WHERE prev_conv_id IS NOT NULL
+      UNION ALL
+      SELECT 'insert', conv_id, turn_idx, role, text, ts, lsn
+      FROM stream WHERE prev_conv_id IS NOT NULL),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM canon)
+    SELECT conv_id, turn_idx, role, text, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step 0 (`operators/bpe.py`): top-20 adjacent character
+    pairs over the corpus, weighted by word frequency — the statistic the
+    first BPE merge argmaxes over. The distributable core of tokenizer
+    training: one pass to the Zipf-bounded distinct-word table, then pairs
+    explode + hash-aggregate, all whole-stage codegen (the full iterative
+    ``bpe_train`` loop is pytest-verified against a pure-Python reference
+    in test_bpe.py — its per-round argmax collect is one row)."""
+    from etl_documentos_spark.operators.bpe import pair_counts
+
+    return pair_counts(
+        load(spark, sf_dir, "documents"), "text", min_len=2, k=20
+    )
+
+
+_BPE_PAIRS_SQL = f"""
+    WITH toks AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+    wf AS (
+      SELECT word, count(*) AS freq FROM toks
+      WHERE len(word) >= 2 GROUP BY word),
+    pairs AS (
+      SELECT substring(word, CAST(i AS INT), 2) AS pair, freq
+      FROM wf, unnest(generate_series(1, len(word) - 1)) AS t(i)),
+    counts AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM pairs GROUP BY pair)
+    SELECT pair, cnt FROM counts
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split
+    (`operators/split.py`): the transcript change stream is split 80/10/10
+    by md5(salt || conv_id) bucket so ALL turns of a conversation land in
+    one split — no RNG state, reproducible at any parallelism. Output is
+    one row per (conv_id, split) with its row count; the oracle computes
+    the split from conv_id independently, so any group-straddling
+    assignment on the Spark side would double a conv's rows and
+    hash-mismatch. Plan: pure projection, zero exchange beyond the count."""
+    from etl_documentos_spark.operators.split import assign_split
+
+    ch = _derive_changes(spark, sf_dir)
+    tagged = assign_split(ch, "conv_id", salt="r5")
+    return tagged.groupBy("conv_id", "split").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+_CORPUS_SPLIT_SQL_TMPL = """
+    WITH ch AS ({derive})
+    SELECT conv_id, {split_case} AS split, count(*) AS n_rows
+    FROM ch GROUP BY conv_id, split
+"""
+
+_CORPUS_SPLIT_SQL = _CORPUS_SPLIT_SQL_TMPL.format(
+    derive=_DERIVE_SQL,
+    # generated by the SAME helper the Spark column uses (lockstep parity)
+    split_case=_split_sql("conv_id", salt="r5"),
+)
+
+
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
     "cdc_lww_window": q_cdc_lww_window,
@@ -5350,9 +5472,15 @@ QUERIES: dict[str, Query] = {
     # gif_frame_sample — its functions are untouched by the r5 WebP
     # additions; gif_decode still re-proves the GIF codec in-window)
     "unigram_lm": q_unigram_lm,
-    "bmp_decode": q_bmp_decode,
-    "png_decode": q_png_decode,
-    "wav_decode": q_wav_decode,
+    # new this round: CDC key-changing updates as retract+upsert, BPE
+    # pair statistics, and the deterministic leakage-safe corpus split
+    # (displace bmp/png/wav decode — green r4; the r5 multimodal.py diff
+    # is a pure append (WebP codec) so their functions are untouched, and
+    # the module still re-proves in-window via meta/decode/gif/jpeg/tiff/
+    # webp/dispatch)
+    "cdc_key_migration": q_cdc_key_migration,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "corpus_split": q_corpus_split,
     "jpeg_decode": q_jpeg_decode,
     "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
@@ -5399,6 +5527,11 @@ QUERIES: dict[str, Query] = {
     "gopher_quality": q_gopher_quality,
     "repetition_quality": q_repetition_quality,
     "decontamination": q_decontamination,
+    # rotated out r5 by the three rows above (green r4; functions
+    # untouched by the r5 WebP append to multimodal.py)
+    "bmp_decode": q_bmp_decode,
+    "png_decode": q_png_decode,
+    "wav_decode": q_wav_decode,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "frame_sample": q_frame_sample,
     "gif_frame_sample": q_gif_frame_sample,
@@ -5630,6 +5763,9 @@ ORACLES: dict[str, str] = {
     "sql_evolve": _SQL_EVOLVE_SQL,
     "sql_rebucket": _SQL_REBUCKET_SQL,
     "unigram_lm": _UNIGRAM_LM_SQL,
+    "cdc_key_migration": _KEY_MIGRATION_SQL,
+    "bpe_pair_counts": _BPE_PAIRS_SQL,
+    "corpus_split": _CORPUS_SPLIT_SQL,
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,

@@ -1,0 +1,292 @@
+"""Round-5 closing operators: key-migration rekey, BPE training, corpus
+split. Each is verified against an independent pure-Python re-derivation
+(BPE) or by construction properties (group atomicity, LWW revive)."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_documentos_spark.operators.bpe import (
+    bpe_train,
+    bpe_train_df,
+    pair_counts,
+)
+from etl_documentos_spark.operators.rekey import split_key_migrations
+from etl_documentos_spark.operators.split import (
+    assign_split,
+    split_column,
+    split_thresholds,
+)
+
+# ---------------------------------------------------------------------------
+# rekey
+# ---------------------------------------------------------------------------
+
+CH_SCHEMA = (
+    "op string, conv_id string, turn_idx int, text string, ts long, "
+    "lsn long, prev_conv_id string, prev_turn_idx int"
+)
+
+
+def _lww_state(rows):
+    """Pure-python LWW reducer over canonical (no prev_*) change rows."""
+    best = {}
+    for op, conv, turn, text, ts, lsn in rows:
+        k = (conv, turn)
+        if k not in best or (ts, lsn) > (best[k][0], best[k][1]):
+            best[k] = (ts, lsn, op, text)
+    return {
+        k: v[3] for k, v in best.items() if v[2] != "delete"
+    }
+
+
+def test_rekey_expands_migration_to_retract_plus_upsert(spark):
+    df = spark.createDataFrame(
+        [
+            ("insert", "c1", 1, "hello", 10, 100, None, None),
+            # key change: (c1,1) -> (c1,7), later event
+            ("update", "c1", 7, "hello moved", 20, 200, "c1", 1),
+        ],
+        CH_SCHEMA,
+    )
+    out = split_key_migrations(df)
+    assert "prev_conv_id" not in out.columns
+    rows = {
+        (r["op"], r["conv_id"], r["turn_idx"], r["lsn"])
+        for r in out.collect()
+    }
+    assert rows == {
+        ("insert", "c1", 1, 100),
+        ("delete", "c1", 1, 200),  # retract at the before-key
+        ("insert", "c1", 7, 200),  # upsert at the after-key
+    }
+    # end state: old key retracted (delete is newest there), new key live
+    state = _lww_state(
+        [
+            (r["op"], r["conv_id"], r["turn_idx"], r["text"], r["ts"], r["lsn"])
+            for r in out.collect()
+        ]
+    )
+    assert state == {("c1", 7): "hello moved"}
+
+
+def test_rekey_passthrough_rows_unchanged(spark):
+    df = spark.createDataFrame(
+        [
+            ("insert", "c1", 1, "a", 10, 100, None, None),
+            ("delete", "c2", 3, "b", 11, 101, None, None),
+        ],
+        CH_SCHEMA,
+    )
+    out = split_key_migrations(df).orderBy("lsn").collect()
+    assert [(r["op"], r["conv_id"], r["turn_idx"]) for r in out] == [
+        ("insert", "c1", 1),
+        ("delete", "c2", 3),
+    ]
+
+
+def test_rekey_old_key_revivable_by_later_write(spark):
+    """A real update to the old key AFTER the migration must win over the
+    migration's retract — replayed-binlog idempotence."""
+    df = spark.createDataFrame(
+        [
+            ("insert", "c1", 1, "v1", 10, 100, None, None),
+            ("update", "c1", 9, "v1 moved", 20, 200, "c1", 1),
+            ("insert", "c1", 1, "fresh at old key", 30, 300, None, None),
+        ],
+        CH_SCHEMA,
+    )
+    out = split_key_migrations(df)
+    state = _lww_state(
+        [
+            (r["op"], r["conv_id"], r["turn_idx"], r["text"], r["ts"], r["lsn"])
+            for r in out.collect()
+        ]
+    )
+    assert state == {
+        ("c1", 9): "v1 moved",
+        ("c1", 1): "fresh at old key",
+    }
+
+
+def test_rekey_requires_prev_columns(spark):
+    df = spark.createDataFrame(
+        [("insert", "c1", 1)], "op string, conv_id string, turn_idx int"
+    )
+    with pytest.raises(ValueError, match="prev_conv_id"):
+        split_key_migrations(df)
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges, min_len=2):
+    """Independent reference: classic greedy BPE over word frequencies."""
+    import re
+    import unicodedata
+
+    freq = collections.Counter()
+    for t in texts:
+        folded = "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", t.lower())
+            if not unicodedata.combining(ch)
+        )
+        for w in re.split(r"[^a-z0-9]+", folded):
+            if len(w) >= min_len:
+                freq[w] += 1
+    words = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        # max count, ties broken lexicographically ascending
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((a, b, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the hatter chatted, the cat scattered",
+    "banana bandana cabana",
+    "lower lowest newer newest",
+    "Atenção: ação e reação",  # accent fold must match words()
+    "aaaa aaa aa",  # overlapping-merge order: greedy left-to-right
+]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = bpe_train(df, "text", n_merges=6)
+    want = _py_bpe(CORPUS, n_merges=6)
+    assert got == want
+
+
+def test_bpe_greedy_scan_order(spark):
+    """`aaa` under merge (a,a) is [aa, a] — left-to-right, no re-merge of
+    the fresh token with the next symbol in the same pass."""
+    df = spark.createDataFrame([("aaa aaa",)], "text string")
+    merges = bpe_train(df, "text", n_merges=2)
+    assert merges == _py_bpe(["aaa aaa"], n_merges=2)
+
+
+def test_bpe_train_df_shape(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    out = bpe_train_df(df, "text", n_merges=3)
+    rows = out.orderBy("step").collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert all(r["cnt"] > 0 for r in rows)
+
+
+def test_pair_counts_top1_is_first_merge(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    top = pair_counts(df, "text", k=1).collect()[0]
+    (a, b, cnt) = _py_bpe(CORPUS, n_merges=1)[0]
+    assert top["pair"] == a + b
+    assert top["cnt"] == cnt
+
+
+# ---------------------------------------------------------------------------
+# corpus split
+# ---------------------------------------------------------------------------
+
+
+def test_split_group_atomic_and_deterministic(spark):
+    rows = [(f"conv_{i % 37}", j) for i in range(370) for j in range(3)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = assign_split(df, "conv_id", salt="s1")
+    # every group maps to exactly one split
+    per_group = (
+        out.groupBy("conv_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)
+    # deterministic under repartitioning
+    again = assign_split(df.repartition(7, "turn_idx"), "conv_id", salt="s1")
+    a = {
+        (r["conv_id"], r["split"])
+        for r in out.select("conv_id", "split").distinct().collect()
+    }
+    b = {
+        (r["conv_id"], r["split"])
+        for r in again.select("conv_id", "split").distinct().collect()
+    }
+    assert a == b
+
+
+def test_split_fractions_and_salt(spark):
+    groups = [(f"g{i}",) for i in range(5000)]
+    df = spark.createDataFrame(groups, "gid string")
+    out = assign_split(df, "gid", fracs=(0.8, 0.1, 0.1), salt="")
+    counts = dict(
+        (r["split"], r["n"])
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+    # a different salt redraws the assignment
+    redrawn = assign_split(df, "gid", salt="other")
+    joined = out.alias("a").join(redrawn.alias("b"), "gid")
+    moved = joined.filter(F.col("a.split") != F.col("b.split")).count()
+    assert moved > 500
+
+
+def test_split_thresholds_validation():
+    with pytest.raises(ValueError):
+        split_thresholds((0.5, 0.4), ("a", "b"))  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        split_thresholds((1.0,), ("a", "b"))  # misaligned names
+    ts = split_thresholds((0.8, 0.1, 0.1), ("train", "val", "test"))
+    assert ts[0] == ("train", "cccd") or ts[0][0] == "train"
+    assert ts[-1] == ("test", "g")
+
+
+def test_split_column_matches_sql_case(spark):
+    """Spark column and generated SQL CASE agree row-for-row (the oracle
+    parity contract)."""
+    from etl_documentos_spark.operators.split import split_sql
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "gid string"
+    )
+    via_col = df.select(
+        "gid", split_column("gid", salt="z").alias("split")
+    )
+    df.createOrReplaceTempView("split_parity_t")
+    # DuckDB dialect -> Spark dialect: only the cast spelling differs
+    case = split_sql("gid", salt="z").replace("AS VARCHAR)", "AS STRING)")
+    via_sql = spark.sql(
+        f"SELECT gid, {case} AS split FROM split_parity_t"
+    )
+    mism = (
+        via_col.alias("a")
+        .join(via_sql.alias("b"), "gid")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert mism == 0
