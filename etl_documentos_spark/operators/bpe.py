@@ -181,3 +181,91 @@ def bpe_train_df(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "step int, left string, right string, cnt long",
     )
+
+
+def bpe_encode_column(
+    text: Column, merges: list[tuple[str, str]] | list[tuple[str, str, int]]
+) -> Column:
+    """Tokenize a text column with learned merge rules — pure codegen.
+
+    Chains one ``_merge_once`` fold per rule in rank order over each
+    word's symbol array, then flattens words back to one token array per
+    row.  Plan depth grows with the rule count, so this form is for SMALL
+    rule sets (pipeline feature hashing, test fixtures); real vocabularies
+    go through ``bpe_encode`` below, which applies the same rules in one
+    Arrow-batched pass.
+    """
+    def apply_rule(a: str, b: str):
+        # closure factory, NOT default-arg lambdas: pyspark reads the
+        # lambda's arity to bind higher-order-function variables
+        return lambda ws: _merge_once(ws, a, b)
+
+    syms = F.transform(words(text), _chars)
+    for rule in merges:
+        syms = F.transform(syms, apply_rule(rule[0], rule[1]))
+    return F.flatten(syms)
+
+
+def _chars(w: Column) -> Column:
+    """Split a word into its character array (codegen; split('') leaves a
+    trailing empty element under Java limit=-1 semantics — filter it)."""
+    return F.filter(F.split(w, ""), lambda c: F.length(c) > 0)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with learned merges — the scale path.
+
+    In-order-pass BPE inside an Arrow-batched ``mapInPandas``: the merge
+    table rides the closure (shipped once per executor, like any real
+    tokenizer's vocab file); each batch loops words in plain-dict Python.
+    Per-task cost is O(tokens * rules) with zero shuffle; output schema =
+    input + ``out_col array<string>``.  Semantics are pinned equal to the
+    codegen ``bpe_encode_column`` fold chain by
+    ``tests/test_r5_closing_ops.py`` (two independent implementations).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql import types as T
+
+    rules = [(r[0], r[1]) for r in merges]
+
+    def _encode_word(w: str) -> list[str]:
+        # one greedy left-to-right pass per rule, in learned order — the
+        # exact semantics of bpe_train's _merge_once fold (one pass always
+        # suffices: merging (x, y) can't create a new (x, y) adjacency)
+        syms = list(w)
+        for a, b in rules:
+            if len(syms) < 2:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    tokenized = df.withColumn("_words", words(F.col(text_col)))
+    schema = T.StructType(
+        tokenized.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            pdf[out_col] = pdf["_words"].map(
+                lambda ws: [
+                    t for w in (ws if ws is not None else []) for t in _encode_word(w)
+                ]
+            )
+            yield pdf
+
+    return tokenized.mapInPandas(run, schema).drop("_words")

@@ -290,3 +290,58 @@ def test_split_column_matches_sql_case(spark):
         .count()
     )
     assert mism == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE encode
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_variants_agree(spark):
+    """Arrow-batched encode == codegen fold-chain encode, on rules actually
+    learned from the corpus (train -> encode roundtrip)."""
+    from etl_documentos_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_column,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "id int, text string"
+    )
+    merges = bpe_train(df, "text", n_merges=5)
+    via_pandas = {
+        r["id"]: r["tokens"]
+        for r in bpe_encode(df, merges, "text").collect()
+    }
+    via_codegen = {
+        r["id"]: r["tokens"]
+        for r in df.select(
+            "id", bpe_encode_column(F.col("text"), merges).alias("tokens")
+        ).collect()
+    }
+    assert via_pandas == via_codegen
+    # lossless within words: concatenating tokens rebuilds the word stream
+    joined = {
+        r["id"]: "".join(r["ws"])
+        for r in df.select(
+            "id",
+            F.expr(
+                "filter(split(translate(lower(text), "
+                "'áàâãäåéèêëíìîïóòôõöúùûüçñýÿ', "
+                "'aaaaaaeeeeiiiiooooouuuucnyy'), '[^a-z0-9]+'), "
+                "w -> length(w) > 0)"
+            ).alias("ws"),
+        ).collect()
+    }
+    for i, toks in via_pandas.items():
+        assert "".join(toks) == joined[i]
+
+
+def test_bpe_encode_known_rules(spark):
+    from etl_documentos_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(0, "banana bandana")], "id int, text string")
+    out = bpe_encode(df, [("a", "n"), ("an", "a")], "text").collect()[0]
+    # banana: b,a,n,a,n,a -> b,an,an,a -> b,an,ana
+    # bandana: b,a,n,d,a,n,a -> b,an,d,an,a -> b,an,d,ana
+    assert out["tokens"] == ["b", "an", "ana", "b", "an", "d", "ana"]
