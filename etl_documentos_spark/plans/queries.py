@@ -5378,6 +5378,64 @@ _KEY_MIGRATION_SQL = f"""
 """
 
 
+def q_cdc_envelope_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-changing updates arriving ON THE WIRE (Debezium ``u`` envelopes
+    with ``before.key != after.key``): every 7th update renumbers its turn
+    to +100, serialized as a true before/after envelope pair, parsed
+    through ``sources/envelope.py::parse_envelope_rekeyed`` (retract@old +
+    upsert@new expansion), then LWW-replayed to the final state. Same
+    oracle as ``cdc_key_migration`` — equality proves the wire leg is
+    lossless AND the rekey expansion fires from real envelope documents.
+    One from_json pass + one explode; no Python."""
+    from etl_documentos_spark.sources.envelope import parse_envelope_rekeyed
+
+    ch = _derive_changes(spark, sf_dir)
+    mig = (F.col("op") == "update") & (F.col("lsn") % 7 == 0)
+
+    def image(turn: Column) -> Column:
+        return F.struct(
+            F.col("conv_id").alias("conv_id"),
+            turn.cast("int").alias("turn_idx"),
+            F.col("role").alias("role"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    opcode = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    old_key, new_key = F.col("turn_idx"), F.when(
+        mig, F.col("turn_idx") + 100
+    ).otherwise(F.col("turn_idx"))
+    doc = F.struct(
+        opcode.alias("op"),
+        # deletes carry a before image; key-changing updates carry the
+        # OLD key in before and the NEW key in after (Debezium semantics)
+        F.when(F.col("op") == "delete", image(old_key))
+        .when(mig, image(old_key))
+        .alias("before"),
+        F.when(F.col("op") != "delete", image(new_key)).alias("after"),
+        F.struct(
+            F.col("lsn").alias("lsn"),
+            F.col("source_partition").alias("partition"),
+        ).alias("source"),
+    )
+    wire = ch.select(F.to_json(doc).alias("value"))
+    canon = parse_envelope_rekeyed(wire)
+    win = lww.lww_dedup(canon)
+    return win.filter(F.col("op") != "delete").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "lsn",
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-step 0 (`operators/bpe.py`): top-20 adjacent character
     pairs over the corpus, weighted by word frequency — the statistic the
@@ -5479,9 +5537,13 @@ QUERIES: dict[str, Query] = {
     # the module still re-proves in-window via meta/decode/gif/jpeg/tiff/
     # webp/dispatch)
     "cdc_key_migration": q_cdc_key_migration,
+    # new this round: the same key-migration semantics proven from real
+    # Debezium wire envelopes (displaces jpeg_decode — green r4; its
+    # functions untouched by the r5 append-only multimodal.py diff, and
+    # the module keeps meta/decode/gif/tiff/webp/dispatch in-window)
+    "cdc_envelope_rekey": q_cdc_envelope_rekey,
     "bpe_pair_counts": q_bpe_pair_counts,
     "corpus_split": q_corpus_split,
-    "jpeg_decode": q_jpeg_decode,
     "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
@@ -5527,11 +5589,12 @@ QUERIES: dict[str, Query] = {
     "gopher_quality": q_gopher_quality,
     "repetition_quality": q_repetition_quality,
     "decontamination": q_decontamination,
-    # rotated out r5 by the three rows above (green r4; functions
+    # rotated out r5 by the four rows above (green r4; functions
     # untouched by the r5 WebP append to multimodal.py)
     "bmp_decode": q_bmp_decode,
     "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
+    "jpeg_decode": q_jpeg_decode,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "frame_sample": q_frame_sample,
     "gif_frame_sample": q_gif_frame_sample,
@@ -5764,6 +5827,8 @@ ORACLES: dict[str, str] = {
     "sql_rebucket": _SQL_REBUCKET_SQL,
     "unigram_lm": _UNIGRAM_LM_SQL,
     "cdc_key_migration": _KEY_MIGRATION_SQL,
+    # same final state as cdc_key_migration: the wire leg must be lossless
+    "cdc_envelope_rekey": _KEY_MIGRATION_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
     "sql_partitions": _SQL_PARTITIONS_SQL,

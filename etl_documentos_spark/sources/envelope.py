@@ -79,15 +79,8 @@ def _image_field(env: Column, field: str) -> Column:
     return F.coalesce(env["after"][field], env["before"][field])
 
 
-def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Envelope strings -> canonical CHANGE_EVENTS columns.
-
-    One ``from_json`` over ``value_col``; every derived column is a pure
-    expression on the parsed struct. Unknown ops and unparseable documents
-    yield NULL ``op`` (and NULL key) rows for the DLQ split — they are NOT
-    dropped here, so at-least-once accounting upstream still sees them.
-    """
-    env = F.from_json(F.col(value_col), ENVELOPE_SCHEMA)
+def _canonical_columns(env: Column) -> list[Column]:
+    """The CHANGE_EVENTS projection of a parsed envelope struct."""
     op = env["op"]
     canonical = F.when(
         op.isNotNull(),
@@ -98,7 +91,7 @@ def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
         .when(op == "u", F.lit("update"))
         .when(op == "d", F.lit("delete")),
     )
-    return df.select(
+    return [
         canonical.alias("op"),
         _image_field(env, "conv_id").alias("conv_id"),
         _image_field(env, "turn_idx").alias("turn_idx"),
@@ -108,7 +101,55 @@ def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.timestamp_micros(_image_field(env, "ts_us")).alias("ts"),
         env["source"]["lsn"].alias("lsn"),
         env["source"]["partition"].alias("source_partition"),
+    ]
+
+
+def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Envelope strings -> canonical CHANGE_EVENTS columns.
+
+    One ``from_json`` over ``value_col``; every derived column is a pure
+    expression on the parsed struct. Unknown ops and unparseable documents
+    yield NULL ``op`` (and NULL key) rows for the DLQ split — they are NOT
+    dropped here, so at-least-once accounting upstream still sees them.
+    """
+    env = F.from_json(F.col(value_col), ENVELOPE_SCHEMA)
+    return df.select(*_canonical_columns(env))
+
+
+def parse_envelope_rekeyed(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """``parse_envelope`` + key-migration canonicalization.
+
+    Debezium updates may carry ``before.key != after.key`` — a genuine
+    PK-changing UPDATE (a turn renumbered after a moderation edit, a
+    conversation re-threaded). Plain ``parse_envelope`` keeps only the
+    after-image key, silently dropping the retract the OLD key needs, so
+    the stale row would survive replay (the reference's blind
+    overwrite-by-PK has the same hole, ``app/database/repositories.py:
+    51-68``). This variant surfaces the before-image key as ``prev_*``
+    columns on exactly those rows and expands them through
+    ``operators/rekey.py`` into delete@old-key + insert@new-key sharing
+    the source (ts, lsn). Same single ``from_json`` pass; the expansion
+    adds one codegen'd explode — still no Python, no shuffle.
+    """
+    from etl_documentos_spark.operators.rekey import split_key_migrations
+
+    env = F.from_json(F.col(value_col), ENVELOPE_SCHEMA)
+    before, after = env["before"], env["after"]
+    key_changed = (
+        (env["op"] == "u")
+        & before.isNotNull()
+        & after.isNotNull()
+        & ~(
+            before["conv_id"].eqNullSafe(after["conv_id"])
+            & before["turn_idx"].eqNullSafe(after["turn_idx"])
+        )
     )
+    parsed = df.select(
+        *_canonical_columns(env),
+        F.when(key_changed, before["conv_id"]).alias("prev_conv_id"),
+        F.when(key_changed, before["turn_idx"]).alias("prev_turn_idx"),
+    )
+    return split_key_migrations(parsed)
 
 
 def to_envelope(changes: DataFrame, value_col: str = "value") -> DataFrame:

@@ -124,3 +124,60 @@ def test_export_changes_replicates_over_the_wire(spark, tmp_path):
     n_del = rest.filter(F.col("op") == "delete").count()
     if n_del:
         assert parsed.filter(F.col("op") == "delete").count() > 0
+
+
+def test_rekeyed_parse_expands_key_changing_update(spark):
+    from etl_documentos_spark.sources.envelope import parse_envelope_rekeyed
+
+    docs = [
+        # ordinary insert: passes through untouched
+        '{"op":"c","after":{"conv_id":"a","turn_idx":1,"role":"user",'
+        '"text":"hi","tool":null,"ts_us":1000000},'
+        '"source":{"lsn":1,"partition":0}}',
+        # PK-changing update: (a,1) -> (a,9)
+        '{"op":"u","before":{"conv_id":"a","turn_idx":1,"role":"user",'
+        '"text":"hi","tool":null,"ts_us":1000000},'
+        '"after":{"conv_id":"a","turn_idx":9,"role":"user",'
+        '"text":"hi moved","tool":null,"ts_us":2000000},'
+        '"source":{"lsn":2,"partition":0}}',
+        # same-key update: must NOT expand
+        '{"op":"u","before":{"conv_id":"b","turn_idx":3,"role":"user",'
+        '"text":"old","tool":null,"ts_us":3000000},'
+        '"after":{"conv_id":"b","turn_idx":3,"role":"user",'
+        '"text":"new","tool":null,"ts_us":4000000},'
+        '"source":{"lsn":3,"partition":0}}',
+        # delete (before image only): must NOT expand
+        '{"op":"d","before":{"conv_id":"c","turn_idx":5,"role":"user",'
+        '"text":"bye","tool":null,"ts_us":5000000},'
+        '"source":{"lsn":4,"partition":0}}',
+    ]
+    out = parse_envelope_rekeyed(_raw(spark, docs))
+    assert "prev_conv_id" not in out.columns
+    rows = {
+        (r["op"], r["conv_id"], r["turn_idx"], r["text"], r["lsn"])
+        for r in out.collect()
+    }
+    assert rows == {
+        ("insert", "a", 1, "hi", 1),
+        ("delete", "a", 1, "hi moved", 2),   # retract at the old key
+        ("insert", "a", 9, "hi moved", 2),   # upsert at the new key
+        ("update", "b", 3, "new", 3),        # same-key update untouched
+        ("delete", "c", 5, "bye", 4),
+    }
+
+
+def test_rekeyed_parse_equals_plain_parse_without_migrations(spark):
+    """On a stream with no key-changing updates the two parsers agree
+    row-for-row (to_envelope never emits before+after pairs)."""
+    from etl_documentos_spark.sources.envelope import parse_envelope_rekeyed
+
+    ch = datagen.change_stream(spark, n_events=2000, events_per_epoch=500)
+    wire = to_envelope(ch.drop("epoch"))
+    a = sorted(
+        map(tuple, parse_envelope(wire).collect()), key=lambda r: r[-2]
+    )
+    b = sorted(
+        map(tuple, parse_envelope_rekeyed(wire).collect()),
+        key=lambda r: r[-2],
+    )
+    assert a == b

@@ -345,3 +345,64 @@ def test_bpe_encode_known_rules(spark):
     # banana: b,a,n,a,n,a -> b,an,an,a -> b,an,ana
     # bandana: b,a,n,d,a,n,a -> b,an,d,an,a -> b,an,d,ana
     assert out["tokens"] == ["b", "an", "ana", "b", "an", "d", "ana"]
+
+
+# ---------------------------------------------------------------------------
+# rekey property test: arbitrary streams == sequential reducer
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def migration_streams(draw):
+    """Adversarial little change streams where some updates change keys:
+    key collisions, ts ties, migrations landing on occupied keys,
+    migrations of never-inserted keys, chains (a->b then b->c)."""
+    n = draw(st.integers(min_value=1, max_value=20))
+    events = []
+    for lsn in range(n):
+        op = draw(st.sampled_from(["insert", "update", "delete"]))
+        conv = f"c{draw(st.integers(0, 1))}"
+        turn = draw(st.integers(0, 3))
+        ts = draw(st.integers(0, 4))
+        prev_c = prev_t = None
+        if op == "update" and draw(st.booleans()):
+            prev_c = f"c{draw(st.integers(0, 1))}"
+            prev_t = draw(st.integers(0, 3))
+        events.append(
+            (op, conv, turn, f"t{lsn}", ts, lsn, prev_c, prev_t)
+        )
+    return events
+
+
+def _reduce_with_migrations(events):
+    """Sequential reference: expand migrations, then LWW-reduce."""
+    canon = []
+    for op, conv, turn, text, ts, lsn, pc, pt in events:
+        if pc is not None and pt is not None:
+            canon.append(("delete", pc, pt, text, ts, lsn))
+            canon.append(("insert", conv, turn, text, ts, lsn))
+        else:
+            canon.append((op, conv, turn, text, ts, lsn))
+    return _lww_state(canon)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(migration_streams())
+def test_rekey_property_engine_equals_reducer(spark, events):
+    from etl_documentos_spark.operators.lww import lww_dedup
+
+    df = spark.createDataFrame(events, CH_SCHEMA)
+    out = split_key_migrations(df)
+    win = lww_dedup(out.withColumn("source_partition", F.lit(0)))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in win.filter(F.col("op") != "delete").collect()
+    }
+    assert got == _reduce_with_migrations(events)
