@@ -143,3 +143,48 @@ def test_decontamination_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rekey_and_split_plan_shape(spark):
+    """The round-5 closers stay JVM-side: rekey is one generate (explode)
+    + the LWW exchange; the corpus split is projection-only before its
+    count agg — no Python anywhere, no extra shuffle."""
+    from etl_documentos_spark.plans.queries import (
+        q_cdc_envelope_rekey,
+        q_cdc_key_migration,
+        q_corpus_split,
+    )
+
+    import re
+
+    def n_exchanges(plan: str) -> int:
+        # formatted plans print each node twice (tree + detail section):
+        # count distinct numbered Exchange nodes, falling back to tree
+        # arrows for unnumbered (AQE-collapsed) renderings
+        nodes = set(re.findall(r"Exchange \((\d+)\)", plan))
+        return len(nodes) if nodes else plan.count("+- Exchange")
+
+    for q in (q_cdc_key_migration, q_cdc_envelope_rekey):
+        plan = inspect.physical_plan(q(spark, SF))
+        assert "Python" not in plan and "ArrowEval" not in plan, plan
+        assert n_exchanges(plan) == 1, plan  # only the LWW agg
+
+    plan = inspect.physical_plan(q_corpus_split(spark, SF))
+    assert "Python" not in plan, plan
+    assert n_exchanges(plan) == 1, plan  # only the count agg
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_bpe_pair_counts_plan_shape(spark):
+    """Both aggregations hash + map-side combine; the only window is the
+    final top-k over the alphabet^2-bounded pair table; no Python."""
+    from etl_documentos_spark.plans.queries import q_bpe_pair_counts
+
+    import re
+
+    plan = inspect.physical_plan(q_bpe_pair_counts(spark, SF))
+    assert "Python" not in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    nodes = set(re.findall(r"Exchange \((\d+)\)", plan))
+    n = len(nodes) if nodes else plan.count("+- Exchange")
+    assert n <= 3, plan  # wordfreq agg, pairs agg, top-k single-partition

@@ -406,3 +406,46 @@ def test_rekey_property_engine_equals_reducer(spark, events):
         for r in win.filter(F.col("op") != "delete").collect()
     }
     assert got == _reduce_with_migrations(events)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=16),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bpe_property_matches_python_reference(spark, texts, n_merges):
+    """Arbitrary tiny corpora (tight alphabet so merges collide and chain,
+    runs like 'aaaa' stress the greedy scan) == the pure-Python BPE."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert bpe_train(df, "text", n_merges=n_merges) == _py_bpe(
+        texts, n_merges
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(st.text(alphabet="xyz0", max_size=6), min_size=1, max_size=40),
+    st.sampled_from(["", "a", "epoch7"]),
+)
+def test_split_property_total_and_group_atomic(spark, groups, salt):
+    """Every row gets exactly one label; duplicate group keys always agree
+    (including empty-string keys); labels come from the declared set."""
+    rows = [(g, i) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "gid string, i int")
+    out = assign_split(df, "gid", salt=salt).collect()
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    seen = {}
+    for r in out:
+        assert seen.setdefault(r["gid"], r["split"]) == r["split"]
