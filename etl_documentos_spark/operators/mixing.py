@@ -1,0 +1,109 @@
+"""Deterministic weighted source-mixing (training-data interleave).
+
+LLM pretraining mixes sources at target ratios (web 60%, code 20%, books
+10%, ...). Doing it with RNG state breaks resumability and cluster-size
+invariance; doing it with per-source round-robin needs exact global ranks
+(a skew-prone window). The exponential-race formulation needs neither:
+every row gets the key
+
+    key = -ln(u) / w      u = uniform(0,1) from md5(salt || id), w = source weight
+
+and the ascending-key order IS a weighted interleave — at every prefix
+position, source s wins with probability w_s / sum(w) (the minimum of
+exponentials race; equivalently Efraimidis–Spirakis A-ES weighted sampling
+without replacement, arXiv cs/0502087 shape). Pure projection: no RNG
+state, no window over the corpus, reproducible at any parallelism, and the
+identical arithmetic is expressible in any SQL with ``md5``/``ln`` (the
+DuckDB oracle re-derives the full order: Spark ``conv(hex)`` and DuckDB
+``'0x…'::BIGINT`` agree bit-for-bit on the 52-bit mantissa-sized slice).
+
+Scale: ``orderBy(key).limit(k)`` plans as TakeOrderedAndProject —
+per-partition top-k then a driver-side merge of k-row heaps, never a
+global sort of the corpus; the epoch schedule for ANY k comes off a 100 TB
+corpus with one scan. The rank window afterwards is over k rows only. For
+a FULL corpus ordering (k = everything), drop the limit and let the
+range-partitioned sort do it — still one shuffle.
+
+Reference semantics analogue: the reference's provider chain picks sources
+by fixed priority (``/root/reference/app/services/document_service.py``);
+this generalizes fixed priority to proportional representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 13 hex digits = 52 bits — exactly a double's mantissa, so the uniform
+#: is exact in both engines and never rounds differently
+_HEX_DIGITS = 13
+_SCALE = float(1 << 52)
+
+
+def uniform_from(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform(0,1) from a row id — md5-derived, engine-
+    portable (+0.5 keeps it strictly inside (0,1): no ln(0))."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hx = F.substring(
+        F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, _HEX_DIGITS
+    )
+    return (F.conv(hx, 16, 10).cast("double") + F.lit(0.5)) / F.lit(_SCALE)
+
+
+def exp_race_key(
+    id_col: Column | str, weight: Column, salt: str = ""
+) -> Column:
+    """The interleave sort key: exponential with rate = weight."""
+    return -F.log(uniform_from(id_col, salt)) / weight
+
+
+def weight_column(
+    source_col: Column | str, weights: dict[str, float]
+) -> Column:
+    """Literal source->weight map as a when-chain (unknown sources get
+    weight 0 via an explicit error-raising NULL: silently dropping or
+    silently equal-weighting a new source are both wrong answers)."""
+    c = F.col(source_col) if isinstance(source_col, str) else source_col
+    expr = None
+    for s, w in weights.items():
+        cond = c == F.lit(s)
+        expr = (
+            F.when(cond, F.lit(float(w)))
+            if expr is None
+            else expr.when(cond, F.lit(float(w)))
+        )
+    return expr  # implicit else NULL -> key NULL -> caller sees the gap
+
+
+def weighted_interleave(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """First ``k`` rows of the deterministic weighted interleave.
+
+    Output = input columns + ``rank`` (1-based schedule position). Rows
+    whose source has no weight raise: a training mix must be total.
+    """
+    w = weight_column(source_col, weights)
+    key = exp_race_key(id_col, w, salt)
+    tagged = df.withColumn("_mix_key", key)
+    missing = tagged.filter(
+        F.col("_mix_key").isNull() & F.col(source_col).isNotNull()
+    )
+    if missing.limit(1).count() > 0:
+        unknown = [
+            r[0]
+            for r in missing.select(source_col).distinct().limit(5).collect()
+        ]
+        raise ValueError(f"sources without weights: {unknown}")
+    head = tagged.orderBy("_mix_key", id_col).limit(k)
+    return head.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy("_mix_key", F.col(id_col)))
+        .cast("int"),
+    ).drop("_mix_key")

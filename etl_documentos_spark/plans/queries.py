@@ -5436,6 +5436,41 @@ def q_cdc_envelope_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source-mixing (`operators/mixing.py`): the
+    first 100 schedule positions of an exponential-race interleave over
+    the 20 document sources at weights 1+(n mod 4) — the training-data
+    mixing step with no RNG state, reproducible at any parallelism. The
+    oracle re-derives the identical order in DuckDB (md5-slice uniforms
+    agree bit-for-bit at 52 bits), so rank/doc/source equality proves the
+    whole arithmetic chain. Plan: TakeOrderedAndProject (per-partition
+    top-k + merge — no global sort of the corpus), rank window over the
+    100 survivors only."""
+    from etl_documentos_spark.operators.mixing import weighted_interleave
+
+    d = load(spark, sf_dir, "documents")
+    weights = {f"src{i}": 1.0 + i % 4 for i in range(20)}
+    out = weighted_interleave(
+        d, "source", weights, id_col="doc_id", k=100, salt="mix"
+    )
+    return out.select("rank", "doc_id", "source")
+
+
+_CORPUS_MIX_SQL = """
+    WITH t AS (
+      SELECT doc_id, source,
+        -ln((CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),
+                                 1, 13) AS BIGINT) + 0.5)
+            / 4503599627370496.0)
+          / (1.0 + CAST(substr(source, 4) AS INT) % 4) AS k
+      FROM documents),
+    h AS (SELECT * FROM t ORDER BY k, doc_id LIMIT 100)
+    SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS INT) AS rank,
+           doc_id, source
+    FROM h
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-step 0 (`operators/bpe.py`): top-20 adjacent character
     pairs over the corpus, weighted by word frequency — the statistic the
@@ -5544,6 +5579,11 @@ QUERIES: dict[str, Query] = {
     "cdc_envelope_rekey": q_cdc_envelope_rekey,
     "bpe_pair_counts": q_bpe_pair_counts,
     "corpus_split": q_corpus_split,
+    # new this round: deterministic weighted source-mixing (displaces
+    # tiff_decode — green r4; TIFF functions untouched by the r5
+    # append-only multimodal.py diff, module still proven in-window by
+    # meta/decode/gif/webp/dispatch)
+    "corpus_mix": q_corpus_mix,
     "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
@@ -5575,7 +5615,6 @@ QUERIES: dict[str, Query] = {
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_usage_counters": q_cdc_usage_counters,
     "dlq_triage": q_dlq_triage,
-    "tiff_decode": q_tiff_decode,
     "webp_decode": q_webp_decode,
     "sql_evolve": q_sql_evolve,
     # new this round: SHOW PARTITIONS / t.partitions metadata table
@@ -5595,6 +5634,7 @@ QUERIES: dict[str, Query] = {
     "png_decode": q_png_decode,
     "wav_decode": q_wav_decode,
     "jpeg_decode": q_jpeg_decode,
+    "tiff_decode": q_tiff_decode,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "frame_sample": q_frame_sample,
     "gif_frame_sample": q_gif_frame_sample,
@@ -5831,6 +5871,7 @@ ORACLES: dict[str, str] = {
     "cdc_envelope_rekey": _KEY_MIGRATION_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
+    "corpus_mix": _CORPUS_MIX_SQL,
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,

@@ -449,3 +449,61 @@ def test_split_property_total_and_group_atomic(spark, groups, salt):
     seen = {}
     for r in out:
         assert seen.setdefault(r["gid"], r["split"]) == r["split"]
+
+
+# ---------------------------------------------------------------------------
+# weighted source-mixing
+# ---------------------------------------------------------------------------
+
+
+def test_mixing_proportions_and_determinism(spark):
+    from etl_documentos_spark.operators.mixing import weighted_interleave
+
+    rows = [(i, "web" if i % 2 == 0 else "code") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_interleave(
+        df, "source", {"web": 3.0, "code": 1.0}, "doc_id", k=800, salt="s"
+    )
+    head = out.collect()
+    assert [r["rank"] for r in head] == list(range(1, 801))
+    share = sum(1 for r in head if r["source"] == "web") / len(head)
+    # exponential race: web should take ~75% of every prefix
+    assert 0.70 < share < 0.80, share
+    # identical schedule under a different partitioning
+    again = weighted_interleave(
+        df.repartition(13), "source", {"web": 3.0, "code": 1.0},
+        "doc_id", k=800, salt="s",
+    ).collect()
+    assert [(r["rank"], r["doc_id"]) for r in head] == [
+        (r["rank"], r["doc_id"]) for r in again
+    ]
+    # a different salt redraws the schedule
+    redrawn = weighted_interleave(
+        df, "source", {"web": 3.0, "code": 1.0}, "doc_id", k=800, salt="t"
+    ).collect()
+    assert [r["doc_id"] for r in head] != [r["doc_id"] for r in redrawn]
+
+
+def test_mixing_unknown_source_raises(spark):
+    from etl_documentos_spark.operators.mixing import weighted_interleave
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "mystery")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="mystery"):
+        weighted_interleave(df, "source", {"web": 1.0}, "doc_id", k=10)
+
+
+def test_mixing_plan_is_top_k_not_global_sort(spark):
+    """orderBy(key).limit(k) must plan as TakeOrderedAndProject (per-
+    partition heaps + merge) — never a full-corpus sort exchange."""
+    from etl_documentos_spark.operators.mixing import exp_race_key
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source")
+    )
+    head = df.withColumn(
+        "_k", exp_race_key("doc_id", F.lit(1.0), "s")
+    ).orderBy("_k", "doc_id").limit(50)
+    plan = head._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
