@@ -5471,6 +5471,34 @@ _CORPUS_MIX_SQL = """
 """
 
 
+def q_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split at the NEAR-DUP level: conversation-atomic
+    splits still leak when two near-identical documents land in train and
+    test, so the split key must be the duplicate CLUSTER, not the row.
+    Composition: MinHash-LSH pairs -> large-star/small-star connected
+    components -> md5-bucketed split on the component's canonical id
+    (`operators/components.py` + `operators/split.py`). Every cluster
+    member provably shares a split; the oracle re-derives components with
+    a recursive CTE and applies the identical split CASE to the component
+    id, so a cluster-straddling assignment would hash-mismatch."""
+    from etl_documentos_spark.operators.components import dedup_components
+    from etl_documentos_spark.operators.split import assign_split
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_k=3)
+    comp = dedup_components(d, pairs)
+    out = assign_split(comp, "component_id", salt="r5d")
+    return out.select("doc_id", "component_id", "split")
+
+
+def _dedup_split_sql() -> str:
+    case = _split_sql("component_id", salt="r5d")
+    return f"""
+        SELECT doc_id, component_id, {case} AS split
+        FROM ({_components_sql()}) c
+    """
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-step 0 (`operators/bpe.py`): top-20 adjacent character
     pairs over the corpus, weighted by word frequency — the statistic the
@@ -5559,8 +5587,14 @@ QUERIES: dict[str, Query] = {
     # in-window rows: meta/decode/gif/gif_frame/bmp/png/wav/jpeg/tiff/
     # webp/dispatch)
     "sql_rebucket": q_sql_rebucket,
-    "multimodal_decode": q_multimodal_decode,
-    "gif_decode": q_gif_decode,
+    # dedup.py was refactored this round (banded_signatures split out
+    # of minhash_lsh_pairs), so the minhash row re-proves in-window; the
+    # near-dup-level split composition joins it. Displaced:
+    # multimodal_decode + gif_decode (functions untouched by the r5
+    # append-only multimodal diff; module proven in-window by
+    # meta/dispatch/webp)
+    "minhash_lsh": q_minhash_lsh,
+    "dedup_split": q_dedup_split,
     # new this round: corpus-trained unigram-LM quality score (displaces
     # gif_frame_sample — its functions are untouched by the r5 WebP
     # additions; gif_decode still re-proves the GIF codec in-window)
@@ -5635,6 +5669,8 @@ QUERIES: dict[str, Query] = {
     "wav_decode": q_wav_decode,
     "jpeg_decode": q_jpeg_decode,
     "tiff_decode": q_tiff_decode,
+    "multimodal_decode": q_multimodal_decode,
+    "gif_decode": q_gif_decode,
     "ann_ivf_persisted": q_ann_ivf_persisted,
     "frame_sample": q_frame_sample,
     "gif_frame_sample": q_gif_frame_sample,
@@ -5687,7 +5723,6 @@ QUERIES: dict[str, Query] = {
     "html_decode": q_html_decode,
     "rtf_decode": q_rtf_decode,
     "near_dup_jaccard": q_near_dup_jaccard,
-    "minhash_lsh": q_minhash_lsh,
     "knn_cosine": q_knn_cosine,
     "simhash": q_simhash,
     "near_dup_embedding": q_near_dup_embedding,
@@ -5872,6 +5907,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
     "corpus_mix": _CORPUS_MIX_SQL,
+    "dedup_split": _dedup_split_sql(),
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
     "cpf_validation": _CPF_SQL,

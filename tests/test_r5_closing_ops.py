@@ -507,3 +507,17 @@ def test_mixing_plan_is_top_k_not_global_sort(spark):
     ).orderBy("_k", "doc_id").limit(50)
     plan = head._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_split_is_cluster_atomic(spark):
+    """Near-dup-level split: every connected component lands whole in one
+    split (the leakage unit is the cluster, not the row)."""
+    from etl_documentos_spark.plans.queries import q_dedup_split
+
+    out = q_dedup_split(spark, "/root/testdata/sf0.001")
+    per_cluster = (
+        out.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert per_cluster and all(r["n"] == 1 for r in per_cluster)
