@@ -86,20 +86,25 @@ def weighted_interleave(
     """First ``k`` rows of the deterministic weighted interleave.
 
     Output = input columns + ``rank`` (1-based schedule position). Rows
-    whose source has no weight raise: a training mix must be total.
+    whose source has no weight raise AT EXECUTION (inline ``raise_error``
+    in the key projection — no extra validation scan): a training mix
+    must be total. NULL sources pass through with a NULL key and sort
+    first; filter them upstream if that is not intended.
     """
     w = weight_column(source_col, weights)
-    key = exp_race_key(id_col, w, salt)
+    # validation is INLINE in the key expression (raise_error), not a
+    # separate probe job: a pre-scan would double the corpus cost, and
+    # letting NULL keys through would be worse — ascending order puts
+    # NULLS FIRST, silently seating unknown sources at the schedule head
+    key = F.when(
+        w.isNull() & F.col(source_col).isNotNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("source without a mix weight: "), F.col(source_col)
+            )
+        ),
+    ).otherwise(exp_race_key(id_col, w, salt))
     tagged = df.withColumn("_mix_key", key)
-    missing = tagged.filter(
-        F.col("_mix_key").isNull() & F.col(source_col).isNotNull()
-    )
-    if missing.limit(1).count() > 0:
-        unknown = [
-            r[0]
-            for r in missing.select(source_col).distinct().limit(5).collect()
-        ]
-        raise ValueError(f"sources without weights: {unknown}")
     head = tagged.orderBy("_mix_key", id_col).limit(k)
     return head.withColumn(
         "rank",

@@ -100,7 +100,12 @@ def assign_split(
     names: tuple[str, ...] = ("train", "val", "test"),
     salt: str = "",
 ) -> DataFrame:
-    """Tag every row with its group's split label (column ``split``)."""
+    """Tag every row with its group's split label (column ``split``).
+
+    NULL group keys yield a NULL split (md5 of NULL is NULL, every CASE
+    arm false) — surfaced rather than guessed; coalesce the key upstream
+    if NULL groups should participate.
+    """
     return df.withColumn(
         "split", split_column(group_col, fracs, names, salt)
     )

@@ -490,8 +490,9 @@ def test_mixing_unknown_source_raises(spark):
     df = spark.createDataFrame(
         [(1, "web"), (2, "mystery")], "doc_id long, source string"
     )
-    with pytest.raises(ValueError, match="mystery"):
-        weighted_interleave(df, "source", {"web": 1.0}, "doc_id", k=10)
+    out = weighted_interleave(df, "source", {"web": 1.0}, "doc_id", k=10)
+    with pytest.raises(Exception, match="mystery"):
+        out.collect()  # inline raise_error fires at execution
 
 
 def test_mixing_plan_is_top_k_not_global_sort(spark):
