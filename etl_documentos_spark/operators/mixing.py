@@ -8,11 +8,15 @@ every row gets the key
 
     key = -ln(u) / w      u = uniform(0,1) from md5(salt || id), w = source weight
 
-and the ascending-key order IS a weighted interleave — at every prefix
-position, source s wins with probability w_s / sum(w) (the minimum of
+and the ascending-key order IS a weighted interleave (the minimum of
 exponentials race; equivalently Efraimidis–Spirakis A-ES weighted sampling
-without replacement, arXiv cs/0502087 shape). Pure projection: no RNG
-state, no window over the corpus, reproducible at any parallelism, and the
+without replacement, arXiv cs/0502087 shape). ``w`` is a PER-ROW rate:
+a schedule prefix holds source s in proportion to ``N_s * w_s`` (rows ×
+rate — each row is an independent racer), so to hit a target SHARE
+independent of source size, divide by the source's row count —
+``share_weights`` and ``temperature_weights`` below do exactly that.
+Pure projection: no RNG state, no window over the corpus, reproducible at
+any parallelism, and the
 identical arithmetic is expressible in any SQL with ``md5``/``ln`` (the
 DuckDB oracle re-derives the full order: Spark ``conv(hex)`` and DuckDB
 ``'0x…'::BIGINT`` agree bit-for-bit on the 52-bit mantissa-sized slice).
@@ -112,3 +116,54 @@ def weighted_interleave(
         .over(Window.orderBy("_mix_key", F.col(id_col)))
         .cast("int"),
     ).drop("_mix_key")
+
+
+def temperature_weights(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-row rates giving a schedule share ∝ count^alpha — temperature
+    mixing.
+
+    Since a prefix holds source s in proportion to ``N_s * w_s``, the
+    per-row rate is ``count^(alpha-1)``: alpha=1 gives w=1 everywhere
+    (natural frequencies), alpha=0 gives w=1/N (uniform shares), and the
+    0.3-0.7 range is the standard multilingual rebalancing knob (XLM,
+    arXiv:1901.07291 §3.1 shape: low-resource sources upsampled relative
+    to their natural share). One count aggregation; the collect is
+    bounded by source cardinality, not corpus size. Only RATIOS matter
+    to the race, so the rates are returned un-normalized.
+    """
+    counts = df.groupBy(source_col).count().collect()
+    return {
+        r[source_col]: float(r["count"]) ** (alpha - 1.0)
+        for r in counts
+        if r[source_col] is not None
+    }
+
+
+def share_weights(
+    df: DataFrame, source_col: str, shares: dict[str, float]
+) -> dict[str, float]:
+    """Per-row rates hitting explicit target shares (web 60%, code 20%,
+    ...) regardless of how many rows each source has: ``share / count``.
+
+    Sources present in ``shares`` but absent from the data are dropped
+    (nothing to schedule); sources in the data but not in ``shares`` are
+    left out of the returned map, so the interleave's inline validation
+    raises on them — an unmixed source is an error, not a silent skip.
+
+    Targets hold for prefixes short relative to each source's row count:
+    the race samples WITHOUT replacement, so once a small source starts
+    depleting, deeper prefixes bend toward the remaining mass (epochs
+    that want replacement should re-salt per epoch instead).
+    """
+    counts = {
+        r[source_col]: r["count"]
+        for r in df.groupBy(source_col).count().collect()
+        if r[source_col] is not None
+    }
+    return {
+        s: float(share) / counts[s]
+        for s, share in shares.items()
+        if s in counts
+    }

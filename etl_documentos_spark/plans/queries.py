@@ -5439,7 +5439,10 @@ def q_cdc_envelope_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source-mixing (`operators/mixing.py`): the
     first 100 schedule positions of an exponential-race interleave over
-    the 20 document sources at weights 1+(n mod 4) — the training-data
+    the 20 document sources at per-row rates 1+(n mod 4) — the documents
+    sources are equal-sized, so prefix shares go as the rates (in general
+    they go as rows x rate; `share_weights`/`temperature_weights` divide
+    by source size to hit size-independent targets). The training-data
     mixing step with no RNG state, reproducible at any parallelism. The
     oracle re-derives the identical order in DuckDB (md5-slice uniforms
     agree bit-for-bit at 52 bits), so rank/doc/source equality proves the

@@ -522,3 +522,47 @@ def test_dedup_split_is_cluster_atomic(spark):
         .collect()
     )
     assert per_cluster and all(r["n"] == 1 for r in per_cluster)
+
+
+def test_temperature_weights_rebalance(spark):
+    """alpha<1 pulls the mix toward uniform: a 9:1 corpus at alpha=0.5
+    schedules the minority source at sqrt(9):1 = 3:1 — measurably above
+    its natural 10% share — and alpha=1 reproduces natural frequency."""
+    from etl_documentos_spark.operators.mixing import (
+        temperature_weights,
+        weighted_interleave,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w1 = temperature_weights(df, "source", alpha=1.0)
+    assert w1["big"] == w1["small"] == 1.0  # natural frequencies
+    w_half = temperature_weights(df, "source", alpha=0.5)
+    # per-row rates: count^(alpha-1); shares go as N*w = count^alpha,
+    # so the 9:1 corpus schedules at 3:1
+    assert abs(w_half["small"] / w_half["big"] - 3.0) < 1e-9
+    head = weighted_interleave(
+        df, "source", w_half, "doc_id", k=1000, salt="t"
+    ).collect()
+    small_share = sum(1 for r in head if r["source"] == "small") / 1000
+    # expected 1/(3+1) = 25% of the schedule vs a natural 10%
+    assert 0.20 < small_share < 0.30, small_share
+
+
+def test_share_weights_hit_targets_regardless_of_size(spark):
+    from etl_documentos_spark.operators.mixing import (
+        share_weights,
+        weighted_interleave,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = share_weights(df, "source", {"big": 0.5, "small": 0.5})
+    # shallow prefix: without-replacement depletion is mild while
+    # k << each source's row count (small has only 500 rows)
+    head = weighted_interleave(
+        df, "source", w, "doc_id", k=200, salt="eq"
+    ).collect()
+    small_share = sum(1 for r in head if r["source"] == "small") / 200
+    # a 9:1 corpus scheduled ~50/50
+    assert 0.40 < small_share < 0.58, small_share
