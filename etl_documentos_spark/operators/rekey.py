@@ -57,9 +57,18 @@ def split_key_migrations(
         raise ValueError("change stream must carry an 'op' column")
     out_cols = [c for c in df.columns if c not in prev]
 
-    is_migration = F.lit(True)
+    has_before = F.lit(True)
     for c in prev:
-        is_migration = is_migration & F.col(c).isNotNull()
+        has_before = has_before & F.col(c).isNotNull()
+    # the before-image key must actually DIFFER: connectors configured to
+    # ship a before image on EVERY update would otherwise expand same-key
+    # updates into a delete+insert pair tied on (ts, lsn) at one key — a
+    # self-retraction whose LWW outcome is a tie-break, not a semantics
+    # (hypothesis-found; test_rekey_same_key_before_image_passthrough)
+    differs = F.lit(False)
+    for k, p in zip(keys, prev):
+        differs = differs | ~F.col(p).eqNullSafe(F.col(k))
+    is_migration = has_before & differs
 
     def row(**overrides) -> F.Column:
         fields = []

@@ -112,6 +112,33 @@ def test_rekey_old_key_revivable_by_later_write(spark):
     }
 
 
+def test_rekey_same_key_before_image_passthrough(spark):
+    """hypothesis-found: an update whose before-image key EQUALS its
+    after-key must pass through untouched — expanding it would create a
+    delete+insert tied on (ts, lsn) at one key, leaving the outcome to
+    an LWW tie-break instead of semantics."""
+    df = spark.createDataFrame(
+        [
+            ("insert", "c0", 0, "t0", 0, 0, None, None),
+            ("insert", "c0", 0, "t1", 0, 1, None, None),
+            ("update", "c0", 0, "t2", 0, 2, "c0", 0),
+        ],
+        CH_SCHEMA,
+    )
+    out = split_key_migrations(df).collect()
+    assert len(out) == 3  # no expansion
+    assert {(r["op"], r["lsn"]) for r in out} == {
+        ("insert", 0), ("insert", 1), ("update", 2)
+    }
+    state = _lww_state(
+        [
+            (r["op"], r["conv_id"], r["turn_idx"], r["text"], r["ts"], r["lsn"])
+            for r in out
+        ]
+    )
+    assert state == {("c0", 0): "t2"}
+
+
 def test_rekey_requires_prev_columns(spark):
     df = spark.createDataFrame(
         [("insert", "c1", 1)], "op string, conv_id string, turn_idx int"
@@ -378,10 +405,13 @@ def migration_streams(draw):
 
 
 def _reduce_with_migrations(events):
-    """Sequential reference: expand migrations, then LWW-reduce."""
+    """Sequential reference: expand KEY-CHANGING migrations, then LWW.
+
+    A before-image equal to the after-key is a plain update (connectors
+    can ship before images on every update) — no expansion."""
     canon = []
     for op, conv, turn, text, ts, lsn, pc, pt in events:
-        if pc is not None and pt is not None:
+        if pc is not None and pt is not None and (pc, pt) != (conv, turn):
             canon.append(("delete", pc, pt, text, ts, lsn))
             canon.append(("insert", conv, turn, text, ts, lsn))
         else:
