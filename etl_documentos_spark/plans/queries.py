@@ -5502,6 +5502,34 @@ def _dedup_split_sql() -> str:
     """
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT pair mining (`operators/pairs.py`): the replayed final
+    transcript state -> (prompt, response) adjacent-turn pairs where a
+    'view' turn is followed by a 'click' turn in the same conversation —
+    one lead() window downstream of the LWW replay, no self-join, no new
+    shuffle shape. The composition the fine-tuning exporter runs."""
+    from etl_documentos_spark.operators.pairs import turn_pairs
+
+    ch = _derive_changes(spark, sf_dir)
+    state = lww.lww_dedup(ch).filter(F.col("op") != "delete")
+    return turn_pairs(state, prompt_role="view", response_role="click")
+
+
+_SFT_PAIRS_SQL = f"""
+    WITH state AS ({_LWW_SQL}),
+    nxt AS (
+      SELECT conv_id, turn_idx AS prompt_turn, role AS _role,
+             text AS prompt_text,
+             lead(role) OVER w AS _next_role,
+             lead(turn_idx) OVER w AS response_turn,
+             lead(text) OVER w AS response_text
+      FROM state
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id, prompt_turn, prompt_text, response_turn, response_text
+    FROM nxt WHERE _role = 'view' AND _next_role = 'click'
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-step 0 (`operators/bpe.py`): top-20 adjacent character
     pairs over the corpus, weighted by word frequency — the statistic the
@@ -5583,7 +5611,11 @@ QUERIES: dict[str, Query] = {
     # row exercising that module re-proves in the driver window (the
     # rotation rule); the documents/markup decode rows it displaces were
     # driver-green in r4 and their modules are untouched since
-    "multimodal_meta": q_multimodal_meta,
+    # new this round: SFT pair mining off the replayed state (displaces
+    # multimodal_meta — with_binary_payload/binary_meta sit in the
+    # untouched prefix of the r5 append-only multimodal diff; module
+    # proven in-window by dispatch/webp)
+    "sft_pairs": q_sft_pairs,
     # new this round: partition-spec evolution through the SQL door
     # (displaces frame_sample — its functions are untouched by the r5
     # multimodal.py WebP additions, and the module keeps 10+ other
@@ -5672,6 +5704,7 @@ QUERIES: dict[str, Query] = {
     "wav_decode": q_wav_decode,
     "jpeg_decode": q_jpeg_decode,
     "tiff_decode": q_tiff_decode,
+    "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "gif_decode": q_gif_decode,
     "ann_ivf_persisted": q_ann_ivf_persisted,
@@ -5910,6 +5943,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
     "corpus_mix": _CORPUS_MIX_SQL,
+    "sft_pairs": _SFT_PAIRS_SQL,
     "dedup_split": _dedup_split_sql(),
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,

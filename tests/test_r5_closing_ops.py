@@ -596,3 +596,40 @@ def test_share_weights_hit_targets_regardless_of_size(spark):
     small_share = sum(1 for r in head if r["source"] == "small") / 200
     # a 9:1 corpus scheduled ~50/50
     assert 0.40 < small_share < 0.58, small_share
+
+
+# ---------------------------------------------------------------------------
+# SFT pair mining
+# ---------------------------------------------------------------------------
+
+
+def test_turn_pairs_next_surviving_vs_strict_adjacent(spark):
+    from etl_documentos_spark.operators.pairs import turn_pairs
+
+    rows = [
+        # conv a: user@1 -> assistant@2 (adjacent), user@4 -> assistant@7
+        # (gap: turns 5-6 deleted), assistant@9 with no prompt before it
+        ("a", 1, "user", "q1"),
+        ("a", 2, "assistant", "r1"),
+        ("a", 4, "user", "q2"),
+        ("a", 7, "assistant", "r2"),
+        ("a", 9, "assistant", "stray"),
+        # conv b: user@1 followed by another user turn — no pair
+        ("b", 1, "user", "q3"),
+        ("b", 2, "user", "q4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    loose = {
+        (r["conv_id"], r["prompt_turn"], r["response_turn"])
+        for r in turn_pairs(df, "user", "assistant").collect()
+    }
+    assert loose == {("a", 1, 2), ("a", 4, 7)}
+    strict = {
+        (r["conv_id"], r["prompt_turn"], r["response_turn"])
+        for r in turn_pairs(
+            df, "user", "assistant", adjacent_only=True
+        ).collect()
+    }
+    assert strict == {("a", 1, 2)}

@@ -58,7 +58,7 @@ EXCEPTIONS: dict[tuple[str, str], str] = {
         for q in (
             "bmp_decode", "png_decode", "wav_decode", "jpeg_decode",
             "tiff_decode", "gif_decode", "gif_frame_sample",
-            "multimodal_decode", "frame_sample",
+            "multimodal_decode", "frame_sample", "multimodal_meta",
         )
     },
     # r5 dedup.py diff touches ONLY the minhash banding path
