@@ -63,3 +63,33 @@ def turn_pairs(
             F.col("response_turn") == F.col("prompt_turn") + 1
         )
     return nxt.filter(cond).drop("_role", "_next_role")
+
+
+def fit_context_window(
+    df: DataFrame,
+    budget: int,
+    tokens: "F.Column",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+) -> DataFrame:
+    """Keep each conversation's NEWEST turns that fit a token budget.
+
+    Chat-history packing truncates oldest-first: running the cumulative
+    token sum over turns in DESCENDING order and keeping rows while the
+    sum stays within ``budget`` retains exactly the maximal suffix of the
+    conversation that fits. One window (same conversation-key exchange as
+    everything else in this module); per-row state is a running long.
+    A single newest turn larger than the whole budget drops the entire
+    conversation — the standard rule (there is no partial turn).
+    Output: input columns + ``n_tokens`` + ``cum_tokens``.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("n_tokens", tokens)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -5530,6 +5530,41 @@ _SFT_PAIRS_SQL = f"""
 """
 
 
+def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation (`operators/pairs.py`): each replayed
+    conversation keeps its maximal NEWEST-turn suffix whose cumulative
+    token count fits a 25-token budget — the chat-history packing rule
+    (drop oldest first, never split a turn). One descending window sum
+    downstream of the LWW replay; the cumulative sum is monotone so the
+    filter provably yields a contiguous suffix."""
+    from etl_documentos_spark.operators.pairs import fit_context_window
+
+    ch = _derive_changes(spark, sf_dir)
+    state = lww.lww_dedup(ch).filter(F.col("op") != "delete")
+    out = fit_context_window(state, 25, tx.token_count("text"))
+    return out.select(
+        "conv_id", "turn_idx", "role", "n_tokens", "cum_tokens"
+    )
+
+
+_CONTEXT_FIT_SQL = f"""
+    WITH state AS ({_LWW_SQL}),
+    tok AS (
+      SELECT conv_id, turn_idx, role,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+               + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_tokens
+      FROM state),
+    cum AS (
+      SELECT *, sum(n_tokens) OVER (
+        PARTITION BY conv_id ORDER BY turn_idx DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM tok)
+    SELECT conv_id, turn_idx, role, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 25
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-step 0 (`operators/bpe.py`): top-20 adjacent character
     pairs over the corpus, weighted by word frequency — the statistic the
@@ -5593,7 +5628,11 @@ _CORPUS_SPLIT_SQL = _CORPUS_SPLIT_SQL_TMPL.format(
 
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
-    "cdc_lww_window": q_cdc_lww_window,
+    # new this round: context-budget truncation off the replayed state
+    # (displaces cdc_lww_window — the agg/window LWW parity pair is
+    # green r2-r4, lww.py and both oracles untouched in r5; the agg form
+    # plus every CDC row still exercises lww_dedup in-window)
+    "context_fit": q_context_fit,
     "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
     "cdc_offsets": q_cdc_offsets,
     "cdc_epoch_stats": q_cdc_epoch_stats,
@@ -5697,6 +5736,7 @@ QUERIES: dict[str, Query] = {
     "gopher_quality": q_gopher_quality,
     "repetition_quality": q_repetition_quality,
     "decontamination": q_decontamination,
+    "cdc_lww_window": q_cdc_lww_window,
     # rotated out r5 by the four rows above (green r4; functions
     # untouched by the r5 WebP append to multimodal.py)
     "bmp_decode": q_bmp_decode,
@@ -5944,6 +5984,7 @@ ORACLES: dict[str, str] = {
     "corpus_split": _CORPUS_SPLIT_SQL,
     "corpus_mix": _CORPUS_MIX_SQL,
     "sft_pairs": _SFT_PAIRS_SQL,
+    "context_fit": _CONTEXT_FIT_SQL,
     "dedup_split": _dedup_split_sql(),
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,

@@ -633,3 +633,32 @@ def test_turn_pairs_next_surviving_vs_strict_adjacent(spark):
         ).collect()
     }
     assert strict == {("a", 1, 2)}
+
+
+def test_fit_context_window_keeps_maximal_suffix(spark):
+    from etl_documentos_spark.operators.pairs import fit_context_window
+
+    rows = [
+        # conv a: tokens oldest->newest 10, 10, 5, 3 — budget 10 keeps
+        # newest (3) + next (5) = 8, adding 10 would blow it
+        ("a", 1, "x" * 1), ("a", 2, "y" * 1), ("a", 3, "ab cde"),
+        ("a", 4, "q r s"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    from pyspark.sql import functions as SF
+    out = fit_context_window(
+        df, 5, SF.size(SF.split("text", " ")), "conv_id", "turn_idx"
+    ).collect()
+    kept = sorted((r["turn_idx"], r["cum_tokens"]) for r in out)
+    # newest first: turn4 (3 words, cum 3), turn3 (2 words, cum 5),
+    # turn2 would make 6 > 5
+    assert kept == [(3, 5), (4, 3)]
+    # an over-budget newest turn drops the whole conversation
+    big = spark.createDataFrame(
+        [("b", 1, "a b"), ("b", 2, "w x y z q r")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out2 = fit_context_window(
+        big, 5, SF.size(SF.split("text", " ")), "conv_id", "turn_idx"
+    ).collect()
+    assert out2 == []
