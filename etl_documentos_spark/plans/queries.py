@@ -5626,6 +5626,118 @@ _CORPUS_SPLIT_SQL = _CORPUS_SPLIT_SQL_TMPL.format(
 )
 
 
+def q_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate (`operators/sketch.py`): per-type
+    distinct event_id counts from a 256-register HLL built as two
+    grouped aggregations — the first shuffle is capped at groups x 256
+    rows regardless of input size (map-side combine folds each task to
+    its register maxima), so the dashboard COUNT(DISTINCT) the
+    reference runs in Postgres (analytics_service.py) stays one
+    bounded-cardinality exchange at 10^10 rows. The estimate is a pure
+    function of the input SET (md5-derived registers, exact dyadic
+    harmonic sum), which is what lets the DuckDB twin re-derive it."""
+    from etl_documentos_spark.operators.sketch import hll_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_id", ["event_type"], m=256).orderBy(
+        "event_type"
+    )
+
+
+def _hll_events_sql() -> str:
+    from etl_documentos_spark.operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "SELECT event_type, event_id FROM events",
+        "event_id",
+        ["event_type"],
+        m=256,
+    )
+
+
+def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (`operators/sketch.py`): users
+    whose 3x1024 CMS frequency estimate reaches 80 events. The sketch
+    is ONE grouped count capped at 3072 rows (broadcast back to the
+    distinct-key probe), so finding hot keys never shuffles the data on
+    the key itself — the pre-pass the skew-salting write path wants at
+    10^10 events, where the exact groupBy IS the skew hazard."""
+    from etl_documentos_spark.operators.sketch import cms_heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    return cms_heavy_hitters(
+        ev, "user_id", threshold=80, depth=3, width=1024
+    ).orderBy("user_id")
+
+
+def _cms_heavy_users_sql() -> str:
+    from etl_documentos_spark.operators.sketch import cms_oracle_sql
+
+    return cms_oracle_sql(
+        "SELECT user_id FROM events", "user_id", 80, 3, 1024
+    )
+
+
+def q_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample (`operators/sketch.py`): the 5
+    events per type with the smallest md5(salt || event_id) — hash
+    order is data-independent so this IS a uniform without-replacement
+    sample, but reproducible at any parallelism/retry (rand() is
+    per-task-seeded; reservoir sampling depends on encounter order).
+    The eyeball-sample every corpus pipeline ships to its review UI."""
+    from etl_documentos_spark.operators.sketch import hash_sample
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    return hash_sample(
+        ev, ["event_type"], 5, salt="r5s", id_col="event_id"
+    ).orderBy("event_type", "sample_rank")
+
+
+_EVENT_SAMPLE_SQL = """
+    WITH r AS (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('r5s' || CAST(event_id AS VARCHAR))
+             ) AS sample_rank
+      FROM events)
+    SELECT event_type, event_id, user_id, sample_rank
+    FROM r WHERE sample_rank <= 5
+"""
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (`operators/sketch.py`): p50/p90/
+    p99 of event value per type from a 128-bin equi-width histogram —
+    two grouped aggregations, the second capped at groups x 128 rows,
+    with a DETERMINISTIC error bound of (max-min)/128 (sampling
+    sketches only give probabilistic ones). The latency-percentile
+    query every metrics table serves, kept mergeable so partial
+    aggregation stays exact."""
+    from etl_documentos_spark.operators.sketch import binned_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return binned_quantiles(
+        ev, "value", ["event_type"], [0.5, 0.9, 0.99], n_bins=128
+    ).orderBy("event_type", "q")
+
+
+def _value_quantiles_sql() -> str:
+    from etl_documentos_spark.operators.sketch import (
+        binned_quantiles_oracle_sql,
+    )
+
+    return binned_quantiles_oracle_sql(
+        "SELECT event_type, value FROM events",
+        "value",
+        ["event_type"],
+        [0.5, 0.9, 0.99],
+        128,
+    )
+
+
 QUERIES: dict[str, Query] = {
     "cdc_lww_replay": q_cdc_lww_replay,
     # new this round: context-budget truncation off the replayed state
@@ -5634,8 +5746,6 @@ QUERIES: dict[str, Query] = {
     # plus every CDC row still exercises lww_dedup in-window)
     "context_fit": q_context_fit,
     "cdc_envelope_roundtrip": q_cdc_envelope_roundtrip,
-    "cdc_offsets": q_cdc_offsets,
-    "cdc_epoch_stats": q_cdc_epoch_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_bootstrap": q_cdc_bootstrap,
     # new this round: the zero-IPC bulk backfill path, driver-gated
@@ -5692,6 +5802,16 @@ QUERIES: dict[str, Query] = {
     # append-only multimodal.py diff, module still proven in-window by
     # meta/decode/gif/webp/dispatch)
     "corpus_mix": q_corpus_mix,
+    # new this round: the mergeable-sketch family (operators/sketch.py —
+    # HLL distinct, count-min heavy hitters, deterministic hash sample,
+    # histogram quantiles). Displaced: cdc_offsets, cdc_epoch_stats
+    # (pure aggs over _derive_changes, byte-identical since the r4 base,
+    # both green r4) and cdc_partial_update, cdc_usage_counters (green
+    # r4; partial.py / aggregate_engine.py untouched since)
+    "hll_events": q_hll_events,
+    "cms_heavy_users": q_cms_heavy_users,
+    "event_sample": q_event_sample,
+    "value_quantiles": q_value_quantiles,
     "decode_dispatch": q_decode_dispatch,
     "point_lookup": q_point_lookup,
     "mview_conv_stats": q_mview_conv_stats,
@@ -5720,8 +5840,6 @@ QUERIES: dict[str, Query] = {
     # their operators and oracles untouched since)
     "pack_sequences": q_pack_sequences,
     "source_quota_sample": q_source_quota_sample,
-    "cdc_partial_update": q_cdc_partial_update,
-    "cdc_usage_counters": q_cdc_usage_counters,
     "dlq_triage": q_dlq_triage,
     "webp_decode": q_webp_decode,
     "sql_evolve": q_sql_evolve,
@@ -5737,6 +5855,14 @@ QUERIES: dict[str, Query] = {
     "repetition_quality": q_repetition_quality,
     "decontamination": q_decontamination,
     "cdc_lww_window": q_cdc_lww_window,
+    # rotated out r5 by the sketch-family rows (all green r4 with
+    # untouched deps: partial.py / aggregate_engine.py for the first
+    # two; offsets/epoch_stats are pure aggs over _derive_changes,
+    # itself byte-identical since the r4 base)
+    "cdc_offsets": q_cdc_offsets,
+    "cdc_epoch_stats": q_cdc_epoch_stats,
+    "cdc_partial_update": q_cdc_partial_update,
+    "cdc_usage_counters": q_cdc_usage_counters,
     # rotated out r5 by the four rows above (green r4; functions
     # untouched by the r5 WebP append to multimodal.py)
     "bmp_decode": q_bmp_decode,
@@ -5985,6 +6111,10 @@ ORACLES: dict[str, str] = {
     "corpus_mix": _CORPUS_MIX_SQL,
     "sft_pairs": _SFT_PAIRS_SQL,
     "context_fit": _CONTEXT_FIT_SQL,
+    "hll_events": _hll_events_sql(),
+    "cms_heavy_users": _cms_heavy_users_sql(),
+    "event_sample": _EVENT_SAMPLE_SQL,
+    "value_quantiles": _value_quantiles_sql(),
     "dedup_split": _dedup_split_sql(),
     "sql_partitions": _SQL_PARTITIONS_SQL,
     "gif_frame_sample": _GIF_FRAME_SQL,
