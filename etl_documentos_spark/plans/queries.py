@@ -5738,8 +5738,35 @@ def _value_quantiles_sql() -> str:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 version chains (`operators/scd2.py`): every change
+    event becomes a version row with [valid_from, valid_to) bounds over
+    the SAME per-key (ts, lsn) total order the LWW replay uses — so the
+    last open interval's attributes provably equal lww_dedup's winner,
+    and point-in-time reads become a filter instead of a replay.
+    Deletes close their predecessor's interval without opening one
+    (tombstoned turns have fully-closed chains). One window on the
+    replay's existing key exchange; no new shuffle shape."""
+    from etl_documentos_spark.operators.scd2 import scd2_history
+
+    ch = _derive_changes(spark, sf_dir)
+    return scd2_history(ch, attr_cols=("role", "text"))
+
+
+def _scd2_history_sql() -> str:
+    from etl_documentos_spark.operators.scd2 import scd2_oracle_sql
+
+    return scd2_oracle_sql(_DERIVE_SQL, attr_cols=("role", "text"))
+
+
 QUERIES: dict[str, Query] = {
-    "cdc_lww_replay": q_cdc_lww_replay,
+    # new this round: SCD Type-2 turn-version history off the change
+    # stream (displaces cdc_lww_replay from the driver window — green
+    # r2/r3/r4, lww.py byte-identical since the r4 base, the LWW
+    # semantics still in-window via context_fit/sft_pairs/
+    # cdc_key_migration/cdc_bulk_replay, and the row stays perf-tracked
+    # in bench.py every round)
+    "scd2_history": q_scd2_history,
     # new this round: context-budget truncation off the replayed state
     # (displaces cdc_lww_window — the agg/window LWW parity pair is
     # green r2-r4, lww.py and both oracles untouched in r5; the agg form
@@ -5859,6 +5886,7 @@ QUERIES: dict[str, Query] = {
     # untouched deps: partial.py / aggregate_engine.py for the first
     # two; offsets/epoch_stats are pure aggs over _derive_changes,
     # itself byte-identical since the r4 base)
+    "cdc_lww_replay": q_cdc_lww_replay,
     "cdc_offsets": q_cdc_offsets,
     "cdc_epoch_stats": q_cdc_epoch_stats,
     "cdc_partial_update": q_cdc_partial_update,
@@ -6111,6 +6139,7 @@ ORACLES: dict[str, str] = {
     "corpus_mix": _CORPUS_MIX_SQL,
     "sft_pairs": _SFT_PAIRS_SQL,
     "context_fit": _CONTEXT_FIT_SQL,
+    "scd2_history": _scd2_history_sql(),
     "hll_events": _hll_events_sql(),
     "cms_heavy_users": _cms_heavy_users_sql(),
     "event_sample": _EVENT_SAMPLE_SQL,
