@@ -130,6 +130,70 @@ def test_lsn_gaps_against_duckdb(spark):
     assert got == [(0, 3, 4, 2), (2, 8, 8, 1), (2, 10, 19, 10)]
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_documentos_spark import oracle
+from etl_documentos_spark.schemas import CHANGE_EVENTS
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+
+@st.composite
+def _streams(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    events = []
+    for lsn in range(n):
+        conv = f"c{draw(st.integers(0, 2))}"
+        turn = draw(st.integers(0, 2))
+        op = draw(st.sampled_from(["insert", "update", "delete"]))
+        ts = _BASE + datetime.timedelta(seconds=draw(st.integers(0, 5)))
+        text = None if op == "delete" else f"t{lsn}"
+        events.append(
+            (op, conv, turn, None if op == "delete" else "user", text,
+             None, ts, lsn, 0)
+        )
+    return events
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_streams())
+def test_scd2_current_matches_oracle_on_arbitrary_streams(spark, events):
+    """Open SCD2 intervals == the sequential oracle's final state, and
+    each key's version chain is dense and time-ordered — on adversarial
+    streams (key collisions, equal timestamps, deletes)."""
+    df = spark.createDataFrame(events, CHANGE_EVENTS)
+    hist = scd2_history(df, attr_cols=("role", "text")).collect()
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in hist
+        if r["is_current"]
+    }
+    rows = [
+        dict(zip([f.name for f in CHANGE_EVENTS.fields], e)) for e in events
+    ]
+    want = {
+        (w["conv_id"], w["turn_idx"]): w["text"]
+        for w in oracle.reduce_events(rows)
+    }
+    assert got == want
+    chains: dict = {}
+    for r in hist:
+        chains.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+    for rs in chains.values():
+        rs.sort(key=lambda r: r["version_n"])
+        assert [r["version_n"] for r in rs] == list(range(1, len(rs) + 1))
+        froms = [r["valid_from"] for r in rs]
+        assert froms == sorted(froms)
+        # at most one open interval per key, and it must be the newest
+        open_idx = [i for i, r in enumerate(rs) if r["valid_to"] is None]
+        assert open_idx in ([], [len(rs) - 1])
+
+
 def test_lsn_gaps_contiguous_is_empty(spark):
     df = spark.createDataFrame(
         [(p, i) for p in range(3) for i in range(20)],
