@@ -14,9 +14,10 @@ per-key state is the bounded per-conversation event count — the salted
 write path already defuses hot conversations upstream.
 
 Reference parity: the reference keeps an append-only processing/audit
-trail per document (/root/reference/app/core/document_tracking.py) but
-only ever serves the latest row; the SCD2 form adds the interval
-bounds that make point-in-time reads a filter, not a replay.
+trail per document and reconstructs history by re-reading and sorting
+the whole log (/root/reference/app/core/document_tracking.py:354-377,
+``get_document_history``); the SCD2 form adds the interval bounds that
+make point-in-time reads a filter, not a replay.
 """
 
 from __future__ import annotations

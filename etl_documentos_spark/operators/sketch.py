@@ -21,10 +21,11 @@ registers merged driver-side per epoch); ``hll_distinct`` here is its
 batch columnar twin: same estimator, but the registers live in a
 grouped DataFrame and never leave the executors.
 
-Reference semantics analogue: the reference's dashboard counts distinct
-documents/clients with exact SQL ``COUNT(DISTINCT ...)`` over Postgres
-(/root/reference/app/core/analytics_service.py); at lake scale the
-same dashboards run on sketches.
+Reference semantics analogue: the reference's dashboard aggregates
+per-type document counts / top-N with exact SQL over Postgres
+(/root/reference/app/services/analytics_service.py:69-76 grouped
+counts; /root/reference/app/database/repositories.py:172-174 top-5 by
+count); at lake scale the same dashboards run on sketches.
 """
 
 from __future__ import annotations
