@@ -144,6 +144,37 @@ def test_binned_quantiles_constant_group(spark):
     assert len(rows) == 1 and rows[0]["approx_value"] == 7.0
 
 
+def test_hll_is_set_semantics(spark, keyed):
+    """Register max is idempotent: exact duplicates can NEVER move the
+    estimate — the property that makes HLL safe under at-least-once
+    delivery (a re-read epoch re-contributes identical registers)."""
+    dup = keyed.union(keyed).union(keyed.limit(40))
+    a = sorted(map(tuple, hll_distinct(keyed, "k", ["g"], m=256).collect()))
+    b = sorted(map(tuple, hll_distinct(dup, "k", ["g"], m=256).collect()))
+    assert a == b
+
+
+def test_cms_estimates_monotone_in_data(spark, keyed):
+    """Adding rows can only RAISE count-min estimates (bucket counts
+    grow; min over grown columns grows) — the one-sided-error direction
+    downstream thresholds rely on."""
+    extra = keyed.limit(50)
+    base = {
+        r["k"]: r["est_count"]
+        for r in cms_heavy_hitters(
+            keyed, "k", threshold=0, depth=3, width=32
+        ).collect()
+    }
+    grown = {
+        r["k"]: r["est_count"]
+        for r in cms_heavy_hitters(
+            keyed.union(extra), "k", threshold=0, depth=3, width=32
+        ).collect()
+    }
+    for k, v in base.items():
+        assert grown[k] >= v, (k, grown[k], v)
+
+
 def test_sketch_plans_bounded_exchange(keyed):
     # the HLL reduce exchange carries register rows, not data rows:
     # assert the partial aggregation (map-side combine) is present
