@@ -61,8 +61,28 @@ def main() -> int:
     from __spark_entry__ import oracle_sql, queries
     from etl_documentos_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # args: [sf_dir] [query ...], plus --only a,b,c in either position.
+    # Unknown query names are a hard error, NOT an empty filter — a typo'd
+    # or misplaced filter otherwise runs zero queries and prints
+    # "0 failures", which reads as a green sweep.
+    args = sys.argv[1:]
+    only: set[str] = set()
+    positional: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--only":
+            if i + 1 >= len(args):
+                print("--only requires a comma-separated query list")
+                return 2
+            only.update(x for x in args[i + 1].split(",") if x)
+            i += 2
+        else:
+            positional.append(args[i])
+            i += 1
+    sf_dir = "/root/testdata/sf0.01"
+    if positional and os.path.isdir(positional[0]):
+        sf_dir = positional.pop(0)
+    only.update(positional)
 
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -74,6 +94,10 @@ def main() -> int:
             )
 
     qs, oracles = queries(), oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:
