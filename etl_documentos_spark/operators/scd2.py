@@ -47,12 +47,18 @@ def scd2_history(
     emit no version row, so ``is_current`` is true iff the key's last
     event is a non-delete — a tombstoned turn has a fully-closed chain.
 
+    Exact re-delivered duplicates (same key + (ts, lsn), identical
+    payload — the at-least-once delivery case the LWW path collapses
+    for free) are collapsed BEFORE the window: without this a duplicate
+    would mint a phantom zero-width version and inflate ``version_n``.
+
     Output: key_cols + attr_cols + ``valid_from``, ``valid_to``,
     ``version_n`` (1-based per key, counting non-delete versions),
     ``is_current``.
     """
+    deduped = changes.dropDuplicates([*key_cols, ts_col, lsn_col])
     w = Window.partitionBy(*key_cols).orderBy(ts_col, lsn_col)
-    chained = changes.select(
+    chained = deduped.select(
         *key_cols,
         *attr_cols,
         F.col(op_col).alias("_op"),
@@ -79,12 +85,16 @@ def scd2_oracle_sql(
     acols = ", ".join(attr_cols)
     return f"""
         WITH src AS ({source_sql}),
+        dedup AS (
+          SELECT * FROM src
+          QUALIFY row_number() OVER (
+            PARTITION BY {kcols}, ts, lsn ORDER BY ts) = 1),
         chained AS (
           SELECT {kcols}, {acols}, op AS _op, ts AS valid_from,
                  lsn AS _lsn,
                  lead(ts) OVER (PARTITION BY {kcols} ORDER BY ts, lsn)
                    AS valid_to
-          FROM src),
+          FROM dedup),
         versions AS (SELECT * FROM chained WHERE _op <> 'delete')
         SELECT {kcols}, {acols}, valid_from, valid_to,
                CAST(row_number() OVER (

@@ -36,6 +36,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _alpha(m: int) -> float:
+    """HLL bias constant: exact small-m values (Flajolet et al. 2007),
+    asymptotic form above 64 — shared by the Spark and oracle paths so
+    both compute the identical double."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+
+
 def _hex_rank(sub: F.Column) -> F.Column:
     """1-based position of the highest set bit in an 8-hex-char string,
     counted from the MSB — i.e. (number of leading zero BITS) + 1, the
@@ -68,9 +77,14 @@ def hll_distinct(
     aggregations (register max, then the bias-corrected harmonic mean
     with the linear-counting small-range correction).
 
-    ``m`` must be a power of two <= 65536 (register index = the first
-    ``log2(m)/4`` hex chars of ``md5(key)``; rank = leading-zero count
-    of the next 32 bits). Relative error ~ ``1.04/sqrt(m)``.
+    ``m`` must be hex-aligned (16, 256, 4096, or 65536: register index
+    = the first ``log2(m)/4`` hex chars of ``md5(key)``; rank =
+    leading-zero count of the next 32 bits). Relative error ~
+    ``1.04/sqrt(m)``. Ranks use 32 hash bits, so per-group cardinality
+    is estimable up to ~2^32; the standard large-range correction
+    ``-2^32 * ln(1 - E/2^32)`` is applied above ``2^32/30``, and groups
+    approaching 2^32 distinct keys need a 64-bit-rank variant (split
+    the group upstream, or sum sub-group estimates).
 
     Scale: the first shuffle is capped at ``groups x m`` rows
     regardless of input size (map-side combine folds each partition to
@@ -85,7 +99,7 @@ def hll_distinct(
     """
     p = int(math.log2(m))
     if 2**p != m or not 4 <= p <= 16 or p % 4 != 0:
-        raise ValueError("m must be 16, 256, or 65536 (hex-aligned 2^p)")
+        raise ValueError("m must be 16, 256, 4096, or 65536 (hex-aligned)")
     hexdigits = p // 4
     h = F.md5(F.col(key).cast("string"))
     idx = F.conv(F.substring(h, 1, hexdigits), 16, 10).cast("int")
@@ -95,7 +109,7 @@ def hll_distinct(
         .groupBy(*group_cols, "_idx")
         .agg(F.max("_rank").alias("_reg"))
     )
-    alpha = 0.7213 / (1 + 1.079 / m)
+    alpha = _alpha(m)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_harm_present"),
         F.count("*").alias("_n_present"),
@@ -105,10 +119,18 @@ def hll_distinct(
     harm = (F.lit(float(m)) - F.col("_n_present")) + F.col("_harm_present")
     zeros = F.lit(m) - F.col("_n_present")
     raw = F.lit(alpha * m * m) / harm
-    est = F.when(
-        (raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
+    two32 = float(1 << 32)
+    est = (
+        F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        )
+        .when(
+            raw > two32 / 30.0,
+            F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32)),
+        )
+        .otherwise(raw)
+    )
     return agg.select(
         *group_cols, F.round(est, 0).cast("bigint").alias("est_distinct")
     )
@@ -125,7 +147,8 @@ def hll_oracle_sql(
     p = int(math.log2(m))
     hexdigits = p // 4
     gcols = ", ".join(group_cols)
-    alpha = 0.7213 / (1 + 1.079 / m)
+    alpha = _alpha(m)
+    two32 = float(1 << 32)
     return f"""
         WITH src AS ({source_sql}),
         h AS (
@@ -162,6 +185,9 @@ def hll_oracle_sql(
         SELECT {gcols},
                CAST(round(CASE WHEN _raw <= 2.5 * {m} AND _zeros > 0
                                THEN {m}.0 * ln({m}.0 / _zeros)
+                               WHEN _raw > CAST({two32 / 30.0!r} AS DOUBLE)
+                               THEN CAST({-two32!r} AS DOUBLE)
+                                    * ln(1.0 - _raw / CAST({two32!r} AS DOUBLE))
                                ELSE _raw END, 0) AS BIGINT) AS est_distinct
         FROM est
     """
@@ -271,6 +297,13 @@ def hash_sample(
     (unlike reservoir sampling, whose result depends on encounter
     order, or ``rand()``, whose seed is per-task).
 
+    ``id_col`` should be UNIQUE and non-null per group: the order
+    tie-breaks on the id itself (two rows sharing an id would otherwise
+    be ranked by partition layout, breaking the any-parallelism
+    contract), and NULL ids sort LAST explicitly (Spark's ASC default
+    is nulls-FIRST, DuckDB's is nulls-LAST — nulls_last matches the
+    oracle side), so NULL-id rows are only sampled after every real id.
+
     Scale: one window over the group key (the same exchange any per-key
     operator pays); per-key sort state is bounded by the partition
     sort, and the output is ``groups x k``. For group-free row
@@ -279,7 +312,10 @@ def hash_sample(
     Output: input columns + ``sample_rank`` (1..k).
     """
     hval = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.partitionBy(*group_cols).orderBy(hval)
+    w = Window.partitionBy(*group_cols).orderBy(
+        hval.asc_nulls_last(),
+        F.col(id_col).cast("string").asc_nulls_last(),
+    )
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
@@ -316,6 +352,11 @@ def binned_quantiles(
     quantile and ``approx_value`` the bucket upper edge, rounded to 6
     decimals.
     """
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad:
+        # q=0 would silently emit no row (ceil(0*n)=0 never crosses the
+        # cumulative filter) — surface it at call time instead
+        raise ValueError(f"quantiles must be in (0, 1]: {bad}")
     v = F.col(value_col).cast("double")
     bounds = df.groupBy(*group_cols).agg(
         F.min(v).alias("_lo"),

@@ -5700,7 +5700,8 @@ _EVENT_SAMPLE_SQL = """
       SELECT event_type, event_id, user_id,
              row_number() OVER (
                PARTITION BY event_type
-               ORDER BY md5('r5s' || CAST(event_id AS VARCHAR))
+               ORDER BY md5('r5s' || CAST(event_id AS VARCHAR)),
+                        CAST(event_id AS VARCHAR)
              ) AS sample_rank
       FROM events)
     SELECT event_type, event_id, user_id, sample_rank

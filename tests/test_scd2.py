@@ -91,6 +91,16 @@ def test_scd2_current_rows_equal_lww(changes):
     assert cur == lww
 
 
+def test_scd2_exact_duplicates_collapse(spark, changes):
+    """At-least-once re-delivery (same key + (ts, lsn), identical
+    payload) must not mint phantom zero-width versions or inflate
+    version_n — the same collapse lww_dedup gives for free."""
+    dup = changes.union(changes.limit(4))
+    a = sorted(map(tuple, scd2_history(changes, attr_cols=("role", "text")).collect()))
+    b = sorted(map(tuple, scd2_history(dup, attr_cols=("role", "text")).collect()))
+    assert a == b
+
+
 def test_scd2_parallelism_independent(changes):
     a = scd2_history(changes, attr_cols=("role", "text"))
     b = scd2_history(changes.repartition(5), attr_cols=("role", "text"))
@@ -153,6 +163,10 @@ def _streams(draw):
             (op, conv, turn, None if op == "delete" else "user", text,
              None, ts, lsn, 0)
         )
+    # exact re-delivered duplicates (same lsn + payload) — must NOT
+    # mint phantom versions
+    for i in draw(st.lists(st.integers(0, n - 1), max_size=5)):
+        events.append(events[i])
     return events
 
 

@@ -180,7 +180,10 @@ def test_sketch_plans_bounded_exchange(keyed):
     # assert the partial aggregation (map-side combine) is present
     plan = hll_distinct(keyed, "k", ["g"], m=256)._jdf.queryExecution(
     ).executedPlan().toString()
-    assert "partial_max" in plan or "HashAggregate" in plan
+    # the register fold must happen BEFORE the exchange (map-side
+    # combine) — 'HashAggregate' alone would also match a plan that
+    # shuffles raw rows
+    assert "partial_max" in plan
     # CMS probe side broadcasts the sketch, never shuffles it wide
     plan2 = cms_heavy_hitters(
         keyed, "k", threshold=1

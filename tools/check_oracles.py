@@ -79,9 +79,18 @@ def main() -> int:
         else:
             positional.append(args[i])
             i += 1
+    # a path-shaped first positional is the sf_dir (and must exist — a
+    # typo'd data dir should say so, not be misreported as an unknown
+    # query); bare names are query filters even if a same-named local
+    # directory happens to exist
     sf_dir = "/root/testdata/sf0.01"
-    if positional and os.path.isdir(positional[0]):
+    if positional and (
+        os.sep in positional[0] or positional[0].startswith(".")
+    ):
         sf_dir = positional.pop(0)
+        if not os.path.isdir(sf_dir):
+            print(f"sf_dir does not exist: {sf_dir}")
+            return 2
     only.update(positional)
 
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)

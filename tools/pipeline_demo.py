@@ -127,6 +127,12 @@ def main() -> None:
         # -- 6. deterministic source mixing to target shares -------------
         train = split.filter("split = 'train'")
         srcs = [r["source"] for r in train.select("source").distinct().collect()]
+        if not srcs:
+            # tiny/skewed inputs can gate+dedup+split down to an empty
+            # train slice — report it instead of dividing by zero
+            summary.update(mixed_rows=0, pack_bins=0, ok=True)
+            print(json.dumps(summary))
+            return
         shares = {s: 1.0 / len(srcs) for s in srcs}  # equal-share demo
         rates = share_weights(train, "source", shares)
         k = max(1, int(train.count() * 0.8))
