@@ -199,13 +199,25 @@ def unigram_lm_score(
         F.col(id_col).alias("_id"),
         F.explode(words(text_col)).alias("tok"),
     )
-    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = counts.agg(F.sum("cnt")).first()[0] or 1
-    vocab = (
-        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-        .limit(int(k_vocab))
-        .withColumn("logp", F.log10(F.col("cnt") / F.lit(float(total))))
-        .select("tok", "logp")
+    # the train aggregation runs ONCE: counts is persisted across the
+    # two driver actions (total, top-k), and the k-bounded vocab is
+    # materialized driver-side so the returned plan carries no lazy
+    # dependency on counts — without this, the total action, the vocab
+    # subplan, and the scoring join would each re-run the full corpus
+    # explode+groupBy (three scans for an advertised two-pass operator)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt")).persist()
+    try:
+        total = counts.agg(F.sum("cnt")).first()[0] or 1
+        top = (
+            counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            .limit(int(k_vocab))
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    vocab = df.sparkSession.createDataFrame(
+        [(r["tok"], math.log10(r["cnt"] / float(total))) for r in top],
+        "tok string, logp double",
     )
     floor = F.lit(math.log10(alpha / float(total)))
     return (

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,7 +84,14 @@ class MinHashLshIndex:
         bands: int = 8,
         shingle_k: int = 3,
     ) -> "MinHashLshIndex":
-        """Index a corpus from scratch; one narrow pass + partitioned write."""
+        """Index a corpus from scratch; one narrow pass + partitioned write.
+
+        Rebuild-in-place resets the WHOLE index state: stale tombstones
+        from the previous index would silently hide just-re-indexed docs
+        from ``query`` (the anti-join doesn't know the ids were rebuilt),
+        and an old compacted ``bands_vN`` generation would be orphaned on
+        disk with nothing left pointing at it — both are cleared first.
+        """
         meta = {
             "num_hashes": num_hashes,
             "bands": bands,
@@ -94,6 +102,13 @@ class MinHashLshIndex:
             "generation": 0,
             "id_type": df.schema[id_col].dataType.simpleString(),
         }
+        if os.path.isdir(root):
+            shutil.rmtree(os.path.join(root, _TOMBS), ignore_errors=True)
+            for entry in os.listdir(root):
+                if entry.startswith(f"{_BANDS}_v"):
+                    shutil.rmtree(
+                        os.path.join(root, entry), ignore_errors=True
+                    )
         idx = cls(spark, root, meta)
         idx._write_rows(df, mode="overwrite")
         os.makedirs(root, exist_ok=True)
@@ -219,7 +234,16 @@ class MinHashLshIndex:
         to broadcast, split it — per-epoch CDC batches are the target.
         """
         nh = self.meta["num_hashes"]
-        new_rows = self._banded(df_new).withColumnRenamed("_id", "new_id")
+        # localCheckpoint: the kp collect below EXECUTES the banded-
+        # signature computation (shingles + minhash mins — the expensive
+        # stage); without materializing, the broadcast join in the
+        # returned plan would recompute it from scratch, doubling the
+        # per-batch cost. Per-epoch batches are small by contract.
+        new_rows = (
+            self._banded(df_new)
+            .withColumnRenamed("_id", "new_id")
+            .localCheckpoint(eager=True)
+        )
         kps = [r.kp for r in new_rows.select("kp").distinct().collect()]
         corpus = self._anti_tombstoned(self.scan(kps)).select(
             F.col("id").alias("corpus_id"),

@@ -845,7 +845,10 @@ _META_TABLES = {
     "history": history_df,
     "partitions": partitions_df,
 }
-_BRANCH_RE = re.compile(r"\b(\w+)\.branch_(\w+)\b")
+#: the ``branch_`` keyword is case-insensitive like every other SQL
+#: token on this surface (INSERT INTO t.BRANCH_b already matched via
+#: re.I); the table and branch NAMES stay case-sensitive identifiers
+_BRANCH_RE = re.compile(r"\b(\w+)\.(?i:branch_)(\w+)\b")
 
 _META_RE = re.compile(
     r"\b(\w+)\.(snapshots|files|refs|history|partitions)\b", re.IGNORECASE

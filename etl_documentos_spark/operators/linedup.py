@@ -89,8 +89,21 @@ def strip_boilerplate(
     lines = explode_lines(df, text_col, id_col, sep, min_chars)
     boiler = boilerplate_lines(lines, min_docs).select("line")
     kept = lines.join(F.broadcast(boiler), "line", "left_anti")
-    per_doc_total = lines.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines")
+    # anchor the doc universe on the INPUT, not the exploded lines: a
+    # doc whose text yields zero qualifying lines (empty, whitespace,
+    # all under min_chars) must still surface as (n_lines=0, ''), not
+    # silently vanish from the output
+    per_doc_total = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(
+            lines.groupBy("doc_id").agg(F.count("*").alias("n_lines")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("n_lines", F.lit(0)).alias("n_lines")
+        )
     )
     reassembled = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

@@ -73,10 +73,14 @@ def pack_sequences(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
         bins, offs = [], []
-        bin_idx, fill = -1, capacity  # first doc always opens bin 0
+        bin_idx, fill = -1, capacity
         for n in pdf["n_tokens"]:
             n = int(n)
-            if fill + n > capacity:
+            # bin_idx < 0 forces bin 0 open for the FIRST doc even when
+            # n == 0 (an empty/whitespace-only doc): the overflow test
+            # alone would leave it at bin -1 / offset == capacity —
+            # invalid loader coordinates
+            if bin_idx < 0 or fill + n > capacity:
                 bin_idx += 1
                 fill = 0
             offs.append(fill)

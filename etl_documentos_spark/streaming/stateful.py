@@ -298,6 +298,20 @@ def rate_limit_stream(
         # state nor enter state the eviction timer has already passed
         df = df[df["_t"] >= wm_us]
         if df.empty:
+            # timeouts are cleared on EVERY invocation unless re-set
+            # (GroupState contract) — an all-late batch must re-arm the
+            # eviction timer or the key's window tail leaks forever
+            if state.exists:
+                (recent,) = state.get
+                recent = [t for t in recent if t >= keep_from]
+                if recent:
+                    state.update((recent,))
+                    state.setTimeoutTimestamp(
+                        max((max(recent) + window_us) // 1000,
+                            state.getCurrentWatermarkMs() + 1)
+                    )
+                else:
+                    state.remove()
             return
         df = df.sort_values(["_t", "lsn"], ignore_index=True)
         old = np.array(
