@@ -31,6 +31,11 @@ from etl_documentos_spark.lake.table import _HINT, LakeTable
 class Catalog:
     def __init__(self, root: str):
         self.root = root
+        #: temp-view names this catalog has itself registered (snapshot
+        #: views of catalog tables, per statement). CTAS may freely
+        #: replace/drop these; a session view NOT in this set belongs to
+        #: the caller and must never be clobbered.
+        self._managed_views: set[str] = set()
         os.makedirs(root, exist_ok=True)
 
     def _path(self, name: str) -> str:
@@ -117,6 +122,7 @@ class Catalog:
                     f"{view!r} after dot->underscore folding (rename one)"
                 )
             tables[view] = self.load_table(name)
+        self._managed_views.update(tables)
         return lake_sql.sql(spark, tables, query)
 
 
@@ -372,6 +378,15 @@ def run_ddl(
         # the statement has executed, so the session is not left holding
         # stale snapshot views (the read path re-registers per statement).
         registered: list[str] = []
+        # a CALLER'S pre-existing session temp view with a colliding name
+        # would be createOrReplace'd AND then dropped by the finally —
+        # destroying it as a side effect of running a CTAS. Ambiguity is
+        # an error, not a silent clobber. Views the catalog itself
+        # registered on earlier statements (tracked in _managed_views)
+        # are ours to replace.
+        session_views = {
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        } - getattr(catalog, "_managed_views", set())
         try:
             for n in catalog.list_tables():
                 view = n.replace(".", "_")
@@ -380,6 +395,11 @@ def run_ddl(
                         f"view name collision: two catalog tables map to "
                         f"{view!r} after dot->underscore folding "
                         "(rename one)"
+                    )
+                if view in session_views:
+                    raise ValueError(
+                        f"session temp view {view!r} shadows catalog "
+                        f"table {n!r} in CTAS — drop or rename it first"
                     )
                 lake_sql.current_view(spark, catalog.load_table(n), view)
                 registered.append(view)

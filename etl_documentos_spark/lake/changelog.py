@@ -135,8 +135,12 @@ def read_changes(
             continue
         if not added:
             continue
-        df = spark.read.schema(schema).parquet(
-            *(os.path.join(table.root, p) for p in added)
+        # the table's sanctioned file reader, not a bare schema read —
+        # after a rename_column, pre-rename snapshots' files physically
+        # hold the historical name; a bare read would emit NULL for the
+        # renamed column on every one of those change rows
+        df = table._read_data_files(
+            spark, [os.path.join(table.root, p) for p in added]
         )
         parts.append(
             df.select(

@@ -993,6 +993,17 @@ class LakeTable:
                 if prune and not self._stats_overlap(stats.get(p), prune):
                     continue
                 files.append(os.path.join(self.root, p))
+        return self._read_data_files(spark, files)
+
+    def _read_data_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Read specific data files with the CURRENT schema, folding
+        renamed columns' historical names back in — the one sanctioned
+        way to open this table's parquet. Every internal reader of raw
+        file lists (scan, split_bucket's rewrite, the changelog's
+        added-file reads) must go through here: a bare
+        ``spark.read.schema(self.schema)`` surfaces a renamed column as
+        all-NULL for pre-rename files, which in a REWRITE path is
+        permanent data loss."""
         if not files:
             return spark.createDataFrame([], self.schema)
         ren = self._meta.get("renamed_columns", {})
@@ -1061,21 +1072,49 @@ class LakeTable:
         are discarded by the next ``_refresh``). Deterministic linear
         backoff — under N contenders someone always wins, so progress is
         global even when one process starves briefly."""
-        if self.commit_mode != "cas":
-            with self._process_commit_lock():
-                self._refresh()
-                return body()
-        last: Exception | None = None
-        for attempt in range(200):
-            self._refresh()
-            try:
-                return body()
-            except CommitConflictError as e:
-                last = e
-                time.sleep(min(0.002 * attempt, 0.05))
+        # the protocol branch here and the publish path in
+        # _write_metadata must agree WITHIN one transaction: the mode is
+        # re-checked after the in-txn refresh and the txn re-dispatched
+        # if a concurrent `ALTER ... commit.mode` flipped it — otherwise
+        # a flock-entered txn could publish via os.replace while CAS
+        # committers race the same version (silent lost commit), or a
+        # CAS-entered txn could leak CommitConflictError uncaught.
+        for _redispatch in range(4):
+            if self.commit_mode != "cas":
+                with self._process_commit_lock():
+                    self._refresh()
+                    if self.commit_mode == "cas":
+                        continue  # flipped under us: redo as CAS
+                    self._txn_commit_mode = "flock"
+                    try:
+                        return body()
+                    finally:
+                        del self._txn_commit_mode
+            else:
+                last: Exception | None = None
+                flipped = False
+                for attempt in range(200):
+                    self._refresh()
+                    if self.commit_mode != "cas":
+                        flipped = True
+                        break
+                    self._txn_commit_mode = "cas"
+                    try:
+                        return body()
+                    except CommitConflictError as e:
+                        last = e
+                        time.sleep(min(0.002 * attempt, 0.05))
+                    finally:
+                        del self._txn_commit_mode
+                if flipped:
+                    continue  # flipped under us: redo under the lock
+                raise CommitConflictError(
+                    f"lost 200 consecutive commit races on {self.root}"
+                ) from last
         raise CommitConflictError(
-            f"lost 200 consecutive commit races on {self.root}"
-        ) from last
+            f"commit.mode flipped repeatedly during a transaction on "
+            f"{self.root}"
+        )
 
     def _write_metadata(self) -> None:
         """Publish current in-memory metadata: sharded manifests + pointer.
@@ -1115,7 +1154,11 @@ class LakeTable:
         meta_out["format_version"] = 2
         v = self._meta["metadata_version"]
         path = os.path.join(self.root, "metadata", f"v{v:06d}.json")
-        if self.commit_mode == "cas":
+        # honor the protocol the surrounding transaction ENTERED with
+        # (_commit_txn pins it); fall back to the property for callers
+        # outside a transaction (create, initial bootstrap)
+        mode = getattr(self, "_txn_commit_mode", None) or self.commit_mode
+        if mode == "cas":
             # optimistic commit point: put-if-absent of the next version,
             # atomic WITH its content — write the full JSON to a private
             # temp file, then hard-link it to the final name (link fails
@@ -1124,7 +1167,14 @@ class LakeTable:
             # object store this whole dance is one conditional PUT
             # (S3 If-None-Match / GCS if-generation-match 0), which is
             # atomic-with-content by construction.
-            tmp = path + f".stage{os.getpid()}"
+            # pid + thread id: two THREADS of one process committing the
+            # same version would otherwise share a temp name — one could
+            # publish the other's content and report success for a commit
+            # that was never persisted, and the loser's cleanup would
+            # mask its CommitConflictError with FileNotFoundError
+            import threading
+
+            tmp = path + f".stage{os.getpid()}.{threading.get_ident()}"
             with open(tmp, "w") as f:
                 json.dump(meta_out, f)
             try:
@@ -1925,8 +1975,12 @@ class LakeTable:
         # post-split transform; rows land under keys b and b + N
         expected = list(self.current_snapshot.files.get(str(bucket), []))
         if expected:
-            df = spark.read.schema(self.schema).parquet(
-                *[os.path.join(self.root, f) for f in expected]
+            # _read_data_files, NOT a bare schema read: after a
+            # rename_column, pre-rename files physically hold the old
+            # name — a bare read would rewrite the column as NULL here
+            # (permanent loss; the old files are dropped at commit)
+            df = self._read_data_files(
+                spark, [os.path.join(self.root, f) for f in expected]
             )
             new_files = staged._write_data(df, salts=salts)
         else:
@@ -1942,24 +1996,29 @@ class LakeTable:
                     f"base {n} -> {self.num_buckets}, "
                     f"splits now {self.split_buckets}"
                 )
+            # per-ATTEMPT copy: a CAS-mode retry re-runs this body, and
+            # mutating the closure's new_files would accumulate the
+            # previous attempt's survivor re-splits alongside this one's
+            # — duplicating every survivor row in the committed manifest
+            txn_files = {b: list(fs) for b, fs in new_files.items()}
             current = list(self.current_snapshot.files.get(str(bucket), []))
             survivors = [f for f in current if f not in expected]
             if survivors:
                 # a concurrent append hit THIS bucket mid-split: re-split
                 # just those delta files under the lock (bounded: one
                 # commit's worth of data)
-                sdf = spark.read.schema(self.schema).parquet(
-                    *[os.path.join(self.root, f) for f in survivors]
+                sdf = self._read_data_files(
+                    spark, [os.path.join(self.root, f) for f in survivors]
                 )
                 extra = staged._write_data(sdf, salts=salts)
                 for b, fs in extra.items():
-                    new_files[b] = fs + new_files.get(b, [])
+                    txn_files[b] = fs + txn_files.get(b, [])
             merged = {
                 b: list(fs)
                 for b, fs in self.current_snapshot.files.items()
                 if b != str(bucket)
             }
-            for b, fs in new_files.items():
+            for b, fs in txn_files.items():
                 merged[b] = fs + merged.get(b, [])
             split = sorted(set(self.split_buckets) | {bucket})
             if len(split) == n:
@@ -2384,11 +2443,23 @@ class LakeTable:
                         os.remove(p)
                     except FileNotFoundError:
                         pass
-            self._meta["snapshots"] = [
-                s.to_json()
-                for s in self.snapshots
-                if s.snapshot_id != snapshot_id
-            ]
+            # carry each kept snapshot's manifest refs (to_json drops
+            # them) — the same rule as _expire_snapshots_locked: losing
+            # the refs would make the next _write_metadata re-shard and
+            # rewrite the WHOLE live manifest set, O(live files) JSON
+            old_by_id = {
+                s["snapshot_id"]: s for s in self._meta["snapshots"]
+            }
+            kept_dicts = []
+            for s in self.snapshots:
+                if s.snapshot_id == snapshot_id:
+                    continue
+                d = s.to_json()
+                refs = old_by_id.get(s.snapshot_id, {}).get("manifests")
+                if refs is not None:
+                    d["manifests"] = refs
+                kept_dicts.append(d)
+            self._meta["snapshots"] = kept_dicts
             self._meta["metadata_version"] += 1
             self._write_metadata()
             return len(dead)
@@ -2559,12 +2630,22 @@ class LakeTable:
         return out
 
     def _protected_columns(self) -> set[str]:
-        """Columns structural to the engine: the partition source column
-        and the underscore-prefixed system columns (``_deleted``/``_lsn``
-        carry the merge/tombstone semantics)."""
-        return {self.bucket_col} | {
-            f.name for f in self.schema.fields if f.name.startswith("_")
-        }
+        """Columns structural to the engine: the partition source column,
+        the underscore-prefixed system columns (``_deleted``/``_lsn``
+        carry the merge/tombstone semantics), and the CDC contract
+        columns — the merge keys and the LWW order column ``ts``.
+        Dropping or renaming any of these commits fine (metadata-only)
+        but bricks every subsequent merge/compaction/read through the
+        CDC reducers (they address KEY_COLS + ts by name), so the door
+        refuses — CTAS enforces exactly these columns at creation."""
+        from etl_documentos_spark.schemas import KEY_COLS
+
+        present = {f.name for f in self.schema.fields}
+        return (
+            {self.bucket_col}
+            | {n for n in self.schema.fieldNames() if n.startswith("_")}
+            | ({*KEY_COLS, "ts"} & present)
+        )
 
     def drop_columns(self, names: list[str]) -> None:
         """Drop columns: metadata-only, ZERO data files touched.
