@@ -118,7 +118,9 @@ def _utf8_matrix(arr) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_large_string(arr.type):
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
+        arr.type
+    ):
         off_dtype = np.int64
     else:
         off_dtype = np.int32
@@ -185,6 +187,103 @@ def _xxh64_bytes_fixed(mat: np.ndarray, seed) -> np.ndarray:
     return _fmix(acc)
 
 
+def _gather_words(
+    data: np.ndarray, starts: np.ndarray, nbytes: int
+) -> np.ndarray:
+    """Little-endian unsigned ints of ``nbytes`` bytes read at per-row
+    ``starts`` offsets into the flat ``data`` buffer — the unaligned
+    getLong/getInt reads, batched across rows with one fancy-index
+    gather."""
+    mat = data[starts[:, None] + np.arange(nbytes)[None, :]].astype(
+        np.uint64
+    )
+    out = np.zeros(len(starts), np.uint64)
+    for i in range(nbytes):
+        out |= mat[:, i] << np.uint64(8 * i)
+    return out
+
+
+@_wrapping
+def _xxh64_bytes_var(
+    lens: np.ndarray, starts: np.ndarray, data: np.ndarray, sd: np.ndarray
+) -> np.ndarray:
+    """XXH64 over n byte-rows of VARYING lengths, vectorized across rows.
+
+    The per-length grouping in `xxh64_strings` is optimal when a column
+    holds a handful of distinct lengths (keys, enums) but degenerates to
+    per-row tiny-array dispatch on free text, where byte lengths are
+    near-unique — exactly the `text` column of a transcript corpus. This
+    kernel instead sorts rows by length DESCENDING so the rows still
+    inside the 32-byte stripe loop at step j form a PREFIX: each step is
+    one whole-prefix gather + the four lane rounds, and the total
+    gathered volume is exactly the payload. The ≤31-byte tails group by
+    word/byte counts (at most 3+1+3 masked steps). Per-row operation
+    sequence is byte-identical to `_xxh64_bytes_fixed` (spec order), so
+    the two paths hash equal — pinned in tests/test_xxh64_parity.py.
+    """
+    n = len(lens)
+    order = np.argsort(-lens, kind="stable")
+    L = lens[order].astype(np.int64)
+    st = starts[order].astype(np.int64)
+    s = sd[order]
+    nblk = np.where(L >= 32, L // 32, 0)
+    nb = int(np.count_nonzero(L >= 32))
+    acc = np.empty(n, np.uint64)
+    if nb:
+        v1 = s[:nb] + (_P1 + _P2)
+        v2 = s[:nb] + _P2
+        v3 = s[:nb].copy()
+        v4 = s[:nb] - _P1
+        maxblk = int(nblk[0])
+        # rows with nblk > j form a prefix of the descending sort
+        active = np.searchsorted(-nblk, -np.arange(1, maxblk + 1), "right")
+        for j in range(maxblk):
+            m = int(active[j])
+            if m == 0:
+                break
+            base = st[:m] + j * 32
+            v1[:m] = _round(v1[:m], _gather_words(data, base, 8))
+            v2[:m] = _round(v2[:m], _gather_words(data, base + 8, 8))
+            v3[:m] = _round(v3[:m], _gather_words(data, base + 16, 8))
+            v4[:m] = _round(v4[:m], _gather_words(data, base + 24, 8))
+        a = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            a = (a ^ _round(np.zeros(nb, np.uint64), v)) * _P1 + _P4
+        acc[:nb] = a
+    acc[nb:] = s[nb:] + _P5
+    acc = acc + L.astype(np.uint64)
+    pos = st + nblk * 32
+    rem = L - nblk * 32  # 0..31
+    wc = rem // 8  # full 8-byte words in the tail (0..3)
+    for k in range(3):
+        sel = np.nonzero(wc > k)[0]
+        if not len(sel):
+            break
+        w = _gather_words(data, pos[sel] + 8 * k, 8)
+        a = acc[sel]
+        a = a ^ _round(np.zeros(len(sel), np.uint64), w)
+        acc[sel] = _rotl(a, 27) * _P1 + _P4
+    pos = pos + wc * 8
+    rem = rem - wc * 8  # 0..7
+    sel = np.nonzero(rem >= 4)[0]
+    if len(sel):
+        w = _gather_words(data, pos[sel], 4)
+        a = acc[sel] ^ (w * _P1)
+        acc[sel] = _rotl(a, 23) * _P2 + _P3
+        pos[sel] += 4
+        rem[sel] -= 4
+    for t in range(3):
+        sel = np.nonzero(rem > t)[0]
+        if not len(sel):
+            break
+        b = data[pos[sel] + t].astype(np.uint64)
+        a = acc[sel] ^ (b * _P5)
+        acc[sel] = _rotl(a, 11) * _P1
+    out = np.empty(n, np.uint64)
+    out[order] = _fmix(acc)
+    return out
+
+
 @_wrapping
 def xxh64_strings(arr, seed=42) -> np.ndarray:
     """Spark ``xxhash64`` of a string column (pyarrow String/LargeString
@@ -200,7 +299,26 @@ def xxh64_strings(arr, seed=42) -> np.ndarray:
     n = len(lens)
     out = np.empty(n, np.uint64)
     sd = _seed_arr(seed, n)
-    for length in np.unique(lens):
+    uniq = np.unique(lens)
+    if n and len(uniq) > 16 and n < len(uniq) * 256:
+        # many small length groups (free text: byte lengths are nearly
+        # distinct): the per-length grouping below degenerates to
+        # tiny-array numpy dispatch — route through the row-vectorized
+        # variable-length kernel instead (~4x wall on a ~1KB-text
+        # column; grouping stays optimal for key/enum columns, whose
+        # few big groups amortize the per-group overhead)
+        out = _xxh64_bytes_var(
+            np.asarray(lens, np.int64),
+            np.asarray(off[:-1], np.int64),
+            data,
+            sd,
+        )
+        res = out.view(np.int64).copy()
+        if arr.null_count:
+            nulls = np.asarray(arr.is_null())
+            res[nulls] = sd.view(np.int64)[nulls]
+        return res
+    for length in uniq:
         idx = np.nonzero(lens == length)[0]
         if length == 0:
             out[idx] = _xxh64_bytes_fixed(
@@ -233,6 +351,18 @@ def spark_bucket(
         h = xxh64_strings(arr)
     elif pa.types.is_int64(arr.type):
         h = xxh64_longs(arr.to_numpy(zero_copy_only=False))
+    elif pa.types.is_unsigned_integer(arr.type):
+        # widen as Spark's parquet reader does (uint32→long, else →int);
+        # a wrapping astype would bucket rows where pruned reads never
+        # look — silent point-lookup misses
+        if arr.type.bit_width == 64:
+            raise TypeError("uint64 bucket keys unsupported (Decimal in Spark)")
+        v = arr.to_numpy(zero_copy_only=False)
+        h = (
+            xxh64_longs(v.astype(np.int64))
+            if arr.type.bit_width == 32
+            else xxh64_ints(v.astype(np.int32))
+        )
     elif pa.types.is_integer(arr.type):  # byte/short/int: Spark hashInt
         h = xxh64_ints(arr.to_numpy(zero_copy_only=False))
     else:
@@ -276,7 +406,15 @@ def xxh64_chain(tbl, cols: list[str], seed: int = 42) -> np.ndarray:
         nulls = (
             np.asarray(arr.is_null()) if arr.null_count else None
         )
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            # BinaryType hashes like StringType: hashUnsafeBytes over the
+            # raw buffer (XxHash64Expression treats both as byte arrays);
+            # binary arrays share the string offsets+data buffer layout
             nh = xxh64_strings(arr, seed=h).view(np.uint64)
             h = nh  # null carry handled inside xxh64_strings
             continue
@@ -314,6 +452,26 @@ def xxh64_chain(tbl, cols: list[str], seed: int = 42) -> np.ndarray:
             vals = pc.cast(arr, pa.int32())
             vals = pc.fill_null(vals, 0).to_numpy().astype(np.int32)
             nh = xxh64_ints(vals, seed=h).view(np.uint64)
+        elif pa.types.is_unsigned_integer(t):
+            # Spark's parquet reader WIDENS unsigned logical types
+            # (uint8→short, uint16→int, uint32→long, uint64→decimal);
+            # astype(int32) of a uint32 would WRAP the value and hash the
+            # wrong integer. Widen exactly as Spark reads them.
+            if t.bit_width == 64:
+                raise TypeError(
+                    f"uint64 column {name!r}: Spark reads parquet UINT64 "
+                    "as Decimal(20,0), which this hash path does not "
+                    "support — cast upstream"
+                )
+            vals = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+            if t.bit_width == 32:  # → LongType: hashLong
+                nh = xxh64_longs(
+                    vals.astype(np.int64), seed=h
+                ).view(np.uint64)
+            else:  # uint8/uint16 → Short/IntegerType: hashInt, exact
+                nh = xxh64_ints(
+                    vals.astype(np.int32), seed=h
+                ).view(np.uint64)
         elif pa.types.is_integer(t):  # byte/short/int: Spark hashInt
             vals = pc.fill_null(arr, 0).to_numpy().astype(np.int32)
             nh = xxh64_ints(vals, seed=h).view(np.uint64)

@@ -477,6 +477,7 @@ class CdcPipeline:
         file_epochs: list[tuple[str, int]],
         schema: T.StructType | None = None,
         target_tasks: int | None = None,
+        epochs: list[int] | None = None,
     ) -> list[EpochResult]:
         """Backfill mode over RAW change-log parquet files — the zero-IPC
         fast path of `apply_epochs_bulk`.
@@ -500,18 +501,35 @@ class CdcPipeline:
         assert self.mode == "mor", "bulk backfill requires merge-on-read"
         t0 = time.monotonic()
         wm = self.bootstrap_watermark
-        epoch_ids = sorted({e for _, e in file_epochs})
+        # ``epochs`` widens the commit set beyond the files: an epoch
+        # with ZERO files (an external writer's empty epoch directory)
+        # must still commit its empty fingerprint, exactly as the
+        # DataFrame path does — otherwise the commit-log gap stalls the
+        # contiguous HWM roll-up forever and the epoch re-processes on
+        # every future replay
+        epoch_ids = sorted({e for _, e in file_epochs} | set(epochs or []))
         todo_pairs = [
             (f, e)
             for f, e in file_epochs
             if not self.commitlog.is_committed(e)
         ]
-        todo = sorted({e for _, e in todo_pairs})
+        todo = sorted(
+            {e for _, e in todo_pairs}
+            | {
+                e
+                for e in (epochs or [])
+                if not self.commitlog.is_committed(e)
+            }
+        )
         skipped = [
             EpochResult(e, True, 0, 0.0, []) for e in epoch_ids if e not in todo
         ]
         if not todo_pairs:
-            return skipped
+            if not todo:
+                return skipped
+            # only empty epochs to commit: no files to write, no schema
+            # evolution to consider — straight to the per-epoch records
+            return skipped + self._finalize_bulk([], todo, t0, [])
         if schema is None:
             schema = _union_footer_schema(todo_pairs)
         with self._commit_lock:

@@ -194,23 +194,47 @@ def replay_bulk(
     of shipping every row through the JVM and the Arrow socket. The
     ``epoch`` column the DataFrame path derived from the hive directory
     name comes from the file's path here — same value, no scan."""
-    if epochs is None:
-        epochs = list_epochs(events_path)
-    pairs = []
-    for e in epochs:
-        d = os.path.join(events_path, f"epoch={e}")
-        pairs.extend(
-            (os.path.join(d, f), e)
-            for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
+    try:
+        if epochs is None:
+            epochs = list_epochs(events_path)
+        pairs = []
+        for e in epochs:
+            d = os.path.join(events_path, f"epoch={e}")
+            pairs.extend(
+                (os.path.join(d, f), e)
+                for f in sorted(os.listdir(d))
+                # Spark reader semantics: leading '.'/'_' names are
+                # hidden (in-progress writers, committer artifacts) —
+                # reading one would corrupt the epoch fingerprint
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+    except OSError:
+        # non-local events_path (hdfs://, s3a://...): no local listing —
+        # fall back to the DataFrame bulk path, which reads through the
+        # JVM's filesystem layer exactly as before the zero-IPC fast path
+        spark = pipeline.spark
+        if epochs is None:
+            raise
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        changes = reader.option("basePath", events_path).parquet(
+            *[os.path.join(events_path, f"epoch={e}") for e in epochs]
         )
+        return pipeline.apply_epochs_bulk(changes, epochs, persist=False)
     if schema is not None and "epoch" in schema.fieldNames():
         # DataFrame-path callers declare the hive partition column too;
         # the file path derives it from the directory name instead
         schema = T.StructType(
             [f for f in schema.fields if f.name != "epoch"]
         )
-    return pipeline.apply_epochs_bulk_files(pairs, schema=schema)
+    # pass the epoch list through: an epoch whose directory holds no
+    # parquet files must still COMMIT (empty fingerprint) — dropping it
+    # would leave a commit-log gap that stalls the HWM roll-up forever
+    # and re-processes the epoch on the next replay
+    return pipeline.apply_epochs_bulk_files(
+        pairs, schema=schema, epochs=epochs
+    )
 
 
 def start_stream(

@@ -203,3 +203,57 @@ def test_files_path_split_bucket_spec(spark, stream_df, events_path, tmp_path):
         got = t.scan(spark, buckets=[b])
         n_wrong = got.filter(t.bucket_expr() != F.lit(b)).count()
         assert n_wrong == 0, f"bucket {b} holds foreign rows"
+
+
+def test_replay_bulk_commits_empty_epochs(spark, tmp_path):
+    """An epoch whose directory holds ZERO parquet files must still get
+    a commit record (empty fingerprint) — dropping it leaves a
+    commit-log gap that stalls the contiguous HWM roll-up forever and
+    re-processes the epoch on every later replay."""
+    from etl_documentos_spark.streaming.stream import replay_bulk
+
+    src = str(tmp_path / "ev")
+    df = datagen.change_stream(
+        spark, n_events=2_000, events_per_epoch=1000
+    )
+    datagen.write_epochs(df, src, files_per_epoch=2)
+    # an external writer's zero-event epoch: directory with no parquet
+    empty = os.path.join(src, "epoch=9")
+    os.makedirs(empty)
+    with open(os.path.join(empty, "_SUCCESS"), "w"):
+        pass
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, physical_schema(TRANSCRIPTS), num_buckets=4)
+    pipe = CdcPipeline(spark, root, str(tmp_path / "w"))
+    results = {r.epoch_id: r for r in replay_bulk(pipe, src)}
+    assert 9 in results, "empty epoch missing from results"
+    assert results[9].events == 0 and not results[9].skipped
+    assert pipe.commitlog.is_committed(9), "empty epoch not committed"
+    # a re-run skips EVERYTHING, including the empty epoch
+    again = {r.epoch_id: r for r in replay_bulk(pipe, src)}
+    assert all(r.skipped for r in again.values())
+
+
+def test_replay_bulk_ignores_hidden_files(spark, tmp_path):
+    """Leading '.'/'_' names are hidden under Spark reader semantics
+    (in-progress writers, committer artifacts) — reading one would
+    corrupt the epoch fingerprint or crash on a partial file."""
+    from etl_documentos_spark.streaming.stream import replay_bulk
+
+    src = str(tmp_path / "ev")
+    df = datagen.change_stream(
+        spark, n_events=2_000, events_per_epoch=1000
+    )
+    datagen.write_epochs(df, src, files_per_epoch=2)
+    d0 = os.path.join(src, "epoch=0")
+    with open(os.path.join(d0, ".part-junk.snappy.parquet"), "wb") as f:
+        f.write(b"half-written garbage, not parquet")
+    with open(os.path.join(d0, "_committed_1.parquet"), "wb") as f:
+        f.write(b"committer artifact")
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, physical_schema(TRANSCRIPTS), num_buckets=4)
+    pipe = CdcPipeline(spark, root, str(tmp_path / "w"))
+    results = replay_bulk(pipe, src)  # would crash reading the junk
+    assert sum(r.events for r in results) == df.count()

@@ -153,3 +153,74 @@ def test_chain_parity_extra_types(spark):
 
     got = xxh64_chain(df.toArrow(), cols)
     assert got.tolist() == want
+
+
+def test_chain_parity_binary(spark):
+    """BinaryType hashes like StringType (hashUnsafeBytes of the raw
+    buffer) — the evolved-binary-payload case replay_bulk must survive."""
+    import pyarrow as pa
+
+    from etl_documentos_spark.functions.xxh64 import xxh64_chain
+
+    payloads = [
+        b"", b"\x00", b"\xff" * 7, b"abc\x00def", bytes(range(256)),
+        None, b"x" * 33,
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "b binary")
+    want = [r[0] for r in df.select(F.xxhash64("b")).collect()]
+    tbl = pa.table({"b": pa.array(payloads, pa.binary())})
+    assert xxh64_chain(tbl, ["b"]).tolist() == want
+
+
+def test_chain_parity_unsigned_widening(spark):
+    """Unsigned Arrow ints hash as Spark's parquet reader WIDENS them
+    (uint32 -> long via hashLong; uint8/16 -> int via hashInt) — a
+    wrapping astype(int32) would hash the wrong integer."""
+    import pyarrow as pa
+
+    from etl_documentos_spark.functions.xxh64 import xxh64_chain
+
+    u32 = [0, 1, 2**31, 3_000_000_000, 2**32 - 1, None]
+    df = spark.createDataFrame([(v,) for v in u32], "u long")
+    want = [r[0] for r in df.select(F.xxhash64("u")).collect()]
+    tbl = pa.table({"u": pa.array(u32, pa.uint32())})
+    assert xxh64_chain(tbl, ["u"]).tolist() == want
+
+    u16 = [0, 1, 40000, 65535, None]
+    df = spark.createDataFrame([(v,) for v in u16], "u int")
+    want = [r[0] for r in df.select(F.xxhash64("u")).collect()]
+    tbl = pa.table({"u": pa.array(u16, pa.uint16())})
+    assert xxh64_chain(tbl, ["u"]).tolist() == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        xxh64_chain(pa.table({"u": pa.array([1], pa.uint64())}), ["u"])
+
+
+def test_var_kernel_parity_vs_spark(spark):
+    """The variable-length row-vectorized kernel (free-text fast path)
+    must hash byte-identically to F.xxhash64 across adversarial length
+    mixes: empties, sub-32B, block-boundary straddlers, KB-scale."""
+    import numpy as np
+
+    from etl_documentos_spark.functions.xxh64 import xxh64_strings
+
+    rng = np.random.default_rng(11)
+    lens = np.concatenate([
+        [0, 1, 7, 8, 9, 31, 32, 33, 63, 64, 65],
+        rng.integers(0, 2000, 600),
+    ])
+    texts = [
+        "".join(chr(c) for c in rng.integers(32, 0x2FF, int(l)))
+        for l in lens
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    want = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    import pyarrow as pa
+
+    arr = pa.array(texts)
+    # force the var path (many distinct lengths over few rows triggers
+    # the dispatch) and ALSO check it explicitly
+    got = xxh64_strings(arr)
+    assert got.tolist() == want
